@@ -1,0 +1,80 @@
+"""End-to-end Cornell Box render tests (golden-config sanity, SURVEY.md §4.2:
+the 'fake backend' is JAX-on-CPU running the identical jitted code)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+from tpu_pbrt.passes.pathtrace import PathTraceSettings
+from tpu_pbrt.render.renderer import Renderer
+
+
+@pytest.fixture(scope="module")
+def cornell_render():
+    w = h = 64
+    scene = make_cornell_box()
+    cam = make_cornell_camera(w, h)
+    r = Renderer(scene, w, h, PathTraceSettings(bounces=3, samples_per_pixel=1))
+    img = np.asarray(r.render_accumulated(cam, frames=8))
+    return img
+
+
+def test_finite_and_nonblack(cornell_render):
+    img = cornell_render
+    assert np.isfinite(img).all()
+    assert img.mean() > 0.01
+
+
+def test_color_bleed_sides(cornell_render):
+    """Green wall on the left (x=0), red wall on the right (x=552.8);
+    the camera looks +z with +x to image right."""
+    img = cornell_render
+    left = img[:, :12]
+    right = img[:, -12:]
+    # left strip: green dominates red; right strip: red dominates green
+    assert left[..., 1].mean() > left[..., 0].mean()
+    assert right[..., 0].mean() > right[..., 1].mean()
+
+
+def test_light_is_brightest(cornell_render):
+    img = cornell_render
+    lum = img.mean(-1)
+    # the ceiling light region (top-center rows) holds the max luminance
+    ys, xs = np.unravel_index(np.argmax(lum), lum.shape)
+    assert ys < img.shape[0] // 3, (ys, xs)
+    assert lum.max() > 5.0  # emissive ~ (17, 12, 4)
+
+
+def test_deterministic_same_frame(cornell_render):
+    w = h = 32
+    scene = make_cornell_box()
+    cam = make_cornell_camera(w, h)
+    r = Renderer(scene, w, h, PathTraceSettings(bounces=2, samples_per_pixel=1))
+    a = np.asarray(r.render(cam, 5))
+    b = np.asarray(r.render(cam, 5))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_spp_reduces_variance():
+    w = h = 32
+    scene = make_cornell_box()
+    cam = make_cornell_camera(w, h)
+    r1 = Renderer(scene, w, h, PathTraceSettings(bounces=2, samples_per_pixel=1))
+    r4 = Renderer(scene, w, h, PathTraceSettings(bounces=2, samples_per_pixel=4))
+    # compare per-pixel variance across frames
+    f1 = np.stack([np.asarray(r1.render(cam, f)) for f in range(6)])
+    f4 = np.stack([np.asarray(r4.render(cam, f)) for f in range(6)])
+    assert f4.var(axis=0).mean() < f1.var(axis=0).mean()
+    # means agree (unbiasedness smoke check)
+    np.testing.assert_allclose(f1.mean(), f4.mean(), rtol=0.15)
+
+
+def test_ray_counter_positive():
+    w = h = 16
+    scene = make_cornell_box()
+    cam = make_cornell_camera(w, h)
+    r = Renderer(scene, w, h, PathTraceSettings(bounces=2, samples_per_pixel=1))
+    _, rays = r.render_with_stats(cam, 0)
+    # at least every pixel traces a primary ray
+    assert float(rays) >= w * h

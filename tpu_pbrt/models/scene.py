@@ -1,0 +1,109 @@
+"""Scene: geometry + materials + environment light + emissive-light table.
+
+Mirror of the reference scene graph's device-visible state (reference:
+Source/Scene.ixx:32-104 — render objects, camera, environment light;
+Shaders/ShadingHelpers.hlsli:11-30 — environment light evaluation with
+constant color / texture / procedural sky fallback).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops import math as pmath
+from .material import MaterialTable
+from .mesh import Geometry
+
+
+class EnvironmentLight(NamedTuple):
+    """color.a < 0 selects the procedural sky gradient fallback
+    (reference: Shaders/ShadingHelpers.hlsli:25-29)."""
+    color: jnp.ndarray        # (4,) rgba; a >= 0 -> constant color
+    rotation: jnp.ndarray     # (3, 3) world->light rotation for textures
+    texture: jnp.ndarray | None = None  # (H, W, 3) lat-long radiance or None
+
+
+def make_environment(color=(-1.0, -1.0, -1.0, -1.0), rotation=None, texture=None) -> EnvironmentLight:
+    rot = jnp.eye(3, dtype=jnp.float32) if rotation is None else jnp.asarray(rotation, jnp.float32)
+    return EnvironmentLight(jnp.asarray(color, jnp.float32), rot,
+                            None if texture is None else jnp.asarray(texture, jnp.float32))
+
+
+def environment_radiance(env: EnvironmentLight, direction: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate the environment light for (..., 3) directions
+    (reference: Shaders/ShadingHelpers.hlsli:11-30)."""
+    if env.texture is not None:
+        d = pmath.normalize(direction @ env.rotation.T)
+        uv = pmath.to_latlong_uv(d)
+        h, w = env.texture.shape[:2]
+        x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
+        return env.texture[y, x]
+    const = jnp.broadcast_to(env.color[:3], direction.shape[:-1] + (3,))
+    # procedural sky: srgb->linear(lerp(1, skyblue, (y+1)/2))
+    tsky = (direction[..., 1:2] + 1.0) * 0.5
+    sky = pmath.srgb_to_linear(
+        (1.0 - tsky) * jnp.ones((3,), jnp.float32)
+        + tsky * jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
+    )
+    return jnp.where(env.color[3] >= 0.0, const, sky)
+
+
+class EmissiveLights(NamedTuple):
+    """Flattened emissive-triangle table for NEE / ReSTIR
+    (reference: Source/LightPreparation.ixx:52-125, Shaders/Light.hlsli).
+    Empty tables keep a single dummy row so shapes stay static."""
+    tri_index: jnp.ndarray   # (L,) i32 into geometry triangles
+    v0: jnp.ndarray          # (L, 3)
+    e1: jnp.ndarray          # (L, 3)
+    e2: jnp.ndarray          # (L, 3)
+    radiance: jnp.ndarray    # (L, 3) emitted radiance
+    area: jnp.ndarray        # (L,)
+    power: jnp.ndarray       # (L,) luminance * area * pi (for power RIS)
+    count: jnp.ndarray       # () i32 — actual number of lights
+
+
+class Scene(NamedTuple):
+    geometry: Geometry
+    materials: MaterialTable
+    environment: EnvironmentLight
+    lights: EmissiveLights
+
+
+def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> EmissiveLights:
+    """Host-side light collection (the CPU count + GPU fill of
+    LightPreparation.ixx:52-125 collapses to one vectorized pass)."""
+    v0, v1, v2 = geometry.triangle_vertices()
+    emissive = materials.emissive[geometry.tri_material]
+    lum = pmath.luminance(emissive)
+    is_light = np.asarray(lum > 0.0)
+    idx = np.nonzero(is_light)[0].astype(np.int32)
+    if idx.size == 0:
+        z3 = jnp.zeros((1, 3), jnp.float32)
+        return EmissiveLights(
+            tri_index=jnp.zeros((1,), jnp.int32),
+            v0=z3, e1=z3, e2=z3, radiance=z3,
+            area=jnp.zeros((1,), jnp.float32),
+            power=jnp.zeros((1,), jnp.float32),
+            count=jnp.asarray(0, jnp.int32),
+        )
+    lv0 = v0[idx]
+    le1 = v1[idx] - v0[idx]
+    le2 = v2[idx] - v0[idx]
+    area = 0.5 * pmath.length(pmath.cross(le1, le2))
+    rad = emissive[idx]
+    power = pmath.luminance(rad) * area * jnp.pi
+    return EmissiveLights(
+        tri_index=jnp.asarray(idx), v0=lv0, e1=le1, e2=le2, radiance=rad,
+        area=area, power=power, count=jnp.asarray(idx.size, jnp.int32),
+    )
+
+
+def make_scene(geometry: Geometry, materials: MaterialTable,
+               environment: EnvironmentLight | None = None) -> Scene:
+    env = environment if environment is not None else make_environment()
+    return Scene(geometry, materials, env,
+                 collect_emissive_lights(geometry, materials))

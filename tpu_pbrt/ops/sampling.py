@@ -1,0 +1,159 @@
+"""Importance sampling: Halton, cosine hemisphere, GGX VNDF, disk/sphere.
+
+Replaces the NVIDIA MathLib `ImportanceSampling::*` namespace the reference
+leans on (reference: Shaders/BxDF.hlsli:84,115,153 — Cosine::GetRay/GetPDF,
+VNDF::GetRay/GetPDF; Source/HaltonSampler.ixx:32-38 — Halton2D camera jitter).
+All published algorithms: cosine sampling via concentric disk mapping, VNDF
+sampling per Heitz 2018 "Sampling the GGX Distribution of Visible Normals".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import math as pmath
+
+
+# ---------------------------------------------------------------------------
+# Halton (host-side, used for camera jitter exactly like HaltonSampler.ixx)
+# ---------------------------------------------------------------------------
+
+def halton(index, base: int):
+    """Radical inverse of `index` in `base` (scalar host computation)."""
+    f = 1.0
+    r = 0.0
+    i = int(index)
+    while i > 0:
+        f /= base
+        r += f * (i % base)
+        i //= base
+    return r
+
+
+def halton2d(index) -> np.ndarray:
+    """(halton base-2, halton base-3) in [0,1)^2 — the camera jitter sequence
+    (reference: Source/HaltonSampler.ixx:32-38)."""
+    return np.array([halton(index, 2), halton(index, 3)], dtype=np.float32)
+
+
+def camera_jitter(frame_index: int, cycle_length: int) -> np.ndarray:
+    """Centered jitter in [-0.5, 0.5)^2, cycling like App.cpp:550-561."""
+    return halton2d(1 + (frame_index % max(cycle_length, 1))) - 0.5
+
+
+# ---------------------------------------------------------------------------
+# Disk / hemisphere
+# ---------------------------------------------------------------------------
+
+def sample_concentric_disk(u: jnp.ndarray) -> jnp.ndarray:
+    """Concentric (Shirley) unit-disk mapping; u is (..., 2) in [0,1)."""
+    off = 2.0 * u - 1.0
+    ox, oy = off[..., 0], off[..., 1]
+    zero = (ox == 0.0) & (oy == 0.0)
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    r = jnp.where(use_x, jnp.abs(ox), jnp.abs(oy))
+    safe_ox = jnp.where(zero, 1.0, ox)
+    safe_oy = jnp.where(zero, 1.0, oy)
+    theta = jnp.where(
+        use_x,
+        (jnp.pi / 4.0) * (safe_oy / jnp.where(use_x, safe_ox, 1.0)),
+        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (safe_ox / jnp.where(use_x, 1.0, safe_oy)),
+    )
+    r = jnp.where(zero, 0.0, r)
+    return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)
+
+
+def sample_cosine_hemisphere(u: jnp.ndarray) -> jnp.ndarray:
+    """Cosine-weighted hemisphere direction in tangent space (+z up)."""
+    d = sample_concentric_disk(u)
+    z = jnp.sqrt(jnp.maximum(1.0 - d[..., 0] ** 2 - d[..., 1] ** 2, 0.0))
+    return jnp.stack([d[..., 0], d[..., 1], z], axis=-1)
+
+
+def cosine_hemisphere_pdf(nol: jnp.ndarray) -> jnp.ndarray:
+    """PDF of cosine sampling (reference: Cosine::GetPDF == NoL/pi)."""
+    return jnp.maximum(nol, 0.0) / jnp.pi
+
+
+def sample_uniform_sphere(u: jnp.ndarray) -> jnp.ndarray:
+    z = 1.0 - 2.0 * u[..., 0]
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = 2.0 * jnp.pi * u[..., 1]
+    return jnp.stack([r * jnp.cos(phi), r * jnp.sin(phi), z], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# GGX VNDF (Heitz 2018) — roughness here is *perceptual* roughness r;
+# alpha = r^2, matching MathLib's linearRoughness convention used throughout
+# the reference BSDF (Shaders/BxDF.hlsli:57 `Roughness = max(MinRoughness, r)`).
+# ---------------------------------------------------------------------------
+
+def sample_ggx_vndf(u: jnp.ndarray, roughness: jnp.ndarray, v_local: jnp.ndarray) -> jnp.ndarray:
+    """Sample a visible GGX half-vector in tangent space.
+
+    v_local: view direction in tangent space (+z = shading normal), need not
+    be in the upper hemisphere (handled by the sign flip like implementations
+    for two-sided materials: we mirror v to +z, sample, and mirror back).
+    """
+    alpha = (roughness * roughness)[..., None]
+    sign = jnp.where(v_local[..., 2:3] >= 0.0, 1.0, -1.0)
+    v = v_local * sign  # mirror to the upper hemisphere
+
+    vh = pmath.normalize(v * jnp.concatenate([alpha, alpha, jnp.ones_like(alpha)], axis=-1))
+    # orthonormal basis around vh
+    lensq = vh[..., 0] ** 2 + vh[..., 1] ** 2
+    inv = 1.0 / jnp.sqrt(jnp.maximum(lensq, 1e-20))
+    t1 = jnp.where(
+        (lensq > 1e-12)[..., None],
+        jnp.stack([-vh[..., 1] * inv, vh[..., 0] * inv, jnp.zeros_like(inv)], axis=-1),
+        jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0], dtype=v.dtype), vh.shape),
+    )
+    t2 = jnp.cross(vh, t1)
+    r = jnp.sqrt(u[..., 0])
+    phi = 2.0 * jnp.pi * u[..., 1]
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh[..., 2])
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = p1[..., None] * t1 + p2[..., None] * t2 + p3[..., None] * vh
+    h = pmath.normalize(
+        jnp.stack(
+            [
+                alpha[..., 0] * nh[..., 0],
+                alpha[..., 0] * nh[..., 1],
+                jnp.maximum(nh[..., 2], 0.0),
+            ],
+            axis=-1,
+        )
+    )
+    return h * sign  # mirror back
+
+
+def ggx_ndf(roughness: jnp.ndarray, noh: jnp.ndarray) -> jnp.ndarray:
+    """GGX normal distribution D (reference: BRDF::DistributionTerm)."""
+    a = roughness * roughness
+    a2 = a * a
+    d = noh * noh * (a2 - 1.0) + 1.0
+    return a2 / jnp.maximum(jnp.pi * d * d, 1e-12)
+
+
+def ggx_smith_lambda(roughness: jnp.ndarray, cos_t: jnp.ndarray) -> jnp.ndarray:
+    a = roughness * roughness
+    c2 = jnp.clip(cos_t * cos_t, 1e-8, 1.0)
+    t2 = (1.0 - c2) / c2
+    return 0.5 * (jnp.sqrt(1.0 + a * a * t2) - 1.0)
+
+
+def ggx_g1(roughness: jnp.ndarray, cos_t: jnp.ndarray) -> jnp.ndarray:
+    return 1.0 / (1.0 + ggx_smith_lambda(roughness, cos_t))
+
+
+def ggx_vndf_pdf(v_local: jnp.ndarray, noh: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
+    """PDF of the *reflected* direction L under VNDF sampling:
+    pdf(L) = G1(V) * D(H) / (4 |NoV|)  (reference: VNDF::GetPDF)."""
+    nov = jnp.abs(v_local[..., 2])
+    d = ggx_ndf(roughness, jnp.abs(noh))
+    g1 = ggx_g1(roughness, jnp.maximum(nov, 1e-6))
+    return g1 * d / jnp.maximum(4.0 * nov, 1e-8)

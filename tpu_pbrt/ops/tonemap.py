@@ -1,0 +1,62 @@
+"""Tone mapping operators: Saturate, Reinhard, ACES (filmic), ST2084/HDR10.
+
+Replaces DirectXTK's ToneMapPostProcess instances
+(reference: Source/App.cpp:787-828, 1777-1803 — Saturate/Reinhard/ACES for
+SDR and ST2084 PQ for HDR10 with paper-white nits). Pure elementwise JAX.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from . import math as pmath
+
+OPERATOR_NONE = "none"
+OPERATOR_SATURATE = "saturate"
+OPERATOR_REINHARD = "reinhard"
+OPERATOR_ACES = "aces"
+
+
+def saturate(x: jnp.ndarray) -> jnp.ndarray:
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def reinhard(x: jnp.ndarray, exposure: float = 1.0) -> jnp.ndarray:
+    x = x * exposure
+    return x / (1.0 + x)
+
+
+def aces_filmic(x: jnp.ndarray, exposure: float = 1.0) -> jnp.ndarray:
+    """ACES fitted curve (Narkowicz 2015) — the same operator family
+    DirectXTK's ACESFilmic uses."""
+    x = x * exposure
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def st2084_pq(nits: jnp.ndarray, paper_white_nits: float = 200.0) -> jnp.ndarray:
+    """Linear (1.0 == paper-white) -> SMPTE ST2084 PQ signal for HDR10
+    (reference: App.cpp:1782-1794 ST2084 path with paper-white nits)."""
+    m1, m2 = 2610.0 / 16384.0, 2523.0 / 4096.0 * 128.0
+    c1, c2, c3 = 3424.0 / 4096.0, 2413.0 / 4096.0 * 32.0, 2392.0 / 4096.0 * 32.0
+    y = jnp.clip(nits * paper_white_nits / 10000.0, 0.0, 1.0)
+    yp = y ** m1
+    return ((c1 + c2 * yp) / (1.0 + c3 * yp)) ** m2
+
+
+def apply(x: jnp.ndarray, operator: str = OPERATOR_ACES, exposure: float = 1.0) -> jnp.ndarray:
+    if operator == OPERATOR_NONE:
+        return x
+    if operator == OPERATOR_SATURATE:
+        return saturate(x * exposure)
+    if operator == OPERATOR_REINHARD:
+        return reinhard(x, exposure)
+    if operator == OPERATOR_ACES:
+        return aces_filmic(x, exposure)
+    raise ValueError(f"unknown tonemap operator: {operator}")
+
+
+def to_srgb8(linear_rgb: jnp.ndarray) -> jnp.ndarray:
+    """Display encode: linear -> sRGB -> uint8."""
+    srgb = pmath.linear_to_srgb(jnp.clip(linear_rgb, 0.0, 1.0))
+    return jnp.asarray(jnp.round(srgb * 255.0), jnp.uint8)

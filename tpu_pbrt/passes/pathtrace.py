@@ -1,0 +1,231 @@
+"""The wavefront path tracer.
+
+TPU re-design of the reference's raygen megakernel
+(reference: Shaders/Raytracing.hlsl:103-415): the per-thread
+SPP-loop x bounce-loop with early breaks becomes a `lax.fori_loop` over a
+fixed bounce count carrying an *active mask* over the whole ray pool —
+terminated lanes idle instead of exiting (SURVEY.md §7 hard part #3:
+fixed-size pools + masks). Estimator semantics match the reference:
+
+  * miss -> environment radiance, terminate       (Raytracing.hlsl:241-259)
+  * emission picked up on every hit               (:317-321)
+  * one-sample-MIS 3-lobe BSDF: throughput *= f(lobe)/pdf(lobe) (:323-346)
+  * Russian roulette after bounce 3 on max-component throughput (:348-356)
+  * luminance cutoff on throughput                (:361-364)
+  * non-finite sample guard                       (:377)
+
+Direct lighting (ReSTIR DI) is a separate pass composited on top, exactly
+like the reference (`IsDIEnabled` demux) — plus an optional classic NEE path
+for standalone use.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.material import MaterialTable
+from ..models.mesh import Geometry, interpolate_hit
+from ..models.scene import Scene, environment_radiance
+from ..ops import bxdf, math as pmath, rng, traverse
+from ..ops.bvh import BVH
+
+
+@dataclasses.dataclass(frozen=True)
+class PathTraceSettings:
+    """Static (compile-time) knobs, defaults from the reference config
+    (reference: Source/MyAppData.h:183-188 — 8 bounces, 1 SPP, RR on)."""
+    bounces: int = 8
+    samples_per_pixel: int = 1
+    russian_roulette: bool = True
+    rr_start_bounce: int = 3
+    throughput_threshold: float = 1e-3
+    next_event_estimation: bool = False  # reference uses ReSTIR instead
+
+
+class _PathState(NamedTuple):
+    active: jnp.ndarray       # (R,) bool
+    origin: jnp.ndarray       # (R, 3)
+    direction: jnp.ndarray    # (R, 3)
+    t_min: jnp.ndarray        # (R,)
+    t_max: jnp.ndarray        # (R,)
+    throughput: jnp.ndarray   # (R, 3)
+    radiance: jnp.ndarray     # (R, 3)
+    # first-bounce info for denoiser demux (Raytracing.hlsl:235-239)
+    first_lobe: jnp.ndarray   # (R,) i32, -1 until set
+    first_hit_t: jnp.ndarray  # (R,)
+    ray_count: jnp.ndarray    # () i64-ish f32 — rays actually traced
+
+
+def _fetch_bsdf(materials: MaterialTable, attrs) -> tuple[bxdf.BSDF, jnp.ndarray]:
+    """Gather material params at hit lanes and build the BSDF + emission."""
+    m = attrs.material
+    base_color = materials.base_color[m, :3]
+    metallic = materials.metallic[m]
+    roughness = materials.roughness[m]
+    ior = materials.ior[m]
+    # transmission disabled for fully-metallic like the reference
+    # (Raytracing.hlsl:146: metalness < 1 gate)
+    transmission = jnp.where(
+        metallic < 1.0, materials.transmission[m], 0.0
+    )
+    b = bxdf.make_bsdf(base_color, metallic, roughness, ior, transmission,
+                       attrs.is_front_face)
+    emission = materials.emissive[m]
+    return b, emission
+
+
+def trace(
+    bvh: BVH,
+    scene: Scene,
+    origin: jnp.ndarray,
+    direction: jnp.ndarray,
+    t_min,
+    t_max,
+    px: jnp.ndarray,
+    py: jnp.ndarray,
+    frame,
+    settings: PathTraceSettings,
+    sample_offset: int = 0,
+):
+    """Trace one sample per pool entry; returns (radiance, first_lobe,
+    first_hit_t). px/py feed the per-pixel RNG stream
+    (Shaders/Raytracing.hlsl:108)."""
+    r = origin.shape[0]
+    geometry = scene.geometry
+    materials = scene.materials
+
+    def draw(bounce, slot):
+        # counter layout: sample | bounce | slot, all static-or-traced ints
+        counter = (sample_offset * 64 + slot) + bounce * 8
+        return rng.uniform4(px, py, frame, counter)
+
+    state = _PathState(
+        active=jnp.ones((r,), bool),
+        origin=origin,
+        direction=direction,
+        t_min=jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,)),
+        t_max=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)),
+        throughput=jnp.ones((r, 3)),
+        radiance=jnp.zeros((r, 3)),
+        first_lobe=jnp.full((r,), -1, jnp.int32),
+        first_hit_t=jnp.full((r,), jnp.inf),
+        ray_count=jnp.zeros((), jnp.float32),
+    )
+
+    def bounce_body(bounce, state: _PathState):
+        # inactive lanes traverse with an empty interval so their stackless
+        # walk falls straight through to -1 (cheap lock-step idling)
+        hit = traverse.closest_hit(
+            bvh, state.origin, state.direction, state.t_min,
+            jnp.where(state.active, state.t_max, -jnp.inf),
+        )
+        is_hit = hit.mask & state.active
+
+        # --- miss: environment light, terminate (Raytracing.hlsl:241-259)
+        env = environment_radiance(scene.environment, state.direction)
+        radiance = state.radiance + jnp.where(
+            (state.active & ~hit.mask)[:, None], state.throughput * env, 0.0
+        )
+
+        # --- hit shading
+        attrs = interpolate_hit(
+            geometry, hit.tri, hit.u, hit.v, state.origin, state.direction,
+            hit.t,
+        )
+        b, emission = _fetch_bsdf(materials, attrs)
+
+        radiance = radiance + jnp.where(
+            is_hit[:, None], state.throughput * emission, 0.0
+        )
+
+        sv = bxdf.make_surface_vectors(
+            attrs.is_front_face, attrs.flat_normal, attrs.shading_normal
+        )
+        v = -state.direction
+        u4 = draw(bounce, 0)
+        l, lobe, valid = bxdf.sample(b, sv, v, u4)
+        weights = bxdf.lobe_weights(b, sv, v)
+        pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
+        f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
+
+        ok = valid & (pdf > 0.0) & jnp.any(f != 0.0, axis=-1)
+        throughput = state.throughput * jnp.where(
+            ok[:, None], f / jnp.maximum(pdf, 1e-20)[:, None], 1.0
+        )
+
+        # --- Russian roulette (Raytracing.hlsl:348-356)
+        if settings.russian_roulette:
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
+            u_rr = draw(bounce, 1)[:, 0]
+            rr_kill = (bounce > settings.rr_start_bounce) & (u_rr >= p)
+            rr_scale = jnp.where(
+                (bounce > settings.rr_start_bounce) & ~rr_kill,
+                1.0 / jnp.maximum(p, 1e-8),
+                1.0,
+            )
+            throughput = throughput * rr_scale[:, None]
+        else:
+            rr_kill = jnp.zeros((r,), bool)
+
+        # --- luminance cutoff (Raytracing.hlsl:361-364)
+        cut = pmath.luminance(throughput) <= settings.throughput_threshold
+
+        active = is_hit & ok & ~rr_kill & ~cut
+
+        # --- continuation ray (Raytracing.hlsl:219-224)
+        new_origin = pmath.safe_spawn_offset(attrs.position, attrs.flat_normal, l)
+
+        first = (bounce == 0) & is_hit
+        first_lobe = jnp.where(first, lobe, state.first_lobe)
+        first_hit_t = jnp.where(first, hit.t, state.first_hit_t)
+
+        return _PathState(
+            active=active,
+            origin=jnp.where(is_hit[:, None], new_origin, state.origin),
+            direction=jnp.where(is_hit[:, None], l, state.direction),
+            t_min=jnp.zeros((r,)),
+            t_max=jnp.full((r,), jnp.inf),
+            throughput=jnp.where(is_hit[:, None], throughput, state.throughput),
+            radiance=radiance,
+            first_lobe=first_lobe,
+            first_hit_t=first_hit_t,
+            ray_count=state.ray_count + jnp.sum(state.active.astype(jnp.float32)),
+        )
+
+    state = lax.fori_loop(0, settings.bounces + 1, bounce_body, state)
+
+    # non-finite guard (Raytracing.hlsl:377)
+    rad = state.radiance
+    rad = jnp.where(jnp.all(jnp.isfinite(rad), axis=-1, keepdims=True), rad, 0.0)
+    return rad, state.first_lobe, state.first_hit_t, state.ray_count
+
+
+def render_sample_radiance(
+    bvh: BVH, scene: Scene, origin, direction, t_min, t_max, px, py, frame,
+    settings: PathTraceSettings,
+):
+    """Average `samples_per_pixel` independent path samples
+    (Raytracing.hlsl:191,377)."""
+    spp = settings.samples_per_pixel
+
+    def one(s, carry):
+        acc, rays = carry
+        rad, _, _, rc = trace(
+            bvh, scene, origin, direction, t_min, t_max, px, py, frame,
+            settings, sample_offset=s,
+        )
+        return acc + rad, rays + rc
+
+    if spp == 1:
+        rad, _, _, rc = trace(bvh, scene, origin, direction, t_min, t_max,
+                              px, py, frame, settings)
+        return rad, rc
+    (acc, rays) = lax.fori_loop(
+        0, spp, one, (jnp.zeros_like(origin), jnp.zeros((), jnp.float32))
+    )
+    return acc / spp, rays

@@ -1,0 +1,84 @@
+"""Renderer: ties scene -> BVH -> per-frame jitted render graph.
+
+The TPU analogue of the reference's App frame orchestration
+(reference: Source/App.cpp:573-654 Render / 1157-1329 RenderScene /
+1506-1571 PostProcess): one jitted function per frame configuration, with
+progressive accumulation for offline convergence and Halton camera jitter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from ..ops import bvh as bvh_mod
+from ..ops import tonemap
+from ..ops.sampling import camera_jitter
+from ..passes import pathtrace
+from .camera import Camera, CameraData, generate_rays
+
+
+@dataclasses.dataclass
+class Renderer:
+    scene: Scene
+    width: int
+    height: int
+    settings: pathtrace.PathTraceSettings = dataclasses.field(
+        default_factory=pathtrace.PathTraceSettings
+    )
+
+    def __post_init__(self):
+        v0, v1, v2 = self.scene.geometry.triangle_vertices()
+        self.bvh = jax.jit(bvh_mod.build)(v0, v1, v2)
+        self._render_frame = jax.jit(
+            functools.partial(_render_frame, settings=self.settings),
+            static_argnames=("width", "height"),
+        )
+
+    def render(self, camera: Camera, frame_index: int = 0,
+               jitter: bool = False) -> jnp.ndarray:
+        """One frame of linear radiance, (H, W, 3)."""
+        img, _ = self.render_with_stats(camera, frame_index, jitter)
+        return img
+
+    def render_with_stats(self, camera: Camera, frame_index: int = 0,
+                          jitter: bool = False):
+        """(radiance image, rays traced) — ray count feeds Mrays/s metrics."""
+        jit = camera_jitter(frame_index, 64) if jitter else np.zeros(2, np.float32)
+        cam = camera.data(jitter=jit)
+        return self._render_frame(
+            self.bvh, self.scene, cam,
+            jnp.asarray(frame_index, jnp.uint32),
+            width=self.width, height=self.height,
+        )
+
+    def render_accumulated(self, camera: Camera, frames: int,
+                           jitter: bool = True) -> jnp.ndarray:
+        """Progressive accumulation over `frames` (offline converged render —
+        stands in for letting the reference app sit still and accumulate)."""
+        acc = jnp.zeros((self.height, self.width, 3))
+        for f in range(frames):
+            acc = acc + self.render(camera, f, jitter=jitter)
+        return acc / frames
+
+    def tonemapped(self, linear_hdr: jnp.ndarray, operator: str = "aces",
+                   exposure: float = 1.0) -> np.ndarray:
+        img = tonemap.apply(linear_hdr, operator, exposure)
+        return np.asarray(tonemap.to_srgb8(img))
+
+
+def _render_frame(bvh, scene: Scene, cam: CameraData, frame,
+                  *, width: int, height: int,
+                  settings: pathtrace.PathTraceSettings):
+    origin, direction, t_min, t_max = generate_rays(cam, width, height)
+    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+    radiance, ray_count = pathtrace.render_sample_radiance(
+        bvh, scene, origin, direction, t_min, t_max, px, py, frame, settings
+    )
+    return radiance.reshape(height, width, 3), ray_count
