@@ -127,6 +127,27 @@ class TestSampling:
         # E[cos theta] for pdf cos/pi is 2/3
         np.testing.assert_allclose(float(d[:, 2].mean()), 2.0 / 3.0, atol=0.01)
 
+    def test_concentric_disk_azimuthally_uniform(self):
+        """Regression: a signed-radius bug folded the disk in half — verify
+        all four quadrants are equally occupied and r^2 is uniform."""
+        u = jax.random.uniform(jax.random.PRNGKey(14), (1 << 18, 2))
+        d = np.asarray(sampling.sample_concentric_disk(u))
+        quad = (d[:, 0] > 0).astype(int) * 2 + (d[:, 1] > 0).astype(int)
+        frac = np.bincount(quad, minlength=4) / len(d)
+        np.testing.assert_allclose(frac, 0.25, atol=0.01)
+        np.testing.assert_allclose((d ** 2).sum(1).mean(), 0.5, atol=0.01)
+
+    def test_cosine_hemisphere_off_axis_window(self):
+        """Regression for the same fold bug: probability of hitting an
+        off-axis solid-angle window must match quadrature ground truth."""
+        u = jax.random.uniform(jax.random.PRNGKey(15), (1 << 19, 2))
+        d = np.asarray(sampling.sample_cosine_hemisphere(u))
+        s = 2.0 / np.maximum(d[:, 2], 1e-6)
+        hit = (np.abs(0.067 + d[:, 0] * s) <= 0.5) & (
+            np.abs(-0.213 + d[:, 1] * s) <= 0.5
+        )
+        np.testing.assert_allclose(hit.mean(), 0.0719, atol=0.004)
+
     def test_vndf_half_vectors_upper_hemisphere(self):
         key = jax.random.PRNGKey(5)
         u = jax.random.uniform(key, (8192, 2))

@@ -60,9 +60,12 @@ class EmissiveLights(NamedTuple):
     v0: jnp.ndarray          # (L, 3)
     e1: jnp.ndarray          # (L, 3)
     e2: jnp.ndarray          # (L, 3)
+    normal: jnp.ndarray      # (L, 3) geometric (emitting side) normal
     radiance: jnp.ndarray    # (L, 3) emitted radiance
     area: jnp.ndarray        # (L,)
     power: jnp.ndarray       # (L,) luminance * area * pi (for power RIS)
+    cdf: jnp.ndarray         # (L,) inclusive prefix sum of power / total
+    tri_to_light: jnp.ndarray  # (T,) i32 — light id per triangle, -1 if none
     count: jnp.ndarray       # () i32 — actual number of lights
 
 
@@ -77,6 +80,7 @@ def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> Emi
     """Host-side light collection (the CPU count + GPU fill of
     LightPreparation.ixx:52-125 collapses to one vectorized pass)."""
     v0, v1, v2 = geometry.triangle_vertices()
+    num_tris = geometry.num_tris
     emissive = materials.emissive[geometry.tri_material]
     lum = pmath.luminance(emissive)
     is_light = np.asarray(lum > 0.0)
@@ -85,20 +89,28 @@ def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> Emi
         z3 = jnp.zeros((1, 3), jnp.float32)
         return EmissiveLights(
             tri_index=jnp.zeros((1,), jnp.int32),
-            v0=z3, e1=z3, e2=z3, radiance=z3,
+            v0=z3, e1=z3, e2=z3, normal=z3, radiance=z3,
             area=jnp.zeros((1,), jnp.float32),
             power=jnp.zeros((1,), jnp.float32),
+            cdf=jnp.ones((1,), jnp.float32),
+            tri_to_light=jnp.full((num_tris,), -1, jnp.int32),
             count=jnp.asarray(0, jnp.int32),
         )
     lv0 = v0[idx]
     le1 = v1[idx] - v0[idx]
     le2 = v2[idx] - v0[idx]
+    normal = pmath.normalize(pmath.cross(le1, le2))
     area = 0.5 * pmath.length(pmath.cross(le1, le2))
     rad = emissive[idx]
     power = pmath.luminance(rad) * area * jnp.pi
+    cdf = jnp.cumsum(power) / jnp.maximum(jnp.sum(power), 1e-20)
+    tri_to_light = np.full((num_tris,), -1, np.int32)
+    tri_to_light[idx] = np.arange(idx.size, dtype=np.int32)
     return EmissiveLights(
-        tri_index=jnp.asarray(idx), v0=lv0, e1=le1, e2=le2, radiance=rad,
-        area=area, power=power, count=jnp.asarray(idx.size, jnp.int32),
+        tri_index=jnp.asarray(idx), v0=lv0, e1=le1, e2=le2, normal=normal,
+        radiance=rad, area=area, power=power, cdf=cdf,
+        tri_to_light=jnp.asarray(tri_to_light),
+        count=jnp.asarray(idx.size, jnp.int32),
     )
 
 

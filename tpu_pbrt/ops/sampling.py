@@ -47,18 +47,24 @@ def camera_jitter(frame_index: int, cycle_length: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def sample_concentric_disk(u: jnp.ndarray) -> jnp.ndarray:
-    """Concentric (Shirley) unit-disk mapping; u is (..., 2) in [0,1)."""
+    """Concentric (Shirley) unit-disk mapping; u is (..., 2) in [0,1).
+
+    r carries the *sign* of the dominant square coordinate (a negative r
+    reflects the point to the opposite half-disk) — dropping the sign folds
+    the disk in half and produces azimuthally lopsided cosine sampling.
+    """
     off = 2.0 * u - 1.0
     ox, oy = off[..., 0], off[..., 1]
     zero = (ox == 0.0) & (oy == 0.0)
     use_x = jnp.abs(ox) > jnp.abs(oy)
-    r = jnp.where(use_x, jnp.abs(ox), jnp.abs(oy))
-    safe_ox = jnp.where(zero, 1.0, ox)
-    safe_oy = jnp.where(zero, 1.0, oy)
+    r = jnp.where(use_x, ox, oy)  # signed
+    denom = jnp.where(use_x, ox, oy)
+    denom = jnp.where(zero, 1.0, denom)
+    ratio = jnp.where(use_x, oy, ox) / denom
     theta = jnp.where(
         use_x,
-        (jnp.pi / 4.0) * (safe_oy / jnp.where(use_x, safe_ox, 1.0)),
-        (jnp.pi / 2.0) - (jnp.pi / 4.0) * (safe_ox / jnp.where(use_x, 1.0, safe_oy)),
+        (jnp.pi / 4.0) * ratio,
+        (jnp.pi / 2.0) - (jnp.pi / 4.0) * ratio,
     )
     r = jnp.where(zero, 0.0, r)
     return jnp.stack([r * jnp.cos(theta), r * jnp.sin(theta)], axis=-1)

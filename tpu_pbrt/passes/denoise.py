@@ -1,0 +1,233 @@
+"""Temporal accumulation + edge-aware à-trous denoiser (SVGF-class).
+
+Capability stand-in for the reference's NRD ReBLUR/ReLAX denoisers and the
+albedo (de)modulation composition pass (reference: Source/NRD.ixx:21-170,
+Source/NRDComposition.ixx + Shaders/NRDComposition.hlsl:44-88 — pack =
+divide noisy signal by albedo, denoise, unpack = remodulate), per SURVEY.md
+§2.3's NRD row. All passes are image-space stencils — ideal TPU work (pure
+VPU, fully fused by XLA).
+
+Pipeline per frame:
+  1. demodulate: signal / (albedo + eps)
+  2. temporal reprojection (motion vectors) + geometry-test history reuse,
+     exponential accumulation with per-pixel history length
+     (the reference's accumulation/anti-lag, ReBLUR-style)
+  3. variance-guided à-trous wavelet filtering, N iterations with growing
+     footprint (SVGF, Schied et al. 2017)
+  4. remodulate: * albedo
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..ops import math as pmath
+
+
+class DenoiserState(NamedTuple):
+    """History carried across frames (the reference's Previous* textures,
+    App.cpp:629-634 history swap)."""
+    color: jnp.ndarray      # (H, W, 3) accumulated demodulated radiance
+    moments: jnp.ndarray    # (H, W, 2) first/second luminance moments
+    depth: jnp.ndarray      # (H, W)
+    normal: jnp.ndarray     # (H, W, 3)
+    history_len: jnp.ndarray  # (H, W) frames accumulated (0 = invalid)
+
+
+def init_state(height: int, width: int) -> DenoiserState:
+    return DenoiserState(
+        color=jnp.zeros((height, width, 3)),
+        moments=jnp.zeros((height, width, 2)),
+        depth=jnp.full((height, width), jnp.inf),
+        normal=jnp.zeros((height, width, 3)),
+        history_len=jnp.zeros((height, width)),
+    )
+
+
+def _bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear gather; img (H, W, C), xy (H, W, 2) in pixel coordinates."""
+    h, w = img.shape[:2]
+    x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    p00 = img[y0, x0]
+    p01 = img[y0, x0 + 1]
+    p10 = img[y0 + 1, x0]
+    p11 = img[y0 + 1, x0 + 1]
+    return (
+        p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+        + p10 * (1 - fx) * fy + p11 * fx * fy
+    )
+
+
+def _nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    h, w = img.shape[:2]
+    x = jnp.clip(jnp.round(xy[..., 0]).astype(jnp.int32), 0, w - 1)
+    y = jnp.clip(jnp.round(xy[..., 1]).astype(jnp.int32), 0, h - 1)
+    return img[y, x]
+
+
+def temporal_accumulate(
+    state: DenoiserState,
+    color: jnp.ndarray,        # (H, W, 3) demodulated radiance
+    depth: jnp.ndarray,        # (H, W) linear depth
+    normal: jnp.ndarray,       # (H, W, 3) shading normal
+    motion: jnp.ndarray,       # (H, W, 2) pixel delta to previous frame
+    max_history: float = 32.0,
+    depth_tolerance: float = 0.05,
+    normal_tolerance: float = 0.9,
+):
+    """Reproject history via motion vectors, validate with depth/normal
+    tests (the reference's disocclusion logic), accumulate.
+
+    Returns (accumulated color, variance, new state)."""
+    h, w = color.shape[:2]
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    prev_xy = jnp.stack([gx + motion[..., 0], gy + motion[..., 1]], axis=-1)
+
+    prev_color = _bilinear_sample(state.color, prev_xy)
+    prev_moments = _bilinear_sample(state.moments, prev_xy)
+    prev_depth = _nearest_sample(state.depth[..., None], prev_xy)[..., 0]
+    prev_normal = _nearest_sample(state.normal, prev_xy)
+    prev_len = _nearest_sample(state.history_len[..., None], prev_xy)[..., 0]
+
+    in_bounds = (
+        (prev_xy[..., 0] >= 0) & (prev_xy[..., 0] <= w - 1)
+        & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] <= h - 1)
+    )
+    finite = jnp.isfinite(depth) & jnp.isfinite(prev_depth)
+    depth_ok = jnp.abs(prev_depth - depth) <= depth_tolerance * jnp.maximum(
+        jnp.abs(depth), 1e-3
+    )
+    normal_ok = pmath.dot(prev_normal, normal) >= normal_tolerance
+    valid = in_bounds & finite & depth_ok & normal_ok & (prev_len > 0)
+
+    n = jnp.where(valid, jnp.minimum(prev_len + 1.0, max_history), 1.0)
+    alpha = 1.0 / n
+
+    lum = pmath.luminance(color)
+    moments = jnp.stack([lum, lum * lum], axis=-1)
+
+    acc_color = jnp.where(
+        valid[..., None],
+        prev_color + (color - prev_color) * alpha[..., None],
+        color,
+    )
+    acc_moments = jnp.where(
+        valid[..., None],
+        prev_moments + (moments - prev_moments) * alpha[..., None],
+        moments,
+    )
+    variance = jnp.maximum(acc_moments[..., 1] - acc_moments[..., 0] ** 2, 0.0)
+    # young-history variance boost (SVGF: fall back to spatial estimate)
+    variance = jnp.where(n < 4.0, jnp.maximum(variance, 1.0), variance)
+
+    new_state = DenoiserState(
+        color=acc_color, moments=acc_moments, depth=depth, normal=normal,
+        history_len=n,
+    )
+    return acc_color, variance, new_state
+
+
+def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """Shift with edge clamp (replicate border)."""
+    h, w = img.shape[:2]
+    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
+    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
+    return img[ys][:, xs]
+
+
+# 5-tap B3-spline kernel weights for the à-trous wavelet
+_B3 = (1.0 / 16.0, 1.0 / 4.0, 3.0 / 8.0, 1.0 / 4.0, 1.0 / 16.0)
+
+
+def atrous_filter(
+    color: jnp.ndarray,       # (H, W, 3)
+    variance: jnp.ndarray,    # (H, W)
+    depth: jnp.ndarray,       # (H, W)
+    normal: jnp.ndarray,      # (H, W, 3)
+    iterations: int = 4,
+    sigma_z: float = 1.0,
+    sigma_n: float = 128.0,
+    sigma_l: float = 4.0,
+):
+    """Edge-stopping à-trous wavelet filter (SVGF). Separable-ish 5x5 cross
+    pattern per iteration with stride 2^i."""
+    lum_center_src = pmath.luminance(color)
+
+    for it in range(iterations):
+        step = 1 << it
+        lum_c = pmath.luminance(color)
+        # local variance smoothing for the luminance weight (3x3 gaussian)
+        v = variance
+        vsum = jnp.zeros_like(v)
+        wsum_g = 0.0
+        for dy, wy in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+            for dx, wx in ((-1, 0.25), (0, 0.5), (1, 0.25)):
+                vsum = vsum + _shift2d(v[..., None], dy, dx)[..., 0] * (wy * wx)
+                wsum_g += wy * wx
+        sigma_lum = sigma_l * jnp.sqrt(jnp.maximum(vsum / wsum_g, 1e-10))
+
+        acc = jnp.zeros_like(color)
+        acc_v = jnp.zeros_like(variance)
+        wacc = jnp.zeros_like(variance)
+        for iy, wy in enumerate(_B3):
+            dy = (iy - 2) * step
+            for ix, wx in enumerate(_B3):
+                dx = (ix - 2) * step
+                kw = wy * wx
+                c_s = _shift2d(color, dy, dx)
+                v_s = _shift2d(variance[..., None], dy, dx)[..., 0]
+                d_s = _shift2d(depth[..., None], dy, dx)[..., 0]
+                n_s = _shift2d(normal, dy, dx)
+                l_s = pmath.luminance(c_s)
+
+                w_z = jnp.exp(
+                    -jnp.abs(d_s - depth)
+                    / (sigma_z * jnp.maximum(jnp.abs(depth), 1e-3) * (abs(dy) + abs(dx) + 1e-3))
+                )
+                w_n = jnp.maximum(pmath.dot(n_s, normal), 0.0) ** sigma_n
+                w_l = jnp.exp(-jnp.abs(l_s - lum_c) / jnp.maximum(sigma_lum, 1e-10))
+                wgt = kw * w_z * w_n * w_l
+                wgt = jnp.where(jnp.isfinite(d_s) == jnp.isfinite(depth), wgt, 0.0)
+
+                acc = acc + c_s * wgt[..., None]
+                acc_v = acc_v + v_s * wgt * wgt
+                wacc = wacc + wgt
+
+        color = acc / jnp.maximum(wacc, 1e-10)[..., None]
+        variance = acc_v / jnp.maximum(wacc * wacc, 1e-10)
+    return color
+
+
+def demodulation_albedo(base_color: jnp.ndarray, metallic: jnp.ndarray,
+                        f0: jnp.ndarray) -> jnp.ndarray:
+    """Approximate combined diffuse+specular demodulation albedo
+    (NRDComposition.hlsl pack semantics: divide noisy signal by material
+    albedo so the denoiser filters illumination, not texture)."""
+    diffuse = base_color * (1.0 - metallic[..., None])
+    return jnp.maximum(diffuse + f0, 0.01)
+
+
+def denoise_frame(
+    state: DenoiserState,
+    radiance: jnp.ndarray,     # (H, W, 3) noisy 1-SPP output
+    albedo: jnp.ndarray,       # (H, W, 3) demodulation albedo
+    depth: jnp.ndarray,
+    normal: jnp.ndarray,
+    motion: jnp.ndarray,
+    iterations: int = 4,
+):
+    """Full denoiser: demodulate -> temporal -> à-trous -> remodulate."""
+    demod = radiance / albedo
+    acc, variance, new_state = temporal_accumulate(
+        state, demod, depth, normal, motion
+    )
+    filtered = atrous_filter(acc, variance, depth, normal, iterations)
+    return filtered * albedo, new_state

@@ -1,0 +1,56 @@
+"""Emissive-triangle light sampling (power-proportional selection + uniform
+area sampling, solid-angle PDFs).
+
+Capability mirror of the reference's triangle-light machinery
+(reference: Shaders/Light.hlsli:26-96 — TriangleLight init/sample/PDF;
+Source/RTXDIResources.ixx:36-57 power-PDF construction). The mip-pyramid
+power PDF texture becomes a prefix-sum CDF + `searchsorted` — the
+TPU-idiomatic form of the same distribution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from ..models.scene import EmissiveLights
+from ..ops import math as pmath
+
+
+class LightSample(NamedTuple):
+    position: jnp.ndarray    # (R, 3) point on the light
+    normal: jnp.ndarray      # (R, 3) emitting-side normal
+    radiance: jnp.ndarray    # (R, 3)
+    pdf_area: jnp.ndarray    # (R,) selection pdf x (1/area), area measure
+    light: jnp.ndarray       # (R,) i32 light index
+
+
+def sample(lights: EmissiveLights, u3: jnp.ndarray) -> LightSample:
+    """Pick a light ~ power, then a uniform point on it. u3: (R, 3)."""
+    li = jnp.searchsorted(lights.cdf, u3[:, 0]).astype(jnp.int32)
+    li = jnp.clip(li, 0, lights.power.shape[0] - 1)
+
+    bary = pmath.sample_triangle(u3[:, 1:3])
+    pos = (
+        lights.v0[li]
+        + bary[:, 0:1] * lights.e1[li]
+        + bary[:, 1:2] * lights.e2[li]
+    )
+    total = jnp.sum(lights.power)
+    select_pdf = lights.power[li] / jnp.maximum(total, 1e-20)
+    pdf_area = select_pdf / jnp.maximum(lights.area[li], 1e-20)
+    return LightSample(pos, lights.normal[li], lights.radiance[li],
+                       pdf_area, li)
+
+
+def pdf_hit_area(lights: EmissiveLights, tri: jnp.ndarray) -> jnp.ndarray:
+    """Area-measure PDF that NEE would have produced the hit triangle `tri`
+    (for MIS weighting of BSDF-sampled emission). 0 for non-lights."""
+    li = lights.tri_to_light[jnp.maximum(tri, 0)]
+    valid = (tri >= 0) & (li >= 0)
+    li = jnp.maximum(li, 0)
+    total = jnp.sum(lights.power)
+    select_pdf = lights.power[li] / jnp.maximum(total, 1e-20)
+    pdf = select_pdf / jnp.maximum(lights.area[li], 1e-20)
+    return jnp.where(valid, pdf, 0.0)

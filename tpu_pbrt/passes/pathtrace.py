@@ -33,6 +33,7 @@ from ..models.mesh import Geometry, interpolate_hit
 from ..models.scene import Scene, environment_radiance
 from ..ops import bxdf, math as pmath, rng, traverse
 from ..ops.bvh import BVH
+from . import lights as lights_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -44,7 +45,11 @@ class PathTraceSettings:
     russian_roulette: bool = True
     rr_start_bounce: int = 3
     throughput_threshold: float = 1e-3
-    next_event_estimation: bool = False  # reference uses ReSTIR instead
+    # One-light NEE with balance-heuristic MIS. The reference's base path
+    # tracer relies on the ReSTIR DI pass for direct light instead
+    # (Raytracing.hlsl:150-163); NEE is our standalone-quality path and the
+    # foundation the ReSTIR pass shares.
+    next_event_estimation: bool = True
 
 
 class _PathState(NamedTuple):
@@ -59,6 +64,8 @@ class _PathState(NamedTuple):
     first_lobe: jnp.ndarray   # (R,) i32, -1 until set
     first_hit_t: jnp.ndarray  # (R,)
     ray_count: jnp.ndarray    # () i64-ish f32 — rays actually traced
+    # MIS bookkeeping for BSDF-sampled emission vs NEE
+    prev_bsdf_pdf: jnp.ndarray  # (R,) solid-angle pdf of the ray's direction
 
 
 def _fetch_bsdf(materials: MaterialTable, attrs) -> tuple[bxdf.BSDF, jnp.ndarray]:
@@ -91,10 +98,12 @@ def trace(
     frame,
     settings: PathTraceSettings,
     sample_offset: int = 0,
+    primary_hit: traverse.Hit | None = None,
 ):
     """Trace one sample per pool entry; returns (radiance, first_lobe,
-    first_hit_t). px/py feed the per-pixel RNG stream
-    (Shaders/Raytracing.hlsl:108)."""
+    first_hit_t, ray_count). px/py feed the per-pixel RNG stream
+    (Shaders/Raytracing.hlsl:108). `primary_hit` (if given) supplies the
+    bounce-0 hit from the G-buffer pass instead of retracing."""
     r = origin.shape[0]
     geometry = scene.geometry
     materials = scene.materials
@@ -115,15 +124,12 @@ def trace(
         first_lobe=jnp.full((r,), -1, jnp.int32),
         first_hit_t=jnp.full((r,), jnp.inf),
         ray_count=jnp.zeros((), jnp.float32),
+        prev_bsdf_pdf=jnp.zeros((r,)),
     )
 
-    def bounce_body(bounce, state: _PathState):
-        # inactive lanes traverse with an empty interval so their stackless
-        # walk falls straight through to -1 (cheap lock-step idling)
-        hit = traverse.closest_hit(
-            bvh, state.origin, state.direction, state.t_min,
-            jnp.where(state.active, state.t_max, -jnp.inf),
-        )
+    def shade(bounce, state: _PathState, hit: traverse.Hit) -> _PathState:
+        """Everything after traversal: miss env, emission MIS, NEE, BSDF
+        sample, RR, cutoff, continuation ray."""
         is_hit = hit.mask & state.active
 
         # --- miss: environment light, terminate (Raytracing.hlsl:241-259)
@@ -139,17 +145,79 @@ def trace(
         )
         b, emission = _fetch_bsdf(materials, attrs)
 
+        # --- emission pickup, MIS-weighted against NEE when enabled
+        if settings.next_event_estimation:
+            li = scene.lights.tri_to_light[jnp.maximum(hit.tri, 0)]
+            n_l = scene.lights.normal[jnp.maximum(li, 0)]
+            cos_l = pmath.dot(n_l, -state.direction)
+            p_l_area = lights_mod.pdf_hit_area(scene.lights, hit.tri)
+            p_l_sa = jnp.where(
+                cos_l > 1e-6, p_l_area * hit.t * hit.t / jnp.maximum(cos_l, 1e-6), 0.0
+            )
+            denom = state.prev_bsdf_pdf + p_l_sa
+            w_emit = jnp.where(
+                (bounce == 0) | (denom <= 0.0),
+                1.0,
+                state.prev_bsdf_pdf / jnp.maximum(denom, 1e-20),
+            )
+        else:
+            w_emit = jnp.ones((r,))
         radiance = radiance + jnp.where(
-            is_hit[:, None], state.throughput * emission, 0.0
+            is_hit[:, None], state.throughput * emission * w_emit[:, None], 0.0
         )
 
         sv = bxdf.make_surface_vectors(
             attrs.is_front_face, attrs.flat_normal, attrs.shading_normal
         )
         v = -state.direction
+
+        # --- next-event estimation: one power-sampled light, shadow ray,
+        # balance-heuristic MIS against the BSDF strategy
+        nee_rays = jnp.zeros((), jnp.float32)
+        weights = None
+        if settings.next_event_estimation:
+            weights = bxdf.lobe_weights(b, sv, v)
+            u3 = draw(bounce, 2)[:, :3]
+            ls = lights_mod.sample(scene.lights, u3)
+            to_l = ls.position - attrs.position
+            dist = pmath.length(to_l)
+            wi = to_l / jnp.maximum(dist, 1e-8)[:, None]
+            cos_light = pmath.dot(ls.normal, -wi)
+            pdf_sa = jnp.where(
+                cos_light > 1e-6,
+                ls.pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6),
+                0.0,
+            )
+            f_d, f_s = bxdf.evaluate_combined(b, sv, wi, v, weights)
+            f_nee = f_d + f_s
+            p_b = bxdf.pdf_combined(b, sv, wi, v, weights)
+            valid_nee = (
+                is_hit
+                & (scene.lights.count > 0)
+                & (pdf_sa > 0.0)
+                & jnp.any(f_nee > 0.0, axis=-1)
+            )
+            shadow_o = pmath.safe_spawn_offset(
+                attrs.position, attrs.flat_normal, wi
+            )
+            occluded = traverse.any_hit(
+                bvh, shadow_o, wi, 0.0,
+                jnp.where(valid_nee, dist * (1.0 - 1e-3), -jnp.inf),
+            )
+            w_mis = pdf_sa / jnp.maximum(pdf_sa + p_b, 1e-20)
+            contrib = (
+                state.throughput * f_nee * ls.radiance
+                * (w_mis / jnp.maximum(pdf_sa, 1e-20))[:, None]
+            )
+            radiance = radiance + jnp.where(
+                (valid_nee & ~occluded)[:, None], contrib, 0.0
+            )
+            nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
+
         u4 = draw(bounce, 0)
         l, lobe, valid = bxdf.sample(b, sv, v, u4)
-        weights = bxdf.lobe_weights(b, sv, v)
+        if weights is None:
+            weights = bxdf.lobe_weights(b, sv, v)
         pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
         f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
 
@@ -184,6 +252,13 @@ def trace(
         first_lobe = jnp.where(first, lobe, state.first_lobe)
         first_hit_t = jnp.where(first, hit.t, state.first_hit_t)
 
+        # claimed BSDF pdf of the sampled direction for next-hit MIS: the
+        # true marginal of the one-sample lobe scheme is the combined pdf
+        if settings.next_event_estimation:
+            next_pdf = bxdf.pdf_combined(b, sv, l, v, weights)
+        else:
+            next_pdf = pdf
+
         return _PathState(
             active=active,
             origin=jnp.where(is_hit[:, None], new_origin, state.origin),
@@ -194,10 +269,31 @@ def trace(
             radiance=radiance,
             first_lobe=first_lobe,
             first_hit_t=first_hit_t,
-            ray_count=state.ray_count + jnp.sum(state.active.astype(jnp.float32)),
+            ray_count=state.ray_count + nee_rays
+            + jnp.sum(state.active.astype(jnp.float32)),
+            prev_bsdf_pdf=jnp.where(is_hit, next_pdf, state.prev_bsdf_pdf),
         )
 
-    state = lax.fori_loop(0, settings.bounces + 1, bounce_body, state)
+    def bounce_body(bounce, state: _PathState):
+        # inactive lanes traverse with an empty interval so their stackless
+        # walk falls straight through to -1 (cheap lock-step idling)
+        hit = traverse.closest_hit(
+            bvh, state.origin, state.direction, state.t_min,
+            jnp.where(state.active, state.t_max, -jnp.inf),
+        )
+        return shade(bounce, state, hit)
+
+    # bounce 0 can reuse an externally supplied primary hit (the G-buffer
+    # pass result — the reference reconstructs the primary surface instead
+    # of retracing, Raytracing.hlsl:118-163)
+    if primary_hit is not None:
+        state = shade(0, state, primary_hit)
+        # the primary hit was traced by the G-buffer pass, not here — keep
+        # the ray counter honest (only NEE shadow rays at bounce 0 count)
+        state = state._replace(ray_count=state.ray_count - r)
+        state = lax.fori_loop(1, settings.bounces + 1, bounce_body, state)
+    else:
+        state = lax.fori_loop(0, settings.bounces + 1, bounce_body, state)
 
     # non-finite guard (Raytracing.hlsl:377)
     rad = state.radiance
@@ -207,7 +303,7 @@ def trace(
 
 def render_sample_radiance(
     bvh: BVH, scene: Scene, origin, direction, t_min, t_max, px, py, frame,
-    settings: PathTraceSettings,
+    settings: PathTraceSettings, primary_hit: traverse.Hit | None = None,
 ):
     """Average `samples_per_pixel` independent path samples
     (Raytracing.hlsl:191,377)."""
@@ -217,13 +313,14 @@ def render_sample_radiance(
         acc, rays = carry
         rad, _, _, rc = trace(
             bvh, scene, origin, direction, t_min, t_max, px, py, frame,
-            settings, sample_offset=s,
+            settings, sample_offset=s, primary_hit=primary_hit,
         )
         return acc + rad, rays + rc
 
     if spp == 1:
         rad, _, _, rc = trace(bvh, scene, origin, direction, t_min, t_max,
-                              px, py, frame, settings)
+                              px, py, frame, settings,
+                              primary_hit=primary_hit)
         return rad, rc
     (acc, rays) = lax.fori_loop(
         0, spp, one, (jnp.zeros_like(origin), jnp.zeros((), jnp.float32))

@@ -1,0 +1,92 @@
+"""Temporal anti-aliasing / upscaling + sharpening.
+
+Capability stand-in for DLSS/XeSS/NIS (reference: Source/Streamline.ixx,
+Source/XeSS.ixx — NN upscalers; SURVEY.md §2.3 prescribes a classical
+jittered TAA upscale + sharpen kernel). Render at a lower internal
+resolution with Halton-jittered cameras, reproject history by motion
+vectors, clamp to the 3x3 neighborhood color AABB (variance clipping),
+then blend; optional contrast-adaptive sharpen at display resolution.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from .denoise import _bilinear_sample, _shift2d
+
+
+class TAAState(NamedTuple):
+    history: jnp.ndarray  # (H, W, 3) display-res history
+    valid: jnp.ndarray    # () bool-ish f32 — history exists
+
+
+def init_state(height: int, width: int) -> TAAState:
+    return TAAState(history=jnp.zeros((height, width, 3)),
+                    valid=jnp.zeros(()))
+
+
+def _upscale_bilinear(img: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    h, w = img.shape[:2]
+    gy, gx = jnp.meshgrid(
+        (jnp.arange(oh, dtype=jnp.float32) + 0.5) * h / oh - 0.5,
+        (jnp.arange(ow, dtype=jnp.float32) + 0.5) * w / ow - 0.5,
+        indexing="ij",
+    )
+    return _bilinear_sample(img, jnp.stack([gx, gy], axis=-1))
+
+
+def resolve(
+    state: TAAState,
+    color: jnp.ndarray,     # (h, w, 3) current jittered render
+    motion: jnp.ndarray,    # (h, w, 2) pixel delta to previous frame
+    out_height: int,
+    out_width: int,
+    blend: float = 0.1,
+):
+    """One TAA resolve: upscale current frame, reproject display-res
+    history, neighborhood-clamp, blend. Returns (output, new state)."""
+    up = _upscale_bilinear(color, out_height, out_width)
+    scale_y = out_height / color.shape[0]
+    scale_x = out_width / color.shape[1]
+    motion_up = _upscale_bilinear(motion, out_height, out_width)
+    motion_up = motion_up * jnp.asarray([scale_x, scale_y])
+
+    gy, gx = jnp.meshgrid(jnp.arange(out_height, dtype=jnp.float32),
+                          jnp.arange(out_width, dtype=jnp.float32),
+                          indexing="ij")
+    prev_xy = jnp.stack(
+        [gx + motion_up[..., 0], gy + motion_up[..., 1]], axis=-1
+    )
+    hist = _bilinear_sample(state.history, prev_xy)
+
+    # neighborhood color clamp (3x3 min/max AABB of the upscaled frame)
+    cmin = up
+    cmax = up
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            s = _shift2d(up, dy, dx)
+            cmin = jnp.minimum(cmin, s)
+            cmax = jnp.maximum(cmax, s)
+    hist = jnp.clip(hist, cmin, cmax)
+
+    a = jnp.where(state.valid > 0, blend, 1.0)
+    out = hist + (up - hist) * a
+    return out, TAAState(history=out, valid=jnp.ones(()))
+
+
+def sharpen(img: jnp.ndarray, amount: float = 0.2) -> jnp.ndarray:
+    """Contrast-adaptive-ish sharpen (NIS stand-in): unsharp mask with a
+    cross Laplacian, clamped to the local neighborhood to avoid ringing."""
+    up = _shift2d(img, -1, 0)
+    dn = _shift2d(img, 1, 0)
+    lf = _shift2d(img, 0, -1)
+    rt = _shift2d(img, 0, 1)
+    lap = 4.0 * img - up - dn - lf - rt
+    out = img + amount * lap
+    cmin = jnp.minimum(jnp.minimum(up, dn), jnp.minimum(lf, rt))
+    cmin = jnp.minimum(cmin, img)
+    cmax = jnp.maximum(jnp.maximum(up, dn), jnp.maximum(lf, rt))
+    cmax = jnp.maximum(cmax, img)
+    return jnp.clip(out, cmin, cmax)

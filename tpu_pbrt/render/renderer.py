@@ -17,8 +17,10 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from ..ops import bvh as bvh_mod
-from ..ops import tonemap
+from ..ops import math as pmath
+from ..ops import tonemap, traverse
 from ..ops.sampling import camera_jitter
+from ..passes import gbuffer as gbuffer_mod
 from ..passes import pathtrace
 from .camera import Camera, CameraData, generate_rays
 
@@ -37,7 +39,7 @@ class Renderer:
         self.bvh = jax.jit(bvh_mod.build)(v0, v1, v2)
         self._render_frame = jax.jit(
             functools.partial(_render_frame, settings=self.settings),
-            static_argnames=("width", "height"),
+            static_argnames=("width", "height", "with_gbuffer"),
         )
 
     def render(self, camera: Camera, frame_index: int = 0,
@@ -74,11 +76,32 @@ class Renderer:
 
 def _render_frame(bvh, scene: Scene, cam: CameraData, frame,
                   *, width: int, height: int,
-                  settings: pathtrace.PathTraceSettings):
+                  settings: pathtrace.PathTraceSettings,
+                  with_gbuffer: bool = False):
+    """Frame graph: G-buffer (primary visibility) -> path trace reusing the
+    primary hit — mirrors the reference pass wiring (App.cpp:1157-1329)."""
     origin, direction, t_min, t_max = generate_rays(cam, width, height)
     px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
     py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
-    radiance, ray_count = pathtrace.render_sample_radiance(
-        bvh, scene, origin, direction, t_min, t_max, px, py, frame, settings
+
+    pix = jnp.stack([px, py], axis=-1).astype(jnp.float32)
+    pixel_uv = pmath.calculate_uv(pix, (width, height), cam.jitter)
+    gb = gbuffer_mod.generate(
+        bvh, scene, cam, origin, direction, t_min, t_max, pixel_uv,
+        (width, height),
     )
-    return radiance.reshape(height, width, 3), ray_count
+    primary = traverse.Hit(
+        t=jnp.where(gb.valid, gb.depth / jnp.maximum(
+            pmath.dot(direction, cam.forward[None, :] / jnp.linalg.norm(cam.forward)),
+            1e-8), jnp.inf),
+        u=gb.bary[:, 0], v=gb.bary[:, 1], tri=gb.tri,
+    )
+    radiance, ray_count = pathtrace.render_sample_radiance(
+        bvh, scene, origin, direction, t_min, t_max, px, py, frame, settings,
+        primary_hit=primary,
+    )
+    ray_count = ray_count + origin.shape[0]  # the G-buffer primary rays
+    out = radiance.reshape(height, width, 3)
+    if with_gbuffer:
+        return out, ray_count, gb
+    return out, ray_count
