@@ -14,7 +14,7 @@ from tpu_pbrt.render.renderer import Renderer
 def cornell_gbuffer():
     import jax
     from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
-    from tpu_pbrt.ops import bvh as bvh_mod, math as pmath
+    from tpu_pbrt.ops import math as pmath, tracer as tracer_mod
     from tpu_pbrt.passes import gbuffer as gbuffer_mod
     from tpu_pbrt.render.camera import generate_rays
 
@@ -23,12 +23,12 @@ def cornell_gbuffer():
     cam_ctl = make_cornell_camera(w, h)
     cam = cam_ctl.data()
     v0, v1, v2 = scene.geometry.triangle_vertices()
-    bvh = bvh_mod.build(v0, v1, v2)
+    trc = tracer_mod.build(v0, v1, v2)
     o, d, tmin, tmax = generate_rays(cam, w, h)
     px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
     uv = pmath.calculate_uv(jnp.stack([px, py], -1), (w, h))
-    gb = gbuffer_mod.generate(bvh, scene, cam, o, d, tmin, tmax, uv, (w, h))
+    gb = gbuffer_mod.generate(trc, scene, cam, o, d, tmin, tmax, uv, (w, h))
     return gb, scene, cam, (w, h)
 
 
@@ -135,7 +135,7 @@ class TestDenoise:
         outs = []
         for f in range(6):
             img, _, gb = r._render_frame(
-                r.bvh, scene, cam.data(), jnp.asarray(f, jnp.uint32),
+                r.tracer, scene, cam.data(), jnp.asarray(f, jnp.uint32),
                 width=w, height=h, with_gbuffer=True,
             )
             albedo = denoise.demodulation_albedo(

@@ -58,7 +58,7 @@ def make_table(materials: list[dict]) -> MaterialTable:
         a = np.asarray(out, dtype=np.float32)
         if width is not None and a.ndim == 1:
             a = np.broadcast_to(a[:, None], (m, width)).copy()
-        return jnp.asarray(a)
+        return a
 
     emissive_color = np.asarray(
         [mat.get("emissive_color", (0, 0, 0)) for mat in (materials or [{}])],
@@ -76,14 +76,16 @@ def make_table(materials: list[dict]) -> MaterialTable:
         [mat.get("alpha_mode", ALPHA_OPAQUE) for mat in (materials or [{}])],
         dtype=np.int32,
     )
+    # numpy-backed; `make_scene` device-puts the whole table once (eager
+    # per-field device ops are very slow over the axon TPU tunnel)
     return MaterialTable(
         base_color=col("base_color", (1.0, 1.0, 1.0, 1.0)),
-        emissive=jnp.asarray(emissive_color * emissive_strength[:, None]),
+        emissive=emissive_color * emissive_strength[:, None],
         metallic=col("metallic", 0.0),
         roughness=col("roughness", 0.5),
         ior=col("ior", 1.5),
         transmission=col("transmission", 0.0),
-        alpha_mode=jnp.asarray(alpha),
+        alpha_mode=alpha,
         alpha_cutoff=col("alpha_cutoff", 0.5),
-        texture_index=jnp.asarray(tex),
+        texture_index=tex,
     )

@@ -65,10 +65,11 @@ def interpolate_hit(geom: Geometry, tri: jnp.ndarray, u: jnp.ndarray,
     oppose the ray when back-facing; geometric normal keeps object
     orientation)."""
     tid = jnp.maximum(tri, 0)
-    idx = geom.indices[tid]
-    p0 = geom.positions[idx[:, 0]]
-    p1 = geom.positions[idx[:, 1]]
-    p2 = geom.positions[idx[:, 2]]
+    idx = pmath.gather_rows(geom.indices, tid)
+    i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
+    p0 = pmath.gather_rows(geom.positions, i0)
+    p1 = pmath.gather_rows(geom.positions, i1)
+    p2 = pmath.gather_rows(geom.positions, i2)
     w = 1.0 - u - v
     bary = (w[:, None], u[:, None], v[:, None])
 
@@ -77,20 +78,20 @@ def interpolate_hit(geom: Geometry, tri: jnp.ndarray, u: jnp.ndarray,
 
     flat = pmath.normalize(pmath.cross(p1 - p0, p2 - p0))
 
-    n0 = geom.normals[idx[:, 0]]
-    n1 = geom.normals[idx[:, 1]]
-    n2 = geom.normals[idx[:, 2]]
+    n0 = pmath.gather_rows(geom.normals, i0)
+    n1 = pmath.gather_rows(geom.normals, i1)
+    n2 = pmath.gather_rows(geom.normals, i2)
     shading = pmath.normalize(bary[0] * n0 + bary[1] * n1 + bary[2] * n2)
 
-    t0 = geom.tangents[idx[:, 0], :3]
-    t1 = geom.tangents[idx[:, 1], :3]
-    t2 = geom.tangents[idx[:, 2], :3]
+    t0 = pmath.gather_rows(geom.tangents, i0)[:, :3]
+    t1 = pmath.gather_rows(geom.tangents, i1)[:, :3]
+    t2 = pmath.gather_rows(geom.tangents, i2)[:, :3]
     tangent = pmath.normalize(bary[0] * t0 + bary[1] * t1 + bary[2] * t2)
 
     uv_0 = (
-        bary[0] * geom.uv0[idx[:, 0]]
-        + bary[1] * geom.uv0[idx[:, 1]]
-        + bary[2] * geom.uv0[idx[:, 2]]
+        bary[0] * pmath.gather_rows(geom.uv0, i0)
+        + bary[1] * pmath.gather_rows(geom.uv0, i1)
+        + bary[2] * pmath.gather_rows(geom.uv0, i2)
     )
 
     # Orient the flat normal with the interpolated one so both agree on the
@@ -135,14 +136,15 @@ def build_geometry(meshes: list[dict]) -> Geometry:
         mat.append(np.full((len(i),), mesh.get("material", 0), np.int32))
         obj.append(np.full((len(i),), mesh.get("object", k), np.int32))
         voffset += len(p)
+    # numpy-backed — `make_scene` device-puts the assembled scene once
     return Geometry(
-        positions=jnp.asarray(np.concatenate(pos)),
-        normals=jnp.asarray(np.concatenate(nrm)),
-        tangents=jnp.asarray(np.concatenate(tan)),
-        uv0=jnp.asarray(np.concatenate(uv)),
-        indices=jnp.asarray(np.concatenate(idx)),
-        tri_material=jnp.asarray(np.concatenate(mat)),
-        tri_object=jnp.asarray(np.concatenate(obj)),
+        positions=np.concatenate(pos),
+        normals=np.concatenate(nrm),
+        tangents=np.concatenate(tan),
+        uv0=np.concatenate(uv),
+        indices=np.concatenate(idx),
+        tri_material=np.concatenate(mat),
+        tri_object=np.concatenate(obj),
     )
 
 

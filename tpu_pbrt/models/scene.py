@@ -27,9 +27,9 @@ class EnvironmentLight(NamedTuple):
 
 
 def make_environment(color=(-1.0, -1.0, -1.0, -1.0), rotation=None, texture=None) -> EnvironmentLight:
-    rot = jnp.eye(3, dtype=jnp.float32) if rotation is None else jnp.asarray(rotation, jnp.float32)
-    return EnvironmentLight(jnp.asarray(color, jnp.float32), rot,
-                            None if texture is None else jnp.asarray(texture, jnp.float32))
+    rot = np.eye(3, dtype=np.float32) if rotation is None else np.asarray(rotation, np.float32)
+    return EnvironmentLight(np.asarray(color, np.float32), rot,
+                            None if texture is None else np.asarray(texture, np.float32))
 
 
 def environment_radiance(env: EnvironmentLight, direction: jnp.ndarray) -> jnp.ndarray:
@@ -78,44 +78,60 @@ class Scene(NamedTuple):
 
 def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> EmissiveLights:
     """Host-side light collection (the CPU count + GPU fill of
-    LightPreparation.ixx:52-125 collapses to one vectorized pass)."""
-    v0, v1, v2 = geometry.triangle_vertices()
+    LightPreparation.ixx:52-125 collapses to one vectorized pass). Pure
+    numpy: eager device ops are pathologically slow over the axon tunnel,
+    so scene build stays on the host and transfers once."""
+    pos = np.asarray(geometry.positions)  # no-op when numpy-backed
+    ind = np.asarray(geometry.indices)
+    v0, v1, v2 = pos[ind[:, 0]], pos[ind[:, 1]], pos[ind[:, 2]]
     num_tris = geometry.num_tris
-    emissive = materials.emissive[geometry.tri_material]
-    lum = pmath.luminance(emissive)
-    is_light = np.asarray(lum > 0.0)
+    emissive = np.asarray(materials.emissive)[np.asarray(geometry.tri_material)]
+
+    lum = emissive @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)
+    is_light = lum > 0.0
     idx = np.nonzero(is_light)[0].astype(np.int32)
     if idx.size == 0:
-        z3 = jnp.zeros((1, 3), jnp.float32)
+        z3 = np.zeros((1, 3), np.float32)
         return EmissiveLights(
-            tri_index=jnp.zeros((1,), jnp.int32),
+            tri_index=np.zeros((1,), np.int32),
             v0=z3, e1=z3, e2=z3, normal=z3, radiance=z3,
-            area=jnp.zeros((1,), jnp.float32),
-            power=jnp.zeros((1,), jnp.float32),
-            cdf=jnp.ones((1,), jnp.float32),
-            tri_to_light=jnp.full((num_tris,), -1, jnp.int32),
-            count=jnp.asarray(0, jnp.int32),
+            area=np.zeros((1,), np.float32),
+            power=np.zeros((1,), np.float32),
+            cdf=np.ones((1,), np.float32),
+            tri_to_light=np.full((num_tris,), -1, np.int32),
+            count=np.asarray(0, np.int32),
         )
     lv0 = v0[idx]
     le1 = v1[idx] - v0[idx]
     le2 = v2[idx] - v0[idx]
-    normal = pmath.normalize(pmath.cross(le1, le2))
-    area = 0.5 * pmath.length(pmath.cross(le1, le2))
+    cr = np.cross(le1, le2)
+    crlen = np.maximum(np.linalg.norm(cr, axis=-1, keepdims=True), 1e-20)
+    normal = cr / crlen
+    area = 0.5 * crlen[:, 0]
     rad = emissive[idx]
-    power = pmath.luminance(rad) * area * jnp.pi
-    cdf = jnp.cumsum(power) / jnp.maximum(jnp.sum(power), 1e-20)
+    power = (rad @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)) * area * np.pi
+    cdf = np.cumsum(power) / max(float(power.sum()), 1e-20)
     tri_to_light = np.full((num_tris,), -1, np.int32)
     tri_to_light[idx] = np.arange(idx.size, dtype=np.int32)
     return EmissiveLights(
-        tri_index=jnp.asarray(idx), v0=lv0, e1=le1, e2=le2, normal=normal,
-        radiance=rad, area=area, power=power, cdf=cdf,
-        tri_to_light=jnp.asarray(tri_to_light),
-        count=jnp.asarray(idx.size, jnp.int32),
+        tri_index=idx,
+        v0=lv0, e1=le1, e2=le2,
+        normal=normal.astype(np.float32),
+        radiance=rad,
+        area=area.astype(np.float32),
+        power=power.astype(np.float32),
+        cdf=cdf.astype(np.float32),
+        tri_to_light=tri_to_light,
+        count=np.asarray(idx.size, np.int32),
     )
 
 
 def make_scene(geometry: Geometry, materials: MaterialTable,
                environment: EnvironmentLight | None = None) -> Scene:
+    import jax
+
     env = environment if environment is not None else make_environment()
-    return Scene(geometry, materials, env,
-                 collect_emissive_lights(geometry, materials))
+    scene = Scene(geometry, materials, env,
+                  collect_emissive_lights(geometry, materials))
+    # one bulk host->device transfer for the whole scene
+    return jax.device_put(scene)

@@ -216,7 +216,12 @@ def pdf_sampled_lobe(bsdf: BSDF, sv: SurfaceVectors, l, v, weights, lobe):
         lobe == LOBE_DIFFUSE, pdf_d,
         jnp.where(lobe == LOBE_SPECULAR, pdf_s, pdf_t),
     )
-    w = jnp.take_along_axis(weights, lobe[..., None], axis=-1)[..., 0]
+    # select instead of take_along_axis (per-lane gather — slow on TPU)
+    w = jnp.where(
+        lobe == LOBE_DIFFUSE, weights[..., LOBE_DIFFUSE],
+        jnp.where(lobe == LOBE_SPECULAR, weights[..., LOBE_SPECULAR],
+                  weights[..., LOBE_TRANSMISSION]),
+    )
     return pdf * w
 
 

@@ -1,0 +1,71 @@
+"""Tracer: the acceleration-structure dispatch layer.
+
+The TPU replacement for the DXR acceleration-structure opaque handle
+(reference: Source/RaytracingHelpers.ixx:28-105 + `RaytracingAccelerationStructure
+g_scene`, Shaders/Raytracing.hlsl:19): one object that answers closest-hit
+and any-hit queries, hiding which backend serves the scene:
+
+  * 'dense' — blocked all-triangles sweep (ops/traverse_dense.py): the
+    fastest form on TPU up to a few thousand triangles (no gathers at all)
+  * 'bvh'   — skip-link LBVH walk (ops/traverse.py): O(log) work per ray,
+    used on CPU and as the big-scene fallback until the Pallas kernel lands
+
+The kind is static under `jit` (pytree aux data), so the frame function
+specializes to one backend with zero dispatch overhead.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import bvh as bvh_mod
+from . import traverse, traverse_dense
+
+DENSE_MAX_TRIS = 8192
+
+
+@jax.tree_util.register_pytree_node_class
+class Tracer:
+    def __init__(self, kind: str, accel):
+        self.kind = kind
+        self.accel = accel
+
+    def tree_flatten(self):
+        return (self.accel,), self.kind
+
+    @classmethod
+    def tree_unflatten(cls, kind, children):
+        return cls(kind, children[0])
+
+    def closest_hit(self, origin, direction, t_min, t_max) -> traverse.Hit:
+        if self.kind == "dense":
+            return traverse_dense.closest_hit(
+                self.accel, origin, direction, t_min, t_max
+            )
+        return traverse.closest_hit(self.accel, origin, direction, t_min, t_max)
+
+    def any_hit(self, origin, direction, t_min, t_max) -> jnp.ndarray:
+        if self.kind == "dense":
+            return traverse_dense.any_hit(
+                self.accel, origin, direction, t_min, t_max
+            )
+        return traverse.any_hit(self.accel, origin, direction, t_min, t_max)
+
+
+def build(v0, v1, v2, kind: str | None = None) -> Tracer:
+    """Build the acceleration structure (BLAS-build equivalent). `kind`
+    None -> choose by triangle count."""
+    if kind is None:
+        kind = "dense" if v0.shape[0] <= DENSE_MAX_TRIS else "bvh"
+    if kind == "dense":
+        return Tracer("dense", traverse_dense.prepare(v0, v1, v2))
+    return Tracer("bvh", bvh_mod.build(v0, v1, v2))
+
+
+def refit(tracer: Tracer, v0, v1, v2) -> Tracer:
+    """Refit to deformed vertices (skinned-BLAS update equivalent,
+    Source/Scene.ixx:329)."""
+    if tracer.kind == "dense":
+        return Tracer("dense", traverse_dense.prepare(v0, v1, v2))
+    return Tracer("bvh", bvh_mod.refit(tracer.accel, v0, v1, v2))

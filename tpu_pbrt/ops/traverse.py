@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from . import intersect
+from . import math as pmath
 from .bvh import BVH
 
 INF = jnp.float32(jnp.inf)
@@ -66,8 +67,8 @@ def closest_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
         active = cur >= 0
         node = jnp.maximum(cur, 0)
 
-        bmin = bvh.node_min[node]
-        bmax = bvh.node_max[node]
+        bmin = pmath.gather_rows(bvh.node_min, node)
+        bmax = pmath.gather_rows(bvh.node_max, node)
         box_hit = intersect.ray_aabb(origin, inv_d, bmin, bmax, t_min, best_t)
         box_hit = box_hit & active
 
@@ -75,7 +76,9 @@ def closest_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
         tri_i = jnp.clip(node - leaf_base, 0, n - 1)
         t, u, v, tri_hit = intersect.ray_triangle(
             origin, direction,
-            bvh.tri_v0[tri_i], bvh.tri_e1[tri_i], bvh.tri_e2[tri_i],
+            pmath.gather_rows(bvh.tri_v0, tri_i),
+            pmath.gather_rows(bvh.tri_e1, tri_i),
+            pmath.gather_rows(bvh.tri_e2, tri_i),
             t_min, best_t,
         )
         take = box_hit & is_leaf & tri_hit
@@ -119,14 +122,19 @@ def any_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
         active = cur >= 0
         node = jnp.maximum(cur, 0)
         box_hit = intersect.ray_aabb(
-            origin, inv_d, bvh.node_min[node], bvh.node_max[node], t_min, t_max
+            origin, inv_d,
+            pmath.gather_rows(bvh.node_min, node),
+            pmath.gather_rows(bvh.node_max, node),
+            t_min, t_max,
         ) & active
 
         is_leaf = node >= leaf_base
         tri_i = jnp.clip(node - leaf_base, 0, n - 1)
         _, _, _, tri_hit = intersect.ray_triangle(
             origin, direction,
-            bvh.tri_v0[tri_i], bvh.tri_e1[tri_i], bvh.tri_e2[tri_i],
+            pmath.gather_rows(bvh.tri_v0, tri_i),
+            pmath.gather_rows(bvh.tri_e1, tri_i),
+            pmath.gather_rows(bvh.tri_e2, tri_i),
             t_min, t_max,
         )
         found = box_hit & is_leaf & tri_hit

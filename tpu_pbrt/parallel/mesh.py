@@ -31,7 +31,7 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (PIXEL_AXIS,))
 
 
-def render_sharded(bvh, scene: Scene, cam: CameraData, frame, *,
+def render_sharded(tracer, scene: Scene, cam: CameraData, frame, *,
                    width: int, height: int,
                    settings: pathtrace.PathTraceSettings, mesh: Mesh):
     """Render one frame with the pixel dimension sharded over `mesh`.
@@ -56,17 +56,17 @@ def render_sharded(bvh, scene: Scene, cam: CameraData, frame, *,
         out_specs=(P(PIXEL_AXIS), P()),
         check_rep=False,
     )
-    def shard_trace(scene_and_bvh, o, d, tmin, tmax, sx, sy, frm):
-        b, sc = scene_and_bvh
+    def shard_trace(scene_and_tracer, o, d, tmin, tmax, sx, sy, frm):
+        trc, sc = scene_and_tracer
         rad, rays = pathtrace.render_sample_radiance(
-            b, sc, o, d, tmin, tmax, sx, sy, frm, settings
+            trc, sc, o, d, tmin, tmax, sx, sy, frm, settings
         )
         # total rays across chips (ICI psum — the only collective)
         rays = jax.lax.psum(rays, PIXEL_AXIS)
         return rad, rays
 
     radiance, rays = shard_trace(
-        (bvh, scene), origin, direction, t_min, t_max, px, py,
+        (tracer, scene), origin, direction, t_min, t_max, px, py,
         jnp.asarray(frame, jnp.uint32),
     )
     return radiance.reshape(height, width, 3), rays
@@ -75,9 +75,9 @@ def render_sharded(bvh, scene: Scene, cam: CameraData, frame, *,
 def jit_render_sharded(settings: pathtrace.PathTraceSettings, mesh: Mesh,
                        width: int, height: int):
     """Jitted closure for the sharded frame function."""
-    def fn(bvh, scene, cam, frame):
+    def fn(tracer, scene, cam, frame):
         return render_sharded(
-            bvh, scene, cam, frame,
+            tracer, scene, cam, frame,
             width=width, height=height, settings=settings, mesh=mesh,
         )
     return jax.jit(fn)

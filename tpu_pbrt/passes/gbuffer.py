@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from ..models.mesh import interpolate_hit
 from ..models.scene import Scene, environment_radiance
 from ..ops import math as pmath, traverse
-from ..ops.bvh import BVH
 from ..render.camera import CameraData
 
 
@@ -67,13 +66,13 @@ def project_to_uv(cam: CameraData, world_pos: jnp.ndarray,
     return jnp.stack([(ndc_x + 1.0) * 0.5, (1.0 - ndc_y) * 0.5], axis=-1)
 
 
-def generate(bvh: BVH, scene: Scene, cam: CameraData,
+def generate(tracer, scene: Scene, cam: CameraData,
              origin: jnp.ndarray, direction: jnp.ndarray,
              t_min, t_max, pixel_uv: jnp.ndarray,
              dims: tuple[int, int]) -> GBuffer:
     """Trace primary rays and fill the G-buffer. pixel_uv is the jittered UV
     each ray was generated from (for motion-vector deltas)."""
-    hit = traverse.closest_hit(bvh, origin, direction, t_min, t_max)
+    hit = tracer.closest_hit(origin, direction, t_min, t_max)
     attrs = interpolate_hit(
         scene.geometry, hit.tri, hit.u, hit.v, origin, direction, hit.t
     )
@@ -81,7 +80,7 @@ def generate(bvh: BVH, scene: Scene, cam: CameraData,
     mats = scene.materials
 
     env = environment_radiance(scene.environment, direction)
-    emissive = mats.emissive[m]
+    emissive = pmath.gather_rows(mats.emissive, m)
     emission = jnp.where(hit.mask[:, None], emissive, env)
 
     # linear view depth = t * dot(dir, forward_unit)
@@ -107,7 +106,7 @@ def generate(bvh: BVH, scene: Scene, cam: CameraData,
         geometric_normal=geometric,
         shading_normal=attrs.shading_normal,
         is_front_face=attrs.is_front_face,
-        base_color=mats.base_color[m, :3],
+        base_color=pmath.gather_rows(mats.base_color[:, :3], m),
         metallic=mats.metallic[m],
         roughness=mats.roughness[m],
         ior=mats.ior[m],

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from ..models.scene import EmissiveLights
 from ..ops import math as pmath
+from ..ops.math import gather_rows
 
 
 class LightSample(NamedTuple):
@@ -33,15 +34,15 @@ def sample(lights: EmissiveLights, u3: jnp.ndarray) -> LightSample:
 
     bary = pmath.sample_triangle(u3[:, 1:3])
     pos = (
-        lights.v0[li]
-        + bary[:, 0:1] * lights.e1[li]
-        + bary[:, 1:2] * lights.e2[li]
+        gather_rows(lights.v0, li)
+        + bary[:, 0:1] * gather_rows(lights.e1, li)
+        + bary[:, 1:2] * gather_rows(lights.e2, li)
     )
     total = jnp.sum(lights.power)
     select_pdf = lights.power[li] / jnp.maximum(total, 1e-20)
     pdf_area = select_pdf / jnp.maximum(lights.area[li], 1e-20)
-    return LightSample(pos, lights.normal[li], lights.radiance[li],
-                       pdf_area, li)
+    return LightSample(pos, gather_rows(lights.normal, li),
+                       gather_rows(lights.radiance, li), pdf_area, li)
 
 
 def pdf_hit_area(lights: EmissiveLights, tri: jnp.ndarray) -> jnp.ndarray:

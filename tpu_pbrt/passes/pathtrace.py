@@ -32,7 +32,6 @@ from ..models.material import MaterialTable
 from ..models.mesh import Geometry, interpolate_hit
 from ..models.scene import Scene, environment_radiance
 from ..ops import bxdf, math as pmath, rng, traverse
-from ..ops.bvh import BVH
 from . import lights as lights_mod
 
 
@@ -71,7 +70,7 @@ class _PathState(NamedTuple):
 def _fetch_bsdf(materials: MaterialTable, attrs) -> tuple[bxdf.BSDF, jnp.ndarray]:
     """Gather material params at hit lanes and build the BSDF + emission."""
     m = attrs.material
-    base_color = materials.base_color[m, :3]
+    base_color = pmath.gather_rows(materials.base_color[:, :3], m)
     metallic = materials.metallic[m]
     roughness = materials.roughness[m]
     ior = materials.ior[m]
@@ -82,12 +81,12 @@ def _fetch_bsdf(materials: MaterialTable, attrs) -> tuple[bxdf.BSDF, jnp.ndarray
     )
     b = bxdf.make_bsdf(base_color, metallic, roughness, ior, transmission,
                        attrs.is_front_face)
-    emission = materials.emissive[m]
+    emission = pmath.gather_rows(materials.emissive, m)
     return b, emission
 
 
 def trace(
-    bvh: BVH,
+    tracer,
     scene: Scene,
     origin: jnp.ndarray,
     direction: jnp.ndarray,
@@ -148,7 +147,7 @@ def trace(
         # --- emission pickup, MIS-weighted against NEE when enabled
         if settings.next_event_estimation:
             li = scene.lights.tri_to_light[jnp.maximum(hit.tri, 0)]
-            n_l = scene.lights.normal[jnp.maximum(li, 0)]
+            n_l = pmath.gather_rows(scene.lights.normal, jnp.maximum(li, 0))
             cos_l = pmath.dot(n_l, -state.direction)
             p_l_area = lights_mod.pdf_hit_area(scene.lights, hit.tri)
             p_l_sa = jnp.where(
@@ -200,8 +199,8 @@ def trace(
             shadow_o = pmath.safe_spawn_offset(
                 attrs.position, attrs.flat_normal, wi
             )
-            occluded = traverse.any_hit(
-                bvh, shadow_o, wi, 0.0,
+            occluded = tracer.any_hit(
+                shadow_o, wi, 0.0,
                 jnp.where(valid_nee, dist * (1.0 - 1e-3), -jnp.inf),
             )
             w_mis = pdf_sa / jnp.maximum(pdf_sa + p_b, 1e-20)
@@ -277,8 +276,8 @@ def trace(
     def bounce_body(bounce, state: _PathState):
         # inactive lanes traverse with an empty interval so their stackless
         # walk falls straight through to -1 (cheap lock-step idling)
-        hit = traverse.closest_hit(
-            bvh, state.origin, state.direction, state.t_min,
+        hit = tracer.closest_hit(
+            state.origin, state.direction, state.t_min,
             jnp.where(state.active, state.t_max, -jnp.inf),
         )
         return shade(bounce, state, hit)
@@ -302,7 +301,7 @@ def trace(
 
 
 def render_sample_radiance(
-    bvh: BVH, scene: Scene, origin, direction, t_min, t_max, px, py, frame,
+    tracer, scene: Scene, origin, direction, t_min, t_max, px, py, frame,
     settings: PathTraceSettings, primary_hit: traverse.Hit | None = None,
 ):
     """Average `samples_per_pixel` independent path samples
@@ -312,13 +311,13 @@ def render_sample_radiance(
     def one(s, carry):
         acc, rays = carry
         rad, _, _, rc = trace(
-            bvh, scene, origin, direction, t_min, t_max, px, py, frame,
+            tracer, scene, origin, direction, t_min, t_max, px, py, frame,
             settings, sample_offset=s, primary_hit=primary_hit,
         )
         return acc + rad, rays + rc
 
     if spp == 1:
-        rad, _, _, rc = trace(bvh, scene, origin, direction, t_min, t_max,
+        rad, _, _, rc = trace(tracer, scene, origin, direction, t_min, t_max,
                               px, py, frame, settings,
                               primary_hit=primary_hit)
         return rad, rc

@@ -91,7 +91,10 @@ class Camera:
         if self._prev is None:
             self._prev = (self.position.copy(), r, u, f)
         pp, pr, pu, pf = self._prev
-        as32 = lambda x: jnp.asarray(x, jnp.float32)
+        # numpy-backed: CameraData crosses the jit boundary each frame; eager
+        # jnp construction would issue ~13 device ops per frame (slow over
+        # the axon tunnel), numpy transfers ride the jit call itself
+        as32 = lambda x: np.asarray(x, np.float32)
         return CameraData(
             as32(self.position), as32(r), as32(u), as32(f),
             as32(pp), as32(pr), as32(pu), as32(pf),

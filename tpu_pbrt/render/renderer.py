@@ -16,9 +16,8 @@ import jax
 import jax.numpy as jnp
 
 from ..models.scene import Scene
-from ..ops import bvh as bvh_mod
 from ..ops import math as pmath
-from ..ops import tonemap, traverse
+from ..ops import tonemap, tracer as tracer_mod, traverse
 from ..ops.sampling import camera_jitter
 from ..passes import gbuffer as gbuffer_mod
 from ..passes import pathtrace
@@ -35,8 +34,11 @@ class Renderer:
     )
 
     def __post_init__(self):
-        v0, v1, v2 = self.scene.geometry.triangle_vertices()
-        self.bvh = jax.jit(bvh_mod.build)(v0, v1, v2)
+        num_tris = self.scene.geometry.num_tris
+        kind = "dense" if num_tris <= tracer_mod.DENSE_MAX_TRIS else "bvh"
+        self.tracer = jax.jit(
+            lambda g: tracer_mod.build(*g.triangle_vertices(), kind=kind)
+        )(self.scene.geometry)
         self._render_frame = jax.jit(
             functools.partial(_render_frame, settings=self.settings),
             static_argnames=("width", "height", "with_gbuffer"),
@@ -54,8 +56,8 @@ class Renderer:
         jit = camera_jitter(frame_index, 64) if jitter else np.zeros(2, np.float32)
         cam = camera.data(jitter=jit)
         return self._render_frame(
-            self.bvh, self.scene, cam,
-            jnp.asarray(frame_index, jnp.uint32),
+            self.tracer, self.scene, cam,
+            np.uint32(frame_index),
             width=self.width, height=self.height,
         )
 
@@ -74,7 +76,7 @@ class Renderer:
         return np.asarray(tonemap.to_srgb8(img))
 
 
-def _render_frame(bvh, scene: Scene, cam: CameraData, frame,
+def _render_frame(tracer, scene: Scene, cam: CameraData, frame,
                   *, width: int, height: int,
                   settings: pathtrace.PathTraceSettings,
                   with_gbuffer: bool = False):
@@ -87,7 +89,7 @@ def _render_frame(bvh, scene: Scene, cam: CameraData, frame,
     pix = jnp.stack([px, py], axis=-1).astype(jnp.float32)
     pixel_uv = pmath.calculate_uv(pix, (width, height), cam.jitter)
     gb = gbuffer_mod.generate(
-        bvh, scene, cam, origin, direction, t_min, t_max, pixel_uv,
+        tracer, scene, cam, origin, direction, t_min, t_max, pixel_uv,
         (width, height),
     )
     primary = traverse.Hit(
@@ -97,8 +99,8 @@ def _render_frame(bvh, scene: Scene, cam: CameraData, frame,
         u=gb.bary[:, 0], v=gb.bary[:, 1], tri=gb.tri,
     )
     radiance, ray_count = pathtrace.render_sample_radiance(
-        bvh, scene, origin, direction, t_min, t_max, px, py, frame, settings,
-        primary_hit=primary,
+        tracer, scene, origin, direction, t_min, t_max, px, py, frame,
+        settings, primary_hit=primary,
     )
     ray_count = ray_count + origin.shape[0]  # the G-buffer primary rays
     out = radiance.reshape(height, width, 3)
