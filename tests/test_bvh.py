@@ -8,6 +8,7 @@ import pytest
 
 from tpu_pbrt.ops import bvh as bvh_mod
 from tpu_pbrt.ops import traverse
+from tpu_pbrt.ops.vec import Vec3
 
 
 def random_tris(key, n, spread=10.0, size=0.5):
@@ -33,7 +34,7 @@ def test_closest_hit_matches_brute_force(n_tris):
     o, d = random_rays(jax.random.PRNGKey(1000 + n_tris), 256)
 
     bvh = jax.jit(bvh_mod.build)(v0, v1, v2)
-    got = traverse.closest_hit(bvh, o, d, 0.0, jnp.inf)
+    got = traverse.closest_hit(bvh, Vec3.from_array(o), Vec3.from_array(d), 0.0, jnp.inf)
     want = traverse.brute_force_closest_hit(v0, v1, v2, o, d, 0.0, jnp.inf)
 
     hit_g = np.asarray(got.tri >= 0)
@@ -53,7 +54,7 @@ def test_duplicate_morton_codes():
     bvh = bvh_mod.build(v0, v1, v2)
     o = jnp.asarray([[0.25, 0.25, -1.0]])
     d = jnp.asarray([[0.0, 0.0, 1.0]])
-    hit = traverse.closest_hit(bvh, o, d, 0.0, jnp.inf)
+    hit = traverse.closest_hit(bvh, Vec3.from_array(o), Vec3.from_array(d), 0.0, jnp.inf)
     assert bool(hit.mask[0])
     np.testing.assert_allclose(float(hit.t[0]), 1.0, rtol=1e-5)
 
@@ -62,7 +63,7 @@ def test_any_hit_matches_brute_force():
     v0, v1, v2 = random_tris(jax.random.PRNGKey(3), 128)
     o, d = random_rays(jax.random.PRNGKey(4), 512)
     bvh = jax.jit(bvh_mod.build)(v0, v1, v2)
-    got = traverse.any_hit(bvh, o, d, 0.0, 5.0)
+    got = traverse.any_hit(bvh, Vec3.from_array(o), Vec3.from_array(d), 0.0, 5.0)
     want = traverse.brute_force_closest_hit(v0, v1, v2, o, d, 0.0, 5.0)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want.tri >= 0))
 
@@ -78,7 +79,7 @@ def test_refit_tracks_deformation():
     refitted = jax.jit(bvh_mod.refit)(bvh, w0, w1, w2)
 
     o, d = random_rays(jax.random.PRNGKey(6), 256)
-    got = traverse.closest_hit(refitted, o, d, 0.0, jnp.inf)
+    got = traverse.closest_hit(refitted, Vec3.from_array(o), Vec3.from_array(d), 0.0, jnp.inf)
     want = traverse.brute_force_closest_hit(w0, w1, w2, o, d, 0.0, jnp.inf)
     np.testing.assert_array_equal(np.asarray(got.tri >= 0), np.asarray(want.tri >= 0))
     mask = np.asarray(got.tri >= 0)

@@ -64,8 +64,8 @@ def test_nee_matches_analytic_direct(floor_light_scene):
         bounces=1, next_event_estimation=True, russian_roulette=False))
     nee = np.mean([np.asarray(r_nee.render(cam, f)) for f in range(500)], axis=0)
 
-    o, d, _, _ = generate_rays(cam.data(), 8, 8)
-    o, d = np.asarray(o), np.asarray(d)
+    o3, d3, _, _ = generate_rays(cam.data(), 8, 8)
+    o, d = np.asarray(o3.to_array()), np.asarray(d3.to_array())
     t = -o[:, 1] / d[:, 1]
     p = o + t[:, None] * d
     n = 100

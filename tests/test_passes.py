@@ -27,8 +27,9 @@ def cornell_gbuffer():
     o, d, tmin, tmax = generate_rays(cam, w, h)
     px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
-    uv = pmath.calculate_uv(jnp.stack([px, py], -1), (w, h))
-    gb = gbuffer_mod.generate(trc, scene, cam, o, d, tmin, tmax, uv, (w, h))
+    pu = (px + 0.5) / w
+    pv = (py + 0.5) / h
+    gb = gbuffer_mod.generate(trc, scene, cam, o, d, tmin, tmax, pu, pv, (w, h))
     return gb, scene, cam, (w, h)
 
 
@@ -44,11 +45,12 @@ class TestGBuffer:
 
     def test_static_camera_zero_motion(self, cornell_gbuffer):
         gb, _, _, _ = cornell_gbuffer
-        np.testing.assert_allclose(np.asarray(gb.motion), 0.0, atol=0.02)
+        np.testing.assert_allclose(np.asarray(gb.motion_x), 0.0, atol=0.02)
+        np.testing.assert_allclose(np.asarray(gb.motion_y), 0.0, atol=0.02)
 
     def test_normals_unit(self, cornell_gbuffer):
         gb, _, _, _ = cornell_gbuffer
-        n = np.linalg.norm(np.asarray(gb.shading_normal), axis=-1)
+        n = np.linalg.norm(np.asarray(gb.shading_normal.to_array()), axis=-1)
         np.testing.assert_allclose(n, 1.0, atol=1e-4)
 
     def test_reprojection_roundtrip(self, cornell_gbuffer):
@@ -56,11 +58,11 @@ class TestGBuffer:
         from tpu_pbrt.passes.gbuffer import project_to_uv
 
         gb, scene, cam, (w, h) = cornell_gbuffer
-        uv = np.asarray(project_to_uv(cam, gb.position))
+        uu, vv = project_to_uv(cam, gb.position)
         px = np.tile(np.arange(w), h)
         py = np.repeat(np.arange(h), w)
-        expect = np.stack([(px + 0.5) / w, (py + 0.5) / h], -1)
-        np.testing.assert_allclose(uv, expect, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(uu), (px + 0.5) / w, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(vv), (py + 0.5) / h, atol=2e-3)
 
 
 class TestDenoise:
@@ -139,13 +141,17 @@ class TestDenoise:
                 width=w, height=h, with_gbuffer=True,
             )
             albedo = denoise.demodulation_albedo(
-                gb.base_color.reshape(h, w, 3), gb.metallic.reshape(h, w),
+                gb.base_color.to_array().reshape(h, w, 3),
+                gb.metallic.reshape(h, w),
                 jnp.full((h, w, 3), 0.04),
+            )
+            motion = jnp.stack(
+                [gb.motion_x.reshape(h, w), gb.motion_y.reshape(h, w)], -1
             )
             out, state = denoise.denoise_frame(
                 state, img, albedo, gb.depth.reshape(h, w),
-                gb.shading_normal.reshape(h, w, 3),
-                gb.motion.reshape(h, w, 2), iterations=2,
+                gb.shading_normal.to_array().reshape(h, w, 3),
+                motion, iterations=2,
             )
             outs.append(np.asarray(out))
         assert np.isfinite(outs[-1]).all()

@@ -16,6 +16,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import math as pmath
+from ..ops import vec
+from ..ops.vec import Vec3
 from .material import MaterialTable
 
 
@@ -43,20 +45,21 @@ class Geometry(NamedTuple):
 
 class HitAttributes(NamedTuple):
     """Interpolated surface attributes at hit points (HitInfo analogue,
-    Shaders/HitInfo.hlsli:7-99)."""
-    position: jnp.ndarray          # (R, 3)
-    flat_normal: jnp.ndarray       # (R, 3) geometric (triangle plane) normal
-    shading_normal: jnp.ndarray    # (R, 3) interpolated vertex normal
-    tangent: jnp.ndarray           # (R, 3)
-    uv0: jnp.ndarray               # (R, 2)
+    Shaders/HitInfo.hlsli:7-99). SoA: vectors are Vec3 of (R,) components."""
+    position: Vec3
+    flat_normal: Vec3              # geometric (triangle plane) normal
+    shading_normal: Vec3           # interpolated vertex normal
+    tangent: Vec3
+    uv0_u: jnp.ndarray             # (R,)
+    uv0_v: jnp.ndarray             # (R,)
     is_front_face: jnp.ndarray     # (R,) bool
     material: jnp.ndarray          # (R,) i32
     object_id: jnp.ndarray         # (R,) i32
 
 
 def interpolate_hit(geom: Geometry, tri: jnp.ndarray, u: jnp.ndarray,
-                    v: jnp.ndarray, ray_origin: jnp.ndarray,
-                    ray_dir: jnp.ndarray, t: jnp.ndarray) -> HitAttributes:
+                    v: jnp.ndarray, ray_origin: Vec3,
+                    ray_dir: Vec3, t: jnp.ndarray) -> HitAttributes:
     """Gather + lerp surface attributes for hit triangles.
 
     `tri` may contain -1 (miss); those lanes produce valid-but-meaningless
@@ -65,47 +68,45 @@ def interpolate_hit(geom: Geometry, tri: jnp.ndarray, u: jnp.ndarray,
     oppose the ray when back-facing; geometric normal keeps object
     orientation)."""
     tid = jnp.maximum(tri, 0)
-    idx = pmath.gather_rows(geom.indices, tid)
-    i0, i1, i2 = idx[:, 0], idx[:, 1], idx[:, 2]
-    p0 = pmath.gather_rows(geom.positions, i0)
-    p1 = pmath.gather_rows(geom.positions, i1)
-    p2 = pmath.gather_rows(geom.positions, i2)
+    i0 = geom.indices[:, 0][tid]
+    i1 = geom.indices[:, 1][tid]
+    i2 = geom.indices[:, 2][tid]
+    p0 = vec.gather(geom.positions, i0)
+    p1 = vec.gather(geom.positions, i1)
+    p2 = vec.gather(geom.positions, i2)
     w = 1.0 - u - v
-    bary = (w[:, None], u[:, None], v[:, None])
 
     # Recompute the position from barycentrics (more robust than o + t*d).
-    position = bary[0] * p0 + bary[1] * p1 + bary[2] * p2
+    position = p0 * w + p1 * u + p2 * v
 
-    flat = pmath.normalize(pmath.cross(p1 - p0, p2 - p0))
+    flat = vec.normalize(vec.cross(p1 - p0, p2 - p0))
 
-    n0 = pmath.gather_rows(geom.normals, i0)
-    n1 = pmath.gather_rows(geom.normals, i1)
-    n2 = pmath.gather_rows(geom.normals, i2)
-    shading = pmath.normalize(bary[0] * n0 + bary[1] * n1 + bary[2] * n2)
+    n0 = vec.gather(geom.normals, i0)
+    n1 = vec.gather(geom.normals, i1)
+    n2 = vec.gather(geom.normals, i2)
+    shading = vec.normalize(n0 * w + n1 * u + n2 * v)
 
-    t0 = pmath.gather_rows(geom.tangents, i0)[:, :3]
-    t1 = pmath.gather_rows(geom.tangents, i1)[:, :3]
-    t2 = pmath.gather_rows(geom.tangents, i2)[:, :3]
-    tangent = pmath.normalize(bary[0] * t0 + bary[1] * t1 + bary[2] * t2)
+    t0 = vec.gather(geom.tangents, i0)
+    t1 = vec.gather(geom.tangents, i1)
+    t2 = vec.gather(geom.tangents, i2)
+    tangent = vec.normalize(t0 * w + t1 * u + t2 * v)
 
-    uv_0 = (
-        bary[0] * pmath.gather_rows(geom.uv0, i0)
-        + bary[1] * pmath.gather_rows(geom.uv0, i1)
-        + bary[2] * pmath.gather_rows(geom.uv0, i2)
-    )
+    uv_u = geom.uv0[:, 0][i0] * w + geom.uv0[:, 0][i1] * u + geom.uv0[:, 0][i2] * v
+    uv_v = geom.uv0[:, 1][i0] * w + geom.uv0[:, 1][i1] * u + geom.uv0[:, 1][i2] * v
 
     # Orient the flat normal with the interpolated one so both agree on the
     # "geometric" side, then resolve front-face against the ray.
-    flat = jnp.where(pmath.dotk(flat, shading) < 0.0, -flat, flat)
-    front = pmath.dot(flat, ray_dir) < 0.0
-    shading = jnp.where(front[:, None], shading, -shading)
+    flat = vec.where(vec.dot(flat, shading) < 0.0, -flat, flat)
+    front = vec.dot(flat, ray_dir) < 0.0
+    shading = vec.where(front, shading, -shading)
 
     return HitAttributes(
         position=position,
         flat_normal=flat,
         shading_normal=shading,
         tangent=tangent,
-        uv0=uv_0,
+        uv0_u=uv_u,
+        uv0_v=uv_v,
         is_front_face=front,
         material=geom.tri_material[tid],
         object_id=geom.tri_object[tid],

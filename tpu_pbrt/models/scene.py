@@ -14,6 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops import math as pmath
+from ..ops import vec
+from ..ops.vec import Vec3
 from .material import MaterialTable
 from .mesh import Geometry
 
@@ -32,24 +34,37 @@ def make_environment(color=(-1.0, -1.0, -1.0, -1.0), rotation=None, texture=None
                             None if texture is None else np.asarray(texture, np.float32))
 
 
-def environment_radiance(env: EnvironmentLight, direction: jnp.ndarray) -> jnp.ndarray:
-    """Evaluate the environment light for (..., 3) directions
+def environment_radiance(env: EnvironmentLight, direction: Vec3) -> Vec3:
+    """Evaluate the environment light for Vec3 directions
     (reference: Shaders/ShadingHelpers.hlsli:11-30)."""
     if env.texture is not None:
-        d = pmath.normalize(direction @ env.rotation.T)
-        uv = pmath.to_latlong_uv(d)
+        rot = env.rotation
+        d = vec.normalize(Vec3(
+            rot[0, 0] * direction.x + rot[0, 1] * direction.y + rot[0, 2] * direction.z,
+            rot[1, 0] * direction.x + rot[1, 1] * direction.y + rot[1, 2] * direction.z,
+            rot[2, 0] * direction.x + rot[2, 1] * direction.y + rot[2, 2] * direction.z,
+        ))
+        uu = (1.0 + jnp.arctan2(d.x, d.z) / jnp.pi) * 0.5
+        vv = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) / jnp.pi
         h, w = env.texture.shape[:2]
-        x = jnp.clip((uv[..., 0] * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((uv[..., 1] * h).astype(jnp.int32), 0, h - 1)
-        return env.texture[y, x]
-    const = jnp.broadcast_to(env.color[:3], direction.shape[:-1] + (3,))
+        x = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
+        y = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
+        flat = y * w + x
+        tex = env.texture.reshape(-1, 3)
+        return vec.gather(tex, flat)
     # procedural sky: srgb->linear(lerp(1, skyblue, (y+1)/2))
-    tsky = (direction[..., 1:2] + 1.0) * 0.5
-    sky = pmath.srgb_to_linear(
-        (1.0 - tsky) * jnp.ones((3,), jnp.float32)
-        + tsky * jnp.asarray([0.5, 0.7, 1.0], jnp.float32)
+    tsky = (direction.y + 1.0) * 0.5
+    sky = Vec3(
+        pmath.srgb_to_linear(1.0 - tsky * 0.5),
+        pmath.srgb_to_linear(1.0 - tsky * 0.3),
+        pmath.srgb_to_linear(jnp.ones_like(tsky)),
     )
-    return jnp.where(env.color[3] >= 0.0, const, sky)
+    const = Vec3(
+        jnp.broadcast_to(env.color[0], direction.shape),
+        jnp.broadcast_to(env.color[1], direction.shape),
+        jnp.broadcast_to(env.color[2], direction.shape),
+    )
+    return vec.where(env.color[3] >= 0.0, const, sky)
 
 
 class EmissiveLights(NamedTuple):

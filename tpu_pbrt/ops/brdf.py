@@ -83,6 +83,32 @@ def diffuse_term(roughness: jnp.ndarray, nol: jnp.ndarray, nov: jnp.ndarray, voh
     return fl * fv / jnp.pi
 
 
+def fresnel_schlick_soa(f0, voh):
+    """Schlick Fresnel for Vec3 f0 (SoA colors)."""
+    from .vec import Vec3
+
+    m = jnp.clip(1.0 - voh, 0.0, 1.0)
+    w = (m * m) * (m * m) * m
+    return f0 + (Vec3.splat(jnp.ones_like(voh)) - f0) * w
+
+
+def environment_term_soa(f0, nov, roughness):
+    """Karis split-sum approximation on Vec3 f0 (see environment_term)."""
+    r = roughness
+    rx = -1.0 * r + 1.0
+    ry = -0.0275 * r + 0.0425
+    rz = -0.572 * r + 1.04
+    rw = 0.022 * r - 0.04
+    a004 = jnp.minimum(rx * rx, jnp.exp2(-9.28 * nov)) * rx + ry
+    scale = -1.04 * a004 + rz
+    bias = 1.04 * a004 + rw
+    out = f0 * scale + bias
+    from .vec import Vec3
+
+    return Vec3(jnp.clip(out.x, 0.0, 1.0), jnp.clip(out.y, 0.0, 1.0),
+                jnp.clip(out.z, 0.0, 1.0))
+
+
 def environment_term(f0: jnp.ndarray, nov: jnp.ndarray, roughness: jnp.ndarray) -> jnp.ndarray:
     """Analytic split-sum environment BRDF approximation (Karis 2014,
     "Physically Based Material on Mobile"). f0 (..., 3) -> (..., 3)."""

@@ -2,17 +2,18 @@
 transmission — with one-sample MIS lobe selection.
 
 Capability mirror of the reference BSDF (reference: Shaders/BxDF.hlsli:36-321,
-Shaders/SurfaceVectors.hlsli:5-16), re-designed for TPU: a *branchless*
-struct-of-arrays formulation. Every lane computes all three candidate lobes
-and selects by the sampled lobe index — the reference's `switch` on LobeType
-becomes vectorized selects ("expert routing" resolved by weighted eval, as
-SURVEY.md §2.4 prescribes). Matches the reference's estimator exactly:
+Shaders/SurfaceVectors.hlsli:5-16), re-designed for TPU: a *branchless*,
+fully structure-of-arrays formulation over `Vec3` (three (R,) component
+arrays — (R,3) AoS math measured ~90x slower on v5e). Every lane computes
+all three candidate lobes and selects by the sampled lobe index — the
+reference's `switch` on LobeType becomes vectorized selects. Matches the
+reference's estimator exactly:
 
   throughput *= Evaluate(lobe) / (lobe_pdf * lobe_weight)
 
-Conventions: V points *away* from the surface (toward the previous vertex),
-L is the sampled outgoing direction, roughness is perceptual (alpha = r^2),
-minimum roughness 2e-3 (Shaders/BxDF.hlsli:19).
+Conventions: V points *away* from the surface, L is the sampled outgoing
+direction, roughness is perceptual (alpha = r^2), minimum roughness 2e-3
+(Shaders/BxDF.hlsli:19).
 """
 
 from __future__ import annotations
@@ -21,8 +22,9 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from . import math as pmath
-from . import brdf, sampling
+from . import brdf
+from . import vec
+from .vec import Vec3
 
 MIN_ROUGHNESS = 2e-3
 
@@ -33,234 +35,303 @@ LOBE_TRANSMISSION = 2
 
 class SurfaceVectors(NamedTuple):
     """Front-facing geometric normal + shading normal + shading basis rows."""
-    front_geometric_normal: jnp.ndarray  # (..., 3)
-    shading_normal: jnp.ndarray          # (..., 3)
-    tangent: jnp.ndarray                 # (..., 3) basis row 0
-    bitangent: jnp.ndarray               # (..., 3) basis row 1
+    front_geometric_normal: Vec3
+    shading_normal: Vec3
+    tangent: Vec3
+    bitangent: Vec3
 
 
-def make_surface_vectors(is_front_face: jnp.ndarray, geometric_normal: jnp.ndarray,
-                         shading_normal: jnp.ndarray) -> SurfaceVectors:
+def make_surface_vectors(is_front_face, geometric_normal: Vec3,
+                         shading_normal: Vec3) -> SurfaceVectors:
     """reference: Shaders/SurfaceVectors.hlsli:10-15."""
-    front = jnp.where(is_front_face[..., None], geometric_normal, -geometric_normal)
-    t, b = pmath.orthonormal_basis(shading_normal)
+    front = vec.where(is_front_face, geometric_normal, -geometric_normal)
+    t, b = vec.orthonormal_basis(shading_normal)
     return SurfaceVectors(front, shading_normal, t, b)
 
 
 class BSDF(NamedTuple):
     """Material sample at a hit point (reference: BSDFSample fields,
     Shaders/BxDF.hlsli:38-67)."""
-    base_color: jnp.ndarray    # (..., 3)
-    metallic: jnp.ndarray      # (...,)
-    albedo: jnp.ndarray        # (..., 3) = base_color * (1 - metallic)
-    roughness: jnp.ndarray     # (...,)  >= MIN_ROUGHNESS
-    ior_i: jnp.ndarray         # (...,)
-    ior_o: jnp.ndarray         # (...,)
-    f0: jnp.ndarray            # (..., 3)
-    transmission: jnp.ndarray  # (...,)
+    base_color: Vec3
+    metallic: jnp.ndarray      # (R,)
+    albedo: Vec3
+    roughness: jnp.ndarray     # (R,) >= MIN_ROUGHNESS
+    ior_i: jnp.ndarray
+    ior_o: jnp.ndarray
+    f0: Vec3
+    transmission: jnp.ndarray
 
 
-def make_bsdf(base_color, metallic, roughness, ior, transmission, is_front_face) -> BSDF:
+def make_bsdf(base_color: Vec3, metallic, roughness, ior, transmission,
+              is_front_face) -> BSDF:
     """reference: BSDFSample::Initialize (Shaders/BxDF.hlsli:45-67)."""
-    albedo = base_color * (1.0 - metallic[..., None])
+    albedo = base_color * (1.0 - metallic)
     roughness = jnp.maximum(roughness, MIN_ROUGHNESS)
     ior_i = jnp.where(is_front_face, 1.0, ior)
     ior_o = jnp.where(is_front_face, ior, 1.0)
-    f0_dielectric = ((ior_i - ior_o) / (ior_i + ior_o)) ** 2
-    f0 = f0_dielectric[..., None] * (1.0 - metallic[..., None]) + base_color * metallic[..., None]
+    f0_diel = ((ior_i - ior_o) / (ior_i + ior_o)) ** 2
+    f0 = Vec3.splat(f0_diel) * (1.0 - metallic) + base_color * metallic
     return BSDF(base_color, metallic, albedo, roughness, ior_i, ior_o, f0,
                 transmission)
 
 
-def estimate_diffuse_probability(albedo, f0, roughness, nov):
+def estimate_diffuse_probability(albedo: Vec3, f0: Vec3, roughness, nov):
     """reference: Shaders/BxDF.hlsli:21-34."""
-    f_env = brdf.environment_term(f0, nov, roughness)
-    diffuse = pmath.luminance(albedo * (1.0 - f_env))
-    specular = pmath.luminance(f_env)
+    f_env = brdf.environment_term_soa(f0, nov, roughness)
+    diffuse = vec.luminance(albedo * (1.0 - f_env))
+    specular = vec.luminance(f_env)
     total = diffuse + specular
     p = jnp.where(total > 0.0, diffuse / jnp.maximum(total, 1e-20), 1.0)
     interior = (p > 0.0) & (p < 1.0)
     return jnp.where(interior, jnp.clip(p, 0.05, 0.95), p)
 
 
-def lobe_weights(bsdf: BSDF, sv: SurfaceVectors, v: jnp.ndarray) -> jnp.ndarray:
-    """(..., 3) weights [diffuse, specular, transmission]
-    (reference: Shaders/BxDF.hlsli:184-196)."""
-    nov = jnp.abs(pmath.dot(sv.shading_normal, v))
+class LobeWeights(NamedTuple):
+    diffuse: jnp.ndarray
+    specular: jnp.ndarray
+    transmission: jnp.ndarray
+
+
+def lobe_weights(bsdf: BSDF, sv: SurfaceVectors, v: Vec3) -> LobeWeights:
+    """reference: Shaders/BxDF.hlsli:184-196."""
+    nov = jnp.abs(vec.dot(sv.shading_normal, v))
     w_t = bsdf.transmission * (1.0 - bsdf.metallic)
     w_r = 1.0 - w_t
     p_d = estimate_diffuse_probability(bsdf.albedo, bsdf.f0, bsdf.roughness, nov)
-    return jnp.stack([p_d * w_r, (1.0 - p_d) * w_r, w_t], axis=-1)
+    return LobeWeights(p_d * w_r, (1.0 - p_d) * w_r, w_t)
 
 
-def find_lobe(weights: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
-    """Select a lobe index from stacked weights, matching the reference's
-    reverse-scan (transmission first; reference: Shaders/BxDF.hlsli:198-212)."""
-    w_t = weights[..., LOBE_TRANSMISSION]
-    w_s = weights[..., LOBE_SPECULAR]
+def find_lobe(weights: LobeWeights, u) -> jnp.ndarray:
+    """Reverse-scan selection: transmission first
+    (reference: Shaders/BxDF.hlsli:198-212)."""
     lobe = jnp.where(
-        u < w_t,
+        u < weights.transmission,
         LOBE_TRANSMISSION,
-        jnp.where(u < w_t + w_s, LOBE_SPECULAR, LOBE_DIFFUSE),
+        jnp.where(u < weights.transmission + weights.specular,
+                  LOBE_SPECULAR, LOBE_DIFFUSE),
     )
     return lobe.astype(jnp.int32)
 
 
-def _half_vector(bsdf: BSDF, sv: SurfaceVectors, l, v, is_transmissive):
+# ---------------------------------------------------------------------------
+# sampling primitives (SoA forms of ops/sampling.py)
+# ---------------------------------------------------------------------------
+
+def _sample_concentric_disk(u1, u2):
+    """Signed-radius Shirley mapping; returns (dx, dy) components."""
+    ox = 2.0 * u1 - 1.0
+    oy = 2.0 * u2 - 1.0
+    zero = (ox == 0.0) & (oy == 0.0)
+    use_x = jnp.abs(ox) > jnp.abs(oy)
+    r = jnp.where(use_x, ox, oy)
+    denom = jnp.where(zero, 1.0, jnp.where(use_x, ox, oy))
+    ratio = jnp.where(use_x, oy, ox) / denom
+    theta = jnp.where(use_x, (jnp.pi / 4.0) * ratio,
+                      (jnp.pi / 2.0) - (jnp.pi / 4.0) * ratio)
+    r = jnp.where(zero, 0.0, r)
+    return r * jnp.cos(theta), r * jnp.sin(theta)
+
+
+def sample_cosine_hemisphere(u1, u2) -> Vec3:
+    dx, dy = _sample_concentric_disk(u1, u2)
+    z = jnp.sqrt(jnp.maximum(1.0 - dx * dx - dy * dy, 0.0))
+    return Vec3(dx, dy, z)
+
+
+def sample_ggx_vndf(u1, u2, roughness, v_local: Vec3) -> Vec3:
+    """Heitz 2018 VNDF sampling in tangent space, SoA."""
+    alpha = roughness * roughness
+    sign = jnp.where(v_local.z >= 0.0, 1.0, -1.0)
+    v = v_local * sign
+
+    vh = vec.normalize(Vec3(v.x * alpha, v.y * alpha, v.z))
+    lensq = vh.x * vh.x + vh.y * vh.y
+    inv = jnp.sqrt(1.0 / jnp.maximum(lensq, 1e-20))
+    big = lensq > 1e-12
+    t1 = Vec3(
+        jnp.where(big, -vh.y * inv, 1.0),
+        jnp.where(big, vh.x * inv, 0.0),
+        jnp.zeros_like(vh.z),
+    )
+    t2 = vec.cross(vh, t1)
+    r = jnp.sqrt(u1)
+    phi = 2.0 * jnp.pi * u2
+    p1 = r * jnp.cos(phi)
+    p2 = r * jnp.sin(phi)
+    s = 0.5 * (1.0 + vh.z)
+    p2 = (1.0 - s) * jnp.sqrt(jnp.maximum(1.0 - p1 * p1, 0.0)) + s * p2
+    p3 = jnp.sqrt(jnp.maximum(1.0 - p1 * p1 - p2 * p2, 0.0))
+    nh = t1 * p1 + t2 * p2 + vh * p3
+    h = vec.normalize(Vec3(alpha * nh.x, alpha * nh.y,
+                           jnp.maximum(nh.z, 0.0)))
+    return h * sign
+
+
+def ggx_vndf_pdf(v_local: Vec3, noh, roughness):
+    """pdf(L) = G1(V) * D(H) / (4 |NoV|)."""
+    from .sampling import ggx_ndf, ggx_g1
+
+    nov = jnp.abs(v_local.z)
+    d = ggx_ndf(roughness, jnp.abs(noh))
+    g1 = ggx_g1(roughness, jnp.maximum(nov, 1e-6))
+    return g1 * d / jnp.maximum(4.0 * nov, 1e-8)
+
+
+def cosine_hemisphere_pdf(nol):
+    return jnp.maximum(nol, 0.0) / jnp.pi
+
+
+# ---------------------------------------------------------------------------
+# BSDF sample / pdf / eval
+# ---------------------------------------------------------------------------
+
+def _half_vector(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3,
+                 is_transmissive) -> Vec3:
     """reference: BSDFSample::ComputeHalfVector (Shaders/BxDF.hlsli:228-245)."""
     n = sv.front_geometric_normal
-    refracted = is_transmissive & (pmath.dot(n, l) < 0.0)
-    h_t = pmath.normalize(l * bsdf.ior_o[..., None] + v * bsdf.ior_i[..., None])
-    h_t = jnp.where(pmath.dotk(n, h_t) < 0.0, -h_t, h_t)
-    h_r = pmath.normalize(l + v)
-    return jnp.where(refracted[..., None], h_t, h_r)
+    refracted = is_transmissive & (vec.dot(n, l) < 0.0)
+    h_t = vec.normalize(l * bsdf.ior_o + v * bsdf.ior_i)
+    h_t = vec.where(vec.dot(n, h_t) < 0.0, -h_t, h_t)
+    h_r = vec.normalize(l + v)
+    return vec.where(refracted, h_t, h_r)
 
 
-def sample(bsdf: BSDF, sv: SurfaceVectors, v: jnp.ndarray, u4: jnp.ndarray):
-    """Sample an outgoing direction.
-
-    Returns (L, lobe, valid). All three lobes are sampled branchlessly and
-    the result selected by the lobe drawn from u4[...,0]
-    (reference: Shaders/BxDF.hlsli:214-226).
-    """
+def sample(bsdf: BSDF, sv: SurfaceVectors, v: Vec3, u4: jnp.ndarray):
+    """Sample an outgoing direction; returns (L, lobe, valid)
+    (reference: Shaders/BxDF.hlsli:214-226). u4 is (R, 4)."""
     weights = lobe_weights(bsdf, sv, v)
     lobe = find_lobe(weights, u4[..., 0])
 
     t, b, n = sv.tangent, sv.bitangent, sv.shading_normal
-    v_local = pmath.to_local(t, b, n, v)
+    v_local = vec.to_local(t, b, n, v)
 
-    # Diffuse: cosine hemisphere around the shading normal.
-    l_diff = pmath.to_world(t, b, n, sampling.sample_cosine_hemisphere(u4[..., 1:3]))
-
-    # Specular reflection & transmission share the VNDF half-vector.
-    h = pmath.to_world(t, b, n, sampling.sample_ggx_vndf(u4[..., 1:3], bsdf.roughness, v_local))
-    l_spec = pmath.reflect(-v, h)
-
-    # Transmission: reflect or refract at H by exact dielectric Fresnel
-    # (reference: Shaders/BxDF.hlsli:148-168).
-    eta = bsdf.ior_i / bsdf.ior_o
-    voh = jnp.abs(pmath.dot(v, h))
-    tir = eta * eta * (1.0 - voh * voh) > 1.0
-    f_diel = brdf.fresnel_dielectric(eta, voh)
-    refr, refr_tir = pmath.refract(-v, h, eta[..., None])
-    reflect_choice = tir | (u4[..., 3] < f_diel)
-    l_trans = jnp.where(reflect_choice[..., None], l_spec, refr)
-    # refract() is masked-safe; degenerate lanes fall back to -V like the
-    # reference's isfinite guard (Shaders/BxDF.hlsli:162-166).
-    bad = (~reflect_choice) & refr_tir
-    l_trans = jnp.where(bad[..., None], -v, l_trans)
-
-    l_out = jnp.where(
-        (lobe == LOBE_DIFFUSE)[..., None],
-        l_diff,
-        jnp.where((lobe == LOBE_SPECULAR)[..., None], l_spec, l_trans),
+    l_diff = vec.to_world(
+        t, b, n, sample_cosine_hemisphere(u4[..., 1], u4[..., 2])
     )
 
-    # Validity: reflection lobes must leave through the front hemisphere of
-    # the *geometric* normal; transmission is always valid
-    # (Shaders/BxDF.hlsli:85,117,167).
-    front = pmath.dot(sv.front_geometric_normal, l_out) > 0.0
+    h = vec.to_world(
+        t, b, n, sample_ggx_vndf(u4[..., 1], u4[..., 2], bsdf.roughness, v_local)
+    )
+    l_spec = vec.reflect(-v, h)
+
+    eta = bsdf.ior_i / bsdf.ior_o
+    voh = jnp.abs(vec.dot(v, h))
+    tir = eta * eta * (1.0 - voh * voh) > 1.0
+    f_diel = brdf.fresnel_dielectric(eta, voh)
+    refr, refr_tir = vec.refract(-v, h, eta)
+    reflect_choice = tir | (u4[..., 3] < f_diel)
+    l_trans = vec.where(reflect_choice, l_spec, refr)
+    l_trans = vec.where((~reflect_choice) & refr_tir, -v, l_trans)
+
+    l_out = vec.where(
+        lobe == LOBE_DIFFUSE, l_diff,
+        vec.where(lobe == LOBE_SPECULAR, l_spec, l_trans),
+    )
+    front = vec.dot(sv.front_geometric_normal, l_out) > 0.0
     valid = jnp.where(lobe == LOBE_TRANSMISSION, True, front)
     return l_out, lobe, valid
 
 
-def _pdf_all(bsdf: BSDF, sv: SurfaceVectors, l, v):
-    """Per-lobe PDFs (diffuse, specular, transmission), no lobe weights."""
+def _pdf_all(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3):
     t, b, n = sv.tangent, sv.bitangent, sv.shading_normal
-    front = pmath.dot(sv.front_geometric_normal, l) > 0.0
-    nol = jnp.abs(pmath.dot(n, l))
+    front = vec.dot(sv.front_geometric_normal, l) > 0.0
+    nol = jnp.abs(vec.dot(n, l))
 
-    pdf_d = jnp.where(front, sampling.cosine_hemisphere_pdf(nol), 0.0)
+    pdf_d = jnp.where(front, cosine_hemisphere_pdf(nol), 0.0)
 
     is_trans = bsdf.transmission > 0.0
     h = _half_vector(bsdf, sv, l, v, is_trans)
-    v_local = pmath.to_local(t, b, n, v)
-    noh = pmath.dot(n, h)
-    pdf_s = jnp.where(front, sampling.ggx_vndf_pdf(v_local, noh, bsdf.roughness), 0.0)
+    v_local = vec.to_local(t, b, n, v)
+    noh = vec.dot(n, h)
+    pdf_s = jnp.where(front, ggx_vndf_pdf(v_local, noh, bsdf.roughness), 0.0)
 
     pdf_t = nol  # reference: Shaders/BxDF.hlsli:170-175
     return pdf_d, pdf_s, pdf_t
 
 
-def _eval_all(bsdf: BSDF, sv: SurfaceVectors, l, v):
-    """Per-lobe unweighted f values (each already multiplied by NoL, like the
-    reference's Evaluate*), shapes (..., 3)."""
+def _eval_all(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3):
+    """Per-lobe unweighted f (each pre-multiplied by NoL)."""
     n = sv.shading_normal
-    front = pmath.dot(sv.front_geometric_normal, l) > 0.0
-    nol = jnp.abs(pmath.dot(n, l))
-    nov = jnp.abs(pmath.dot(n, v))
+    front = vec.dot(sv.front_geometric_normal, l) > 0.0
+    nol = jnp.abs(vec.dot(n, l))
+    nov = jnp.abs(vec.dot(n, v))
 
     is_trans = bsdf.transmission > 0.0
     h = _half_vector(bsdf, sv, l, v, is_trans)
-    voh = jnp.abs(pmath.dot(v, h))
-    noh = jnp.abs(pmath.dot(n, h))
+    voh = jnp.abs(vec.dot(v, h))
+    noh = jnp.abs(vec.dot(n, h))
 
-    f_d = nol[..., None] * bsdf.albedo * brdf.diffuse_term(bsdf.roughness, nol, nov, voh)[..., None]
-    f_d = jnp.where(front[..., None], f_d, 0.0)
+    zero = Vec3.splat(jnp.zeros_like(nol))
+    f_d = bsdf.albedo * (nol * brdf.diffuse_term(bsdf.roughness, nol, nov, voh))
+    f_d = vec.where(front, f_d, zero)
 
     d = brdf.distribution(bsdf.roughness, noh)
     gmod = brdf.geometry_mod(bsdf.roughness, nol, nov)
-    f = brdf.fresnel_schlick_rgb(bsdf.f0, voh)
-    f_s = (nol * d * gmod)[..., None] * f
-    f_s = jnp.where(front[..., None], f_s, 0.0)
+    f = brdf.fresnel_schlick_soa(bsdf.f0, voh)
+    f_s = f * (nol * d * gmod)
+    f_s = vec.where(front, f_s, zero)
 
-    f_t = nol[..., None] * bsdf.base_color
+    f_t = bsdf.base_color * nol
     return f_d, f_s, f_t
 
 
-def pdf_sampled_lobe(bsdf: BSDF, sv: SurfaceVectors, l, v, weights, lobe):
-    """PDF of L given it was drawn from `lobe`, scaled by the lobe weight
-    (reference: Shaders/BxDF.hlsli:287-299)."""
+def pdf_sampled_lobe(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3,
+                     weights: LobeWeights, lobe):
+    """reference: Shaders/BxDF.hlsli:287-299."""
     pdf_d, pdf_s, pdf_t = _pdf_all(bsdf, sv, l, v)
-    pdf = jnp.where(
-        lobe == LOBE_DIFFUSE, pdf_d,
-        jnp.where(lobe == LOBE_SPECULAR, pdf_s, pdf_t),
-    )
-    # select instead of take_along_axis (per-lane gather — slow on TPU)
-    w = jnp.where(
-        lobe == LOBE_DIFFUSE, weights[..., LOBE_DIFFUSE],
-        jnp.where(lobe == LOBE_SPECULAR, weights[..., LOBE_SPECULAR],
-                  weights[..., LOBE_TRANSMISSION]),
-    )
+    pdf = jnp.where(lobe == LOBE_DIFFUSE, pdf_d,
+                    jnp.where(lobe == LOBE_SPECULAR, pdf_s, pdf_t))
+    w = jnp.where(lobe == LOBE_DIFFUSE, weights.diffuse,
+                  jnp.where(lobe == LOBE_SPECULAR, weights.specular,
+                            weights.transmission))
     return pdf * w
 
 
-def evaluate_sampled_lobe(bsdf: BSDF, sv: SurfaceVectors, l, v, weights, lobe):
-    """f for the sampled lobe, scaled by reflection/transmission split
-    (reference: Shaders/BxDF.hlsli:301-315)."""
+def evaluate_sampled_lobe(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3,
+                          weights: LobeWeights, lobe) -> Vec3:
+    """reference: Shaders/BxDF.hlsli:301-315."""
     f_d, f_s, f_t = _eval_all(bsdf, sv, l, v)
-    w_t = weights[..., LOBE_TRANSMISSION]
-    w_r = (1.0 - w_t)[..., None]
-    return jnp.where(
-        (lobe == LOBE_TRANSMISSION)[..., None],
-        f_t * w_t[..., None],
-        jnp.where((lobe == LOBE_DIFFUSE)[..., None], f_d * w_r, f_s * w_r),
+    w_r = 1.0 - weights.transmission
+    return vec.where(
+        lobe == LOBE_TRANSMISSION, f_t * weights.transmission,
+        vec.where(lobe == LOBE_DIFFUSE, f_d * w_r, f_s * w_r),
     )
 
 
-def pdf_combined(bsdf: BSDF, sv: SurfaceVectors, l, v, weights):
-    """Full mixture PDF over all lobes — used by ReSTIR/NEE MIS
-    (reference: Shaders/BxDF.hlsli:247-264)."""
+def pdf_combined(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3,
+                 weights: LobeWeights):
+    """Full mixture PDF (reference: Shaders/BxDF.hlsli:247-264)."""
     pdf_d, pdf_s, pdf_t = _pdf_all(bsdf, sv, l, v)
-    w_t = weights[..., LOBE_TRANSMISSION]
-    front = pmath.dot(sv.front_geometric_normal, l) > 0.0
+    w_t = weights.transmission
+    front = vec.dot(sv.front_geometric_normal, l) > 0.0
     pdf = jnp.where(w_t > 0.0, pdf_t * w_t, 0.0)
     refl = jnp.where(
         (w_t < 1.0) & front,
-        pdf_d * weights[..., LOBE_DIFFUSE] + pdf_s * weights[..., LOBE_SPECULAR],
+        pdf_d * weights.diffuse + pdf_s * weights.specular,
         0.0,
     )
     return pdf + refl
 
 
-def evaluate_combined(bsdf: BSDF, sv: SurfaceVectors, l, v, weights):
-    """Full mixture (diffuse, specular) split f — used by direct lighting
-    (reference: Shaders/BxDF.hlsli:266-285). Returns (diffuse, specular)."""
+def evaluate_combined(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3,
+                      weights: LobeWeights):
+    """Full mixture (diffuse, specular) split
+    (reference: Shaders/BxDF.hlsli:266-285)."""
     f_d, f_s, f_t = _eval_all(bsdf, sv, l, v)
-    w_t = weights[..., LOBE_TRANSMISSION:LOBE_TRANSMISSION + 1]
+    w_t = weights.transmission
     w_r = 1.0 - w_t
-    front = (pmath.dot(sv.front_geometric_normal, l) > 0.0)[..., None]
-    spec = jnp.where(w_t > 0.0, f_t * w_t, 0.0)
-    diff = jnp.where((w_t < 1.0) & front, f_d * w_r, 0.0)
-    spec = spec + jnp.where((w_t < 1.0) & front, f_s * w_r, 0.0)
+    front = vec.dot(sv.front_geometric_normal, l) > 0.0
+    zero = Vec3.splat(jnp.zeros_like(w_t))
+    spec = vec.where(w_t > 0.0, f_t * w_t, zero)
+    refl_on = (w_t < 1.0) & front
+    diff = vec.where(refl_on, f_d * w_r, zero)
+    spec = spec + vec.where(refl_on, f_s * w_r, zero)
     return diff, spec
+
+
+def demodulation_albedo(bsdf: BSDF, sv: SurfaceVectors, v: Vec3):
+    """(diffuse, specular) demodulation factors for the denoiser
+    (reference: Shaders/BxDF.hlsli:317-320 NRD_MaterialFactors)."""
+    nov = jnp.abs(vec.dot(sv.shading_normal, v))
+    f_env = brdf.environment_term_soa(bsdf.f0, nov, bsdf.roughness)
+    return bsdf.albedo * (1.0 - f_env), f_env

@@ -23,7 +23,9 @@ from jax import lax
 
 from . import intersect
 from . import math as pmath
+from . import vec
 from .bvh import BVH
+from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
 
@@ -39,14 +41,14 @@ class Hit(NamedTuple):
         return self.tri >= 0
 
 
-def closest_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
+def closest_hit(bvh: BVH, origin: Vec3, direction: Vec3,
                 t_min, t_max) -> Hit:
     """Closest-hit query for a pool of R rays. t_min/t_max broadcast to (R,)."""
     r = origin.shape[0]
     n = bvh.num_tris
     leaf_base = n - 1 if n > 1 else 0
 
-    inv_d = intersect.safe_inv_dir(direction)
+    inv_d = intersect.safe_inv_dir_soa(direction)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
 
@@ -67,18 +69,18 @@ def closest_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
         active = cur >= 0
         node = jnp.maximum(cur, 0)
 
-        bmin = pmath.gather_rows(bvh.node_min, node)
-        bmax = pmath.gather_rows(bvh.node_max, node)
-        box_hit = intersect.ray_aabb(origin, inv_d, bmin, bmax, t_min, best_t)
+        bmin = vec.gather(bvh.node_min, node)
+        bmax = vec.gather(bvh.node_max, node)
+        box_hit = intersect.ray_aabb_soa(origin, inv_d, bmin, bmax, t_min, best_t)
         box_hit = box_hit & active
 
         is_leaf = node >= leaf_base
         tri_i = jnp.clip(node - leaf_base, 0, n - 1)
-        t, u, v, tri_hit = intersect.ray_triangle(
+        t, u, v, tri_hit = intersect.ray_triangle_soa(
             origin, direction,
-            pmath.gather_rows(bvh.tri_v0, tri_i),
-            pmath.gather_rows(bvh.tri_e1, tri_i),
-            pmath.gather_rows(bvh.tri_e2, tri_i),
+            vec.gather(bvh.tri_v0, tri_i),
+            vec.gather(bvh.tri_e1, tri_i),
+            vec.gather(bvh.tri_e2, tri_i),
             t_min, best_t,
         )
         take = box_hit & is_leaf & tri_hit
@@ -97,7 +99,7 @@ def closest_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
     return Hit(jnp.where(best_i >= 0, best_t, INF), best_u, best_v, tri)
 
 
-def any_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
+def any_hit(bvh: BVH, origin: Vec3, direction: Vec3,
             t_min, t_max) -> jnp.ndarray:
     """Occlusion query: True where *any* triangle blocks [t_min, t_max].
     Lanes stop traversing as soon as they find an occluder (conservative
@@ -107,7 +109,7 @@ def any_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
     n = bvh.num_tris
     leaf_base = n - 1 if n > 1 else 0
 
-    inv_d = intersect.safe_inv_dir(direction)
+    inv_d = intersect.safe_inv_dir_soa(direction)
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
 
@@ -121,20 +123,20 @@ def any_hit(bvh: BVH, origin: jnp.ndarray, direction: jnp.ndarray,
         cur, occluded = state
         active = cur >= 0
         node = jnp.maximum(cur, 0)
-        box_hit = intersect.ray_aabb(
+        box_hit = intersect.ray_aabb_soa(
             origin, inv_d,
-            pmath.gather_rows(bvh.node_min, node),
-            pmath.gather_rows(bvh.node_max, node),
+            vec.gather(bvh.node_min, node),
+            vec.gather(bvh.node_max, node),
             t_min, t_max,
         ) & active
 
         is_leaf = node >= leaf_base
         tri_i = jnp.clip(node - leaf_base, 0, n - 1)
-        _, _, _, tri_hit = intersect.ray_triangle(
+        _, _, _, tri_hit = intersect.ray_triangle_soa(
             origin, direction,
-            pmath.gather_rows(bvh.tri_v0, tri_i),
-            pmath.gather_rows(bvh.tri_e1, tri_i),
-            pmath.gather_rows(bvh.tri_e2, tri_i),
+            vec.gather(bvh.tri_v0, tri_i),
+            vec.gather(bvh.tri_e1, tri_i),
+            vec.gather(bvh.tri_e2, tri_i),
             t_min, t_max,
         )
         found = box_hit & is_leaf & tri_hit

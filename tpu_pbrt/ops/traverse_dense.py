@@ -27,6 +27,7 @@ from jax import lax
 
 from . import intersect
 from .traverse import Hit
+from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
 
@@ -37,9 +38,9 @@ def _mt_chunk(o, d, cv0, ce1, ce2, t_min, t_max):
 
     Written component-wise: every intermediate is (R, C) with C on the minor
     (lane) axis. The (R, C, 3) formulation puts 3 on the lane axis and wastes
-    125/128 of every TPU vector register."""
-    ox, oy, oz = o[:, 0:1], o[:, 1:2], o[:, 2:3]
-    dx, dy, dz = d[:, 0:1], d[:, 1:2], d[:, 2:3]
+    125/128 of every TPU vector register. o/d are Vec3 of (R,) components."""
+    ox, oy, oz = o.x[:, None], o.y[:, None], o.z[:, None]
+    dx, dy, dz = d.x[:, None], d.y[:, None], d.z[:, None]
     v0x, v0y, v0z = cv0[None, :, 0], cv0[None, :, 1], cv0[None, :, 2]
     e1x, e1y, e1z = ce1[None, :, 0], ce1[None, :, 1], ce1[None, :, 2]
     e2x, e2y, e2z = ce2[None, :, 0], ce2[None, :, 1], ce2[None, :, 2]
@@ -93,7 +94,7 @@ def prepare(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     )
 
 
-def closest_hit(tris: DenseTris, origin, direction, t_min, t_max,
+def closest_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
                 chunk: int = 128) -> Hit:
     """Blocked dense closest hit; O(R * T) but all-vector work."""
     r = origin.shape[0]
@@ -134,7 +135,7 @@ def closest_hit(tris: DenseTris, origin, direction, t_min, t_max,
     return Hit(jnp.where(found, best_t, INF), best_u, best_v, tri)
 
 
-def any_hit(tris: DenseTris, origin, direction, t_min, t_max,
+def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
             chunk: int = 128) -> jnp.ndarray:
     """Dense occlusion query: True where anything blocks [t_min, t_max]."""
     r = origin.shape[0]

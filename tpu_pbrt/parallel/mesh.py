@@ -69,7 +69,7 @@ def render_sharded(tracer, scene: Scene, cam: CameraData, frame, *,
         (tracer, scene), origin, direction, t_min, t_max, px, py,
         jnp.asarray(frame, jnp.uint32),
     )
-    return radiance.reshape(height, width, 3), rays
+    return radiance.to_array().reshape(height, width, 3), rays
 
 
 def jit_render_sharded(settings: pathtrace.PathTraceSettings, mesh: Mesh,

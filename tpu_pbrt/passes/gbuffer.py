@@ -21,57 +21,63 @@ import jax.numpy as jnp
 
 from ..models.mesh import interpolate_hit
 from ..models.scene import Scene, environment_radiance
-from ..ops import math as pmath, traverse
+from ..ops import vec
+from ..ops.vec import Vec3
 from ..render.camera import CameraData
 
 
 class GBuffer(NamedTuple):
-    """Per-pixel primary-surface attributes (all (R,) or (R, k))."""
+    """Per-pixel primary-surface attributes (SoA: Vec3 + (R,) scalars)."""
     valid: jnp.ndarray            # (R,) bool — primary hit exists
-    position: jnp.ndarray         # (R, 3) world position
+    position: Vec3                # world position
     depth: jnp.ndarray            # (R,) linear view depth (+inf on miss)
-    flat_normal: jnp.ndarray      # (R, 3)
-    geometric_normal: jnp.ndarray # (R, 3) oriented, pre-flip
-    shading_normal: jnp.ndarray   # (R, 3)
+    flat_normal: Vec3
+    geometric_normal: Vec3        # oriented to the front face
+    shading_normal: Vec3
     is_front_face: jnp.ndarray    # (R,) bool
-    base_color: jnp.ndarray       # (R, 3)
+    base_color: Vec3
     metallic: jnp.ndarray         # (R,)
     roughness: jnp.ndarray        # (R,)
     ior: jnp.ndarray              # (R,)
     transmission: jnp.ndarray     # (R,)
-    emission: jnp.ndarray         # (R, 3) — emissive at hit or env on miss
-    motion: jnp.ndarray           # (R, 2) previous-frame pixel delta
-    uv0: jnp.ndarray              # (R, 2)
+    emission: Vec3                # emissive at hit or env on miss
+    motion_x: jnp.ndarray         # (R,) previous-frame pixel delta
+    motion_y: jnp.ndarray         # (R,)
+    uv0_u: jnp.ndarray            # (R,)
+    uv0_v: jnp.ndarray            # (R,)
     material: jnp.ndarray         # (R,) i32
     object_id: jnp.ndarray        # (R,) i32
     tri: jnp.ndarray              # (R,) i32
-    bary: jnp.ndarray             # (R, 2)
+    bary_u: jnp.ndarray           # (R,)
+    bary_v: jnp.ndarray           # (R,)
 
 
-def project_to_uv(cam: CameraData, world_pos: jnp.ndarray,
-                  previous: bool = False) -> jnp.ndarray:
-    """World position -> UV under the (previous) camera. Inverse of the
+def project_to_uv(cam: CameraData, world_pos: Vec3, previous: bool = False):
+    """World position -> (u, v) under the (previous) camera. Inverse of the
     FoV-scaled basis ray generation (Shaders/Camera.hlsli:27-30): the basis
     vectors are mutually orthogonal, so NDC recovers by projection."""
     pos, right, up, fwd = (
         (cam.prev_position, cam.prev_right, cam.prev_up, cam.prev_forward)
         if previous else (cam.position, cam.right, cam.up, cam.forward)
     )
-    w = world_pos - pos
-    sx = pmath.dot(w, right[None, :]) / jnp.maximum(pmath.dot(right, right), 1e-12)
-    sy = pmath.dot(w, up[None, :]) / jnp.maximum(pmath.dot(up, up), 1e-12)
-    sz = pmath.dot(w, fwd[None, :]) / jnp.maximum(pmath.dot(fwd, fwd), 1e-12)
+    w = world_pos - Vec3(pos[0], pos[1], pos[2])
+    rv = Vec3(right[0], right[1], right[2])
+    uv_ = Vec3(up[0], up[1], up[2])
+    fv = Vec3(fwd[0], fwd[1], fwd[2])
+    sx = vec.dot(w, rv) / jnp.maximum(vec.dot(rv, rv), 1e-12)
+    sy = vec.dot(w, uv_) / jnp.maximum(vec.dot(uv_, uv_), 1e-12)
+    sz = vec.dot(w, fv) / jnp.maximum(vec.dot(fv, fv), 1e-12)
     ndc_x = sx / jnp.maximum(sz, 1e-8)
     ndc_y = sy / jnp.maximum(sz, 1e-8)
-    return jnp.stack([(ndc_x + 1.0) * 0.5, (1.0 - ndc_y) * 0.5], axis=-1)
+    return (ndc_x + 1.0) * 0.5, (1.0 - ndc_y) * 0.5
 
 
 def generate(tracer, scene: Scene, cam: CameraData,
-             origin: jnp.ndarray, direction: jnp.ndarray,
-             t_min, t_max, pixel_uv: jnp.ndarray,
+             origin: Vec3, direction: Vec3,
+             t_min, t_max, pixel_u: jnp.ndarray, pixel_v: jnp.ndarray,
              dims: tuple[int, int]) -> GBuffer:
-    """Trace primary rays and fill the G-buffer. pixel_uv is the jittered UV
-    each ray was generated from (for motion-vector deltas)."""
+    """Trace primary rays and fill the G-buffer. pixel_u/v is the jittered
+    UV each ray was generated from (for motion-vector deltas)."""
     hit = tracer.closest_hit(origin, direction, t_min, t_max)
     attrs = interpolate_hit(
         scene.geometry, hit.tri, hit.u, hit.v, origin, direction, hit.t
@@ -80,23 +86,20 @@ def generate(tracer, scene: Scene, cam: CameraData,
     mats = scene.materials
 
     env = environment_radiance(scene.environment, direction)
-    emissive = pmath.gather_rows(mats.emissive, m)
-    emission = jnp.where(hit.mask[:, None], emissive, env)
+    emissive = vec.gather(mats.emissive, m)
+    emission = vec.where(hit.mask, emissive, env)
 
     # linear view depth = t * dot(dir, forward_unit)
-    fwd = cam.forward / jnp.linalg.norm(cam.forward)
-    depth = jnp.where(hit.mask, hit.t * pmath.dot(direction, fwd[None, :]),
-                      jnp.inf)
+    fwd = vec.normalize(Vec3(cam.forward[0], cam.forward[1], cam.forward[2]))
+    depth = jnp.where(hit.mask, hit.t * vec.dot(direction, fwd), jnp.inf)
 
-    prev_uv = project_to_uv(cam, attrs.position, previous=True)
-    wh = jnp.asarray(dims, jnp.float32)
-    motion = jnp.where(
-        hit.mask[:, None], (prev_uv - pixel_uv) * wh, 0.0
-    )
+    prev_u, prev_v = project_to_uv(cam, attrs.position, previous=True)
+    w, h = dims
+    motion_x = jnp.where(hit.mask, (prev_u - pixel_u) * w, 0.0)
+    motion_y = jnp.where(hit.mask, (prev_v - pixel_v) * h, 0.0)
 
-    geometric = jnp.where(
-        attrs.is_front_face[:, None], attrs.flat_normal, -attrs.flat_normal
-    )
+    geometric = vec.where(attrs.is_front_face, attrs.flat_normal,
+                          -attrs.flat_normal)
 
     return GBuffer(
         valid=hit.mask,
@@ -106,16 +109,20 @@ def generate(tracer, scene: Scene, cam: CameraData,
         geometric_normal=geometric,
         shading_normal=attrs.shading_normal,
         is_front_face=attrs.is_front_face,
-        base_color=pmath.gather_rows(mats.base_color[:, :3], m),
+        base_color=vec.gather(mats.base_color, m),
         metallic=mats.metallic[m],
         roughness=mats.roughness[m],
         ior=mats.ior[m],
-        transmission=jnp.where(mats.metallic[m] < 1.0, mats.transmission[m], 0.0),
+        transmission=jnp.where(mats.metallic[m] < 1.0,
+                               mats.transmission[m], 0.0),
         emission=emission,
-        motion=motion,
-        uv0=attrs.uv0,
+        motion_x=motion_x,
+        motion_y=motion_y,
+        uv0_u=attrs.uv0_u,
+        uv0_v=attrs.uv0_v,
         material=m,
         object_id=attrs.object_id,
         tri=hit.tri,
-        bary=jnp.stack([hit.u, hit.v], axis=-1),
+        bary_u=hit.u,
+        bary_v=hit.v,
     )

@@ -15,14 +15,14 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..models.scene import EmissiveLights
-from ..ops import math as pmath
-from ..ops.math import gather_rows
+from ..ops import vec
+from ..ops.vec import Vec3
 
 
 class LightSample(NamedTuple):
-    position: jnp.ndarray    # (R, 3) point on the light
-    normal: jnp.ndarray      # (R, 3) emitting-side normal
-    radiance: jnp.ndarray    # (R, 3)
+    position: Vec3           # point on the light
+    normal: Vec3             # emitting-side normal
+    radiance: Vec3
     pdf_area: jnp.ndarray    # (R,) selection pdf x (1/area), area measure
     light: jnp.ndarray       # (R,) i32 light index
 
@@ -32,17 +32,19 @@ def sample(lights: EmissiveLights, u3: jnp.ndarray) -> LightSample:
     li = jnp.searchsorted(lights.cdf, u3[:, 0]).astype(jnp.int32)
     li = jnp.clip(li, 0, lights.power.shape[0] - 1)
 
-    bary = pmath.sample_triangle(u3[:, 1:3])
+    s = jnp.sqrt(u3[:, 1])
+    b0 = s * (1.0 - u3[:, 2])
+    b1 = s * u3[:, 2]
     pos = (
-        gather_rows(lights.v0, li)
-        + bary[:, 0:1] * gather_rows(lights.e1, li)
-        + bary[:, 1:2] * gather_rows(lights.e2, li)
+        vec.gather(lights.v0, li)
+        + vec.gather(lights.e1, li) * b0
+        + vec.gather(lights.e2, li) * b1
     )
     total = jnp.sum(lights.power)
     select_pdf = lights.power[li] / jnp.maximum(total, 1e-20)
     pdf_area = select_pdf / jnp.maximum(lights.area[li], 1e-20)
-    return LightSample(pos, gather_rows(lights.normal, li),
-                       gather_rows(lights.radiance, li), pdf_area, li)
+    return LightSample(pos, vec.gather(lights.normal, li),
+                       vec.gather(lights.radiance, li), pdf_area, li)
 
 
 def pdf_hit_area(lights: EmissiveLights, tri: jnp.ndarray) -> jnp.ndarray:

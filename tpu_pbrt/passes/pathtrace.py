@@ -1,12 +1,15 @@
-"""The wavefront path tracer.
+"""The wavefront path tracer (fully SoA).
 
 TPU re-design of the reference's raygen megakernel
 (reference: Shaders/Raytracing.hlsl:103-415): the per-thread
 SPP-loop x bounce-loop with early breaks becomes a `lax.fori_loop` over a
 fixed bounce count carrying an *active mask* over the whole ray pool —
 terminated lanes idle instead of exiting (SURVEY.md §7 hard part #3:
-fixed-size pools + masks). Estimator semantics match the reference:
+fixed-size pools + masks). All vectors and colors are `Vec3`
+structure-of-arrays: (R,3) AoS math measured ~90x slower on v5e (3-wide
+minor axis wastes 125/128 TPU vector lanes).
 
+Estimator semantics match the reference:
   * miss -> environment radiance, terminate       (Raytracing.hlsl:241-259)
   * emission picked up on every hit               (:317-321)
   * one-sample-MIS 3-lobe BSDF: throughput *= f(lobe)/pdf(lobe) (:323-346)
@@ -14,9 +17,9 @@ fixed-size pools + masks). Estimator semantics match the reference:
   * luminance cutoff on throughput                (:361-364)
   * non-finite sample guard                       (:377)
 
-Direct lighting (ReSTIR DI) is a separate pass composited on top, exactly
-like the reference (`IsDIEnabled` demux) — plus an optional classic NEE path
-for standalone use.
+Direct lighting: one-light NEE with balance-heuristic MIS (the standalone
+path); the ReSTIR DI pass composites on top exactly like the reference's
+`IsDIEnabled` demux.
 """
 
 from __future__ import annotations
@@ -24,14 +27,15 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 
 from ..models.material import MaterialTable
-from ..models.mesh import Geometry, interpolate_hit
+from ..models.mesh import interpolate_hit
 from ..models.scene import Scene, environment_radiance
-from ..ops import bxdf, math as pmath, rng, traverse
+from ..ops import bxdf, rng, vec
+from ..ops.traverse import Hit
+from ..ops.vec import Vec3
 from . import lights as lights_mod
 
 
@@ -46,50 +50,48 @@ class PathTraceSettings:
     throughput_threshold: float = 1e-3
     # One-light NEE with balance-heuristic MIS. The reference's base path
     # tracer relies on the ReSTIR DI pass for direct light instead
-    # (Raytracing.hlsl:150-163); NEE is our standalone-quality path and the
-    # foundation the ReSTIR pass shares.
+    # (Raytracing.hlsl:150-163).
     next_event_estimation: bool = True
 
 
 class _PathState(NamedTuple):
     active: jnp.ndarray       # (R,) bool
-    origin: jnp.ndarray       # (R, 3)
-    direction: jnp.ndarray    # (R, 3)
+    origin: Vec3
+    direction: Vec3
     t_min: jnp.ndarray        # (R,)
     t_max: jnp.ndarray        # (R,)
-    throughput: jnp.ndarray   # (R, 3)
-    radiance: jnp.ndarray     # (R, 3)
+    throughput: Vec3
+    radiance: Vec3
     # first-bounce info for denoiser demux (Raytracing.hlsl:235-239)
     first_lobe: jnp.ndarray   # (R,) i32, -1 until set
     first_hit_t: jnp.ndarray  # (R,)
-    ray_count: jnp.ndarray    # () i64-ish f32 — rays actually traced
+    ray_count: jnp.ndarray    # () f32 — rays actually traced
     # MIS bookkeeping for BSDF-sampled emission vs NEE
     prev_bsdf_pdf: jnp.ndarray  # (R,) solid-angle pdf of the ray's direction
 
 
-def _fetch_bsdf(materials: MaterialTable, attrs) -> tuple[bxdf.BSDF, jnp.ndarray]:
-    """Gather material params at hit lanes and build the BSDF + emission."""
+def _fetch_bsdf(materials: MaterialTable, attrs):
+    """Gather material params at hit lanes (1-D component gathers) and build
+    the BSDF + emission."""
     m = attrs.material
-    base_color = pmath.gather_rows(materials.base_color[:, :3], m)
+    base_color = vec.gather(materials.base_color, m)  # rgb of rgba
     metallic = materials.metallic[m]
     roughness = materials.roughness[m]
     ior = materials.ior[m]
     # transmission disabled for fully-metallic like the reference
     # (Raytracing.hlsl:146: metalness < 1 gate)
-    transmission = jnp.where(
-        metallic < 1.0, materials.transmission[m], 0.0
-    )
+    transmission = jnp.where(metallic < 1.0, materials.transmission[m], 0.0)
     b = bxdf.make_bsdf(base_color, metallic, roughness, ior, transmission,
                        attrs.is_front_face)
-    emission = pmath.gather_rows(materials.emissive, m)
+    emission = vec.gather(materials.emissive, m)
     return b, emission
 
 
 def trace(
     tracer,
     scene: Scene,
-    origin: jnp.ndarray,
-    direction: jnp.ndarray,
+    origin: Vec3,
+    direction: Vec3,
     t_min,
     t_max,
     px: jnp.ndarray,
@@ -97,9 +99,9 @@ def trace(
     frame,
     settings: PathTraceSettings,
     sample_offset: int = 0,
-    primary_hit: traverse.Hit | None = None,
+    primary_hit: Hit | None = None,
 ):
-    """Trace one sample per pool entry; returns (radiance, first_lobe,
+    """Trace one sample per pool entry; returns (radiance: Vec3, first_lobe,
     first_hit_t, ray_count). px/py feed the per-pixel RNG stream
     (Shaders/Raytracing.hlsl:108). `primary_hit` (if given) supplies the
     bounce-0 hit from the G-buffer pass instead of retracing."""
@@ -108,7 +110,6 @@ def trace(
     materials = scene.materials
 
     def draw(bounce, slot):
-        # counter layout: sample | bounce | slot, all static-or-traced ints
         counter = (sample_offset * 64 + slot) + bounce * 8
         return rng.uniform4(px, py, frame, counter)
 
@@ -118,23 +119,25 @@ def trace(
         direction=direction,
         t_min=jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,)),
         t_max=jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)),
-        throughput=jnp.ones((r, 3)),
-        radiance=jnp.zeros((r, 3)),
+        throughput=Vec3.full(1.0, (r,)),
+        radiance=Vec3.zeros((r,)),
         first_lobe=jnp.full((r,), -1, jnp.int32),
         first_hit_t=jnp.full((r,), jnp.inf),
         ray_count=jnp.zeros((), jnp.float32),
         prev_bsdf_pdf=jnp.zeros((r,)),
     )
 
-    def shade(bounce, state: _PathState, hit: traverse.Hit) -> _PathState:
+    zero3 = Vec3.splat(0.0)
+
+    def shade(bounce, state: _PathState, hit: Hit) -> _PathState:
         """Everything after traversal: miss env, emission MIS, NEE, BSDF
         sample, RR, cutoff, continuation ray."""
         is_hit = hit.mask & state.active
 
         # --- miss: environment light, terminate (Raytracing.hlsl:241-259)
         env = environment_radiance(scene.environment, state.direction)
-        radiance = state.radiance + jnp.where(
-            (state.active & ~hit.mask)[:, None], state.throughput * env, 0.0
+        radiance = state.radiance + vec.where(
+            state.active & ~hit.mask, state.throughput * env, zero3
         )
 
         # --- hit shading
@@ -147,11 +150,12 @@ def trace(
         # --- emission pickup, MIS-weighted against NEE when enabled
         if settings.next_event_estimation:
             li = scene.lights.tri_to_light[jnp.maximum(hit.tri, 0)]
-            n_l = pmath.gather_rows(scene.lights.normal, jnp.maximum(li, 0))
-            cos_l = pmath.dot(n_l, -state.direction)
+            n_l = vec.gather(scene.lights.normal, jnp.maximum(li, 0))
+            cos_l = -vec.dot(n_l, state.direction)
             p_l_area = lights_mod.pdf_hit_area(scene.lights, hit.tri)
             p_l_sa = jnp.where(
-                cos_l > 1e-6, p_l_area * hit.t * hit.t / jnp.maximum(cos_l, 1e-6), 0.0
+                cos_l > 1e-6,
+                p_l_area * hit.t * hit.t / jnp.maximum(cos_l, 1e-6), 0.0,
             )
             denom = state.prev_bsdf_pdf + p_l_sa
             w_emit = jnp.where(
@@ -160,28 +164,27 @@ def trace(
                 state.prev_bsdf_pdf / jnp.maximum(denom, 1e-20),
             )
         else:
-            w_emit = jnp.ones((r,))
-        radiance = radiance + jnp.where(
-            is_hit[:, None], state.throughput * emission * w_emit[:, None], 0.0
+            w_emit = 1.0
+        radiance = radiance + vec.where(
+            is_hit, state.throughput * (emission * w_emit), zero3
         )
 
         sv = bxdf.make_surface_vectors(
             attrs.is_front_face, attrs.flat_normal, attrs.shading_normal
         )
         v = -state.direction
+        weights = bxdf.lobe_weights(b, sv, v)
 
         # --- next-event estimation: one power-sampled light, shadow ray,
         # balance-heuristic MIS against the BSDF strategy
         nee_rays = jnp.zeros((), jnp.float32)
-        weights = None
         if settings.next_event_estimation:
-            weights = bxdf.lobe_weights(b, sv, v)
-            u3 = draw(bounce, 2)[:, :3]
+            u3 = draw(bounce, 2)
             ls = lights_mod.sample(scene.lights, u3)
             to_l = ls.position - attrs.position
-            dist = pmath.length(to_l)
-            wi = to_l / jnp.maximum(dist, 1e-8)[:, None]
-            cos_light = pmath.dot(ls.normal, -wi)
+            dist = vec.length(to_l)
+            wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
+            cos_light = -vec.dot(ls.normal, wi)
             pdf_sa = jnp.where(
                 cos_light > 1e-6,
                 ls.pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6),
@@ -194,9 +197,9 @@ def trace(
                 is_hit
                 & (scene.lights.count > 0)
                 & (pdf_sa > 0.0)
-                & jnp.any(f_nee > 0.0, axis=-1)
+                & ((f_nee.x > 0.0) | (f_nee.y > 0.0) | (f_nee.z > 0.0))
             )
-            shadow_o = pmath.safe_spawn_offset(
+            shadow_o = vec.safe_spawn_offset(
                 attrs.position, attrs.flat_normal, wi
             )
             occluded = tracer.any_hit(
@@ -206,46 +209,43 @@ def trace(
             w_mis = pdf_sa / jnp.maximum(pdf_sa + p_b, 1e-20)
             contrib = (
                 state.throughput * f_nee * ls.radiance
-                * (w_mis / jnp.maximum(pdf_sa, 1e-20))[:, None]
+                * (w_mis / jnp.maximum(pdf_sa, 1e-20))
             )
-            radiance = radiance + jnp.where(
-                (valid_nee & ~occluded)[:, None], contrib, 0.0
+            radiance = radiance + vec.where(
+                valid_nee & ~occluded, contrib, zero3
             )
             nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
 
+        # --- BSDF sampling (Raytracing.hlsl:323-346)
         u4 = draw(bounce, 0)
         l, lobe, valid = bxdf.sample(b, sv, v, u4)
-        if weights is None:
-            weights = bxdf.lobe_weights(b, sv, v)
         pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
         f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
 
-        ok = valid & (pdf > 0.0) & jnp.any(f != 0.0, axis=-1)
-        throughput = state.throughput * jnp.where(
-            ok[:, None], f / jnp.maximum(pdf, 1e-20)[:, None], 1.0
+        ok = valid & (pdf > 0.0) & ((f.x != 0.0) | (f.y != 0.0) | (f.z != 0.0))
+        throughput = state.throughput * vec.where(
+            ok, f * (1.0 / jnp.maximum(pdf, 1e-20)), Vec3.splat(1.0)
         )
 
         # --- Russian roulette (Raytracing.hlsl:348-356)
         if settings.russian_roulette:
-            p = jnp.clip(jnp.max(throughput, axis=-1), 0.0, 1.0)
+            p = jnp.clip(vec.max_component(throughput), 0.0, 1.0)
             u_rr = draw(bounce, 1)[:, 0]
-            rr_kill = (bounce > settings.rr_start_bounce) & (u_rr >= p)
-            rr_scale = jnp.where(
-                (bounce > settings.rr_start_bounce) & ~rr_kill,
-                1.0 / jnp.maximum(p, 1e-8),
-                1.0,
-            )
-            throughput = throughput * rr_scale[:, None]
+            rr_on = bounce > settings.rr_start_bounce
+            rr_kill = rr_on & (u_rr >= p)
+            rr_scale = jnp.where(rr_on & ~rr_kill,
+                                 1.0 / jnp.maximum(p, 1e-8), 1.0)
+            throughput = throughput * rr_scale
         else:
             rr_kill = jnp.zeros((r,), bool)
 
         # --- luminance cutoff (Raytracing.hlsl:361-364)
-        cut = pmath.luminance(throughput) <= settings.throughput_threshold
+        cut = vec.luminance(throughput) <= settings.throughput_threshold
 
         active = is_hit & ok & ~rr_kill & ~cut
 
         # --- continuation ray (Raytracing.hlsl:219-224)
-        new_origin = pmath.safe_spawn_offset(attrs.position, attrs.flat_normal, l)
+        new_origin = vec.safe_spawn_offset(attrs.position, attrs.flat_normal, l)
 
         first = (bounce == 0) & is_hit
         first_lobe = jnp.where(first, lobe, state.first_lobe)
@@ -260,11 +260,11 @@ def trace(
 
         return _PathState(
             active=active,
-            origin=jnp.where(is_hit[:, None], new_origin, state.origin),
-            direction=jnp.where(is_hit[:, None], l, state.direction),
+            origin=vec.where(is_hit, new_origin, state.origin),
+            direction=vec.where(is_hit, l, state.direction),
             t_min=jnp.zeros((r,)),
             t_max=jnp.full((r,), jnp.inf),
-            throughput=jnp.where(is_hit[:, None], throughput, state.throughput),
+            throughput=vec.where(is_hit, throughput, state.throughput),
             radiance=radiance,
             first_lobe=first_lobe,
             first_hit_t=first_hit_t,
@@ -274,8 +274,8 @@ def trace(
         )
 
     def bounce_body(bounce, state: _PathState):
-        # inactive lanes traverse with an empty interval so their stackless
-        # walk falls straight through to -1 (cheap lock-step idling)
+        # inactive lanes traverse with an empty interval so their walk
+        # degenerates to nothing (cheap lock-step idling)
         hit = tracer.closest_hit(
             state.origin, state.direction, state.t_min,
             jnp.where(state.active, state.t_max, -jnp.inf),
@@ -287,22 +287,23 @@ def trace(
     # of retracing, Raytracing.hlsl:118-163)
     if primary_hit is not None:
         state = shade(0, state, primary_hit)
-        # the primary hit was traced by the G-buffer pass, not here — keep
-        # the ray counter honest (only NEE shadow rays at bounce 0 count)
+        # the primary was traced by the G-buffer pass, not here — keep the
+        # ray counter honest (only NEE shadow rays at bounce 0 count)
         state = state._replace(ray_count=state.ray_count - r)
         state = lax.fori_loop(1, settings.bounces + 1, bounce_body, state)
     else:
         state = lax.fori_loop(0, settings.bounces + 1, bounce_body, state)
 
     # non-finite guard (Raytracing.hlsl:377)
-    rad = state.radiance
-    rad = jnp.where(jnp.all(jnp.isfinite(rad), axis=-1, keepdims=True), rad, 0.0)
+    rad = vec.where(vec.all_finite(state.radiance), state.radiance,
+                    Vec3.splat(0.0))
     return rad, state.first_lobe, state.first_hit_t, state.ray_count
 
 
 def render_sample_radiance(
-    tracer, scene: Scene, origin, direction, t_min, t_max, px, py, frame,
-    settings: PathTraceSettings, primary_hit: traverse.Hit | None = None,
+    tracer, scene: Scene, origin: Vec3, direction: Vec3, t_min, t_max,
+    px, py, frame, settings: PathTraceSettings,
+    primary_hit: Hit | None = None,
 ):
     """Average `samples_per_pixel` independent path samples
     (Raytracing.hlsl:191,377)."""
@@ -322,6 +323,7 @@ def render_sample_radiance(
                               primary_hit=primary_hit)
         return rad, rc
     (acc, rays) = lax.fori_loop(
-        0, spp, one, (jnp.zeros_like(origin), jnp.zeros((), jnp.float32))
+        0, spp, one,
+        (Vec3.zeros((origin.shape[0],)), jnp.zeros((), jnp.float32)),
     )
-    return acc / spp, rays
+    return acc * (1.0 / spp), rays

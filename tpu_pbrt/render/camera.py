@@ -17,6 +17,8 @@ import jax.numpy as jnp
 
 from ..ops import math as pmath
 from ..ops import sampling
+from ..ops import vec
+from ..ops.vec import Vec3
 
 
 class CameraData(NamedTuple):
@@ -133,40 +135,52 @@ def generate_rays(cam: CameraData, width: int, height: int,
                   aperture_u: jnp.ndarray | None = None,
                   jitter: jnp.ndarray | None = None,
                   previous: bool = False):
-    """Primary rays for every pixel, flattened row-major to (W*H, 3).
+    """Primary rays for every pixel, flattened row-major, SoA.
 
     Pinhole when aperture_radius == 0, thin lens otherwise
-    (reference: Shaders/Camera.hlsli:32-54). Returns (origin, direction,
-    t_min, t_max)."""
-    px = jnp.arange(width, dtype=jnp.float32)
-    py = jnp.arange(height, dtype=jnp.float32)
-    gx, gy = jnp.meshgrid(px, py, indexing="xy")
-    pix = jnp.stack([gx.ravel(), gy.ravel()], axis=-1)
+    (reference: Shaders/Camera.hlsli:32-54). Returns
+    (origin: Vec3, direction: Vec3, t_min, t_max) of (W*H,) components."""
+    gx, gy = jnp.meshgrid(
+        jnp.arange(width, dtype=jnp.float32),
+        jnp.arange(height, dtype=jnp.float32),
+        indexing="xy",
+    )
+    px = gx.ravel()
+    py = gy.ravel()
 
     jit = cam.jitter if jitter is None else jitter
-    uv = pmath.calculate_uv(pix, (width, height), jit)
-    ndc = pmath.calculate_ndc(uv)
+    # UV -> NDC (Shaders/Math.hlsli:7-15)
+    ndc_x = (px + 0.5 + jit[0]) / width * 2.0 - 1.0
+    ndc_y = 1.0 - (py + 0.5 + jit[1]) / height * 2.0
 
     pos, right, up, fwd = (
         (cam.prev_position, cam.prev_right, cam.prev_up, cam.prev_forward)
         if previous else (cam.position, cam.right, cam.up, cam.forward)
     )
+    rightv = Vec3(right[0], right[1], right[2])
+    upv = Vec3(up[0], up[1], up[2])
+    fwdv = Vec3(fwd[0], fwd[1], fwd[2])
+    posv = Vec3(pos[0], pos[1], pos[2])
 
-    raw = ndc[:, 0:1] * right + ndc[:, 1:2] * up + fwd
-    n = pix.shape[0]
+    raw = rightv * ndc_x + upv * ndc_y + fwdv
+    n = px.shape[0]
 
     if aperture_u is not None:
-        disk = sampling.sample_concentric_disk(aperture_u)
-        rn = pmath.normalize(right[None, :])
-        un = pmath.normalize(up[None, :])
-        offset = (disk[:, 0:1] * rn + disk[:, 1:2] * un) * cam.aperture_radius
-        origin = pos[None, :] + offset
-        direction = pmath.normalize(raw * cam.focus_distance - offset)
-    else:
-        origin = jnp.broadcast_to(pos, (n, 3))
-        direction = pmath.normalize(raw)
+        from ..ops.bxdf import _sample_concentric_disk
 
-    inv_cos = 1.0 / jnp.maximum(pmath.dot(direction, fwd[None, :] / jnp.linalg.norm(fwd)), 1e-6)
+        dx, dy = _sample_concentric_disk(aperture_u[:, 0], aperture_u[:, 1])
+        rn = vec.normalize(rightv)
+        un = vec.normalize(upv)
+        offset = (rn * dx + un * dy) * cam.aperture_radius
+        origin = offset + posv
+        direction = vec.normalize(raw * cam.focus_distance - offset)
+    else:
+        ones = jnp.ones((n,), jnp.float32)
+        origin = Vec3(pos[0] * ones, pos[1] * ones, pos[2] * ones)
+        direction = vec.normalize(Vec3.splat(ones) * raw)
+
+    fwd_unit = vec.normalize(fwdv)
+    inv_cos = 1.0 / jnp.maximum(vec.dot(direction, fwd_unit), 1e-6)
     t_min = cam.near * inv_cos
     t_max = jnp.where(jnp.isinf(cam.far), jnp.inf, cam.far * inv_cos)
     return origin, direction, t_min, t_max

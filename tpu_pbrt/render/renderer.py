@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from ..ops import math as pmath
-from ..ops import tonemap, tracer as tracer_mod, traverse
+from ..ops import tonemap, tracer as tracer_mod, traverse, vec
 from ..ops.sampling import camera_jitter
 from ..passes import gbuffer as gbuffer_mod
 from ..passes import pathtrace
@@ -86,24 +86,29 @@ def _render_frame(tracer, scene: Scene, cam: CameraData, frame,
     px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
     py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
 
-    pix = jnp.stack([px, py], axis=-1).astype(jnp.float32)
-    pixel_uv = pmath.calculate_uv(pix, (width, height), cam.jitter)
+    pixel_u = (px.astype(jnp.float32) + 0.5 + cam.jitter[0]) / width
+    pixel_v = (py.astype(jnp.float32) + 0.5 + cam.jitter[1]) / height
     gb = gbuffer_mod.generate(
-        tracer, scene, cam, origin, direction, t_min, t_max, pixel_uv,
-        (width, height),
+        tracer, scene, cam, origin, direction, t_min, t_max,
+        pixel_u, pixel_v, (width, height),
+    )
+    fwd = vec.normalize(
+        vec.Vec3(cam.forward[0], cam.forward[1], cam.forward[2])
     )
     primary = traverse.Hit(
-        t=jnp.where(gb.valid, gb.depth / jnp.maximum(
-            pmath.dot(direction, cam.forward[None, :] / jnp.linalg.norm(cam.forward)),
-            1e-8), jnp.inf),
-        u=gb.bary[:, 0], v=gb.bary[:, 1], tri=gb.tri,
+        t=jnp.where(
+            gb.valid,
+            gb.depth / jnp.maximum(vec.dot(direction, fwd), 1e-8),
+            jnp.inf,
+        ),
+        u=gb.bary_u, v=gb.bary_v, tri=gb.tri,
     )
     radiance, ray_count = pathtrace.render_sample_radiance(
         tracer, scene, origin, direction, t_min, t_max, px, py, frame,
         settings, primary_hit=primary,
     )
     ray_count = ray_count + origin.shape[0]  # the G-buffer primary rays
-    out = radiance.reshape(height, width, 3)
+    out = radiance.to_array().reshape(height, width, 3)
     if with_gbuffer:
         return out, ray_count, gb
     return out, ray_count
