@@ -1,0 +1,150 @@
+"""ReSTIR DI correctness: reservoir math + agreement with ground-truth
+direct lighting."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+from tpu_pbrt.ops import tracer as tracer_mod, vec
+from tpu_pbrt.passes import gbuffer as gbuffer_mod
+from tpu_pbrt.passes import restir
+from tpu_pbrt.render.camera import generate_rays
+
+
+W = H = 32
+
+
+@pytest.fixture(scope="module")
+def setup():
+    scene = make_cornell_box()
+    cam = make_cornell_camera(W, H).data()
+    v0, v1, v2 = scene.geometry.triangle_vertices()
+    trc = tracer_mod.build(v0, v1, v2)
+    o, d, tmin, tmax = generate_rays(cam, W, H)
+    px = jnp.tile(jnp.arange(W, dtype=jnp.uint32), H)
+    py = jnp.repeat(jnp.arange(H, dtype=jnp.uint32), W)
+    pu = (px.astype(jnp.float32) + 0.5) / W
+    pv = (py.astype(jnp.float32) + 0.5) / H
+    gb = gbuffer_mod.generate(trc, scene, cam, o, d, tmin, tmax, pu, pv,
+                              (W, H))
+    view = -d
+    return scene, trc, gb, view, px, py
+
+
+def reference_direct(scene, trc, gb, view, px, py, frames=400):
+    """Ground-truth direct lighting by brute-force light sampling (the same
+    estimator ReSTIR must converge to)."""
+    from tpu_pbrt.passes import lights as lights_mod
+    from tpu_pbrt.ops import bxdf, rng
+
+    b = restir._surface_from_gbuffer(scene, gb, view)[0]
+    sv = restir._surface_from_gbuffer(scene, gb, view)[1]
+    acc = np.zeros((gb.depth.shape[0], 3))
+    for f in range(frames):
+        u3 = rng.uniform4(px, py, 7777 + f, 0)
+        ls = lights_mod.sample(scene.lights, u3)
+        to_l = ls.position - gb.position
+        dist = vec.length(to_l)
+        wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
+        cos_l = jnp.maximum(-vec.dot(ls.normal, wi), 0.0)
+        pdf_sa = ls.pdf_area * dist * dist / jnp.maximum(cos_l, 1e-6)
+        w = bxdf.lobe_weights(b, sv, view)
+        fd, fs = bxdf.evaluate_combined(b, sv, wi, view, w)
+        origin = vec.safe_spawn_offset(gb.position, gb.flat_normal, wi)
+        live = gb.valid & (cos_l > 1e-6)
+        occ = trc.any_hit(origin, wi, 0.0,
+                          jnp.where(live, dist * (1 - 1e-3), -jnp.inf))
+        contrib = (fd + fs) * ls.radiance * (1.0 / jnp.maximum(pdf_sa, 1e-20))
+        out = vec.where(live & ~occ & (pdf_sa > 0), contrib, vec.Vec3.splat(0.0))
+        acc += np.asarray(out.to_array())
+    return acc / frames
+
+
+class TestReservoir:
+    def test_merge_selects_proportionally(self):
+        import jax
+
+        n = 1 << 15
+        res = restir.Reservoir.empty(n)
+        key = jax.random.PRNGKey(0)
+        # two candidates with weights 1 and 3 -> second picked 75%
+        u1 = jax.random.uniform(key, (n,))
+        res = restir._merge(res, jnp.zeros((n,), jnp.int32),
+                            jnp.zeros((n,)), jnp.zeros((n,)),
+                            jnp.ones((n,)), u1)
+        u2 = jax.random.uniform(jax.random.PRNGKey(1), (n,))
+        res = restir._merge(res, jnp.ones((n,), jnp.int32),
+                            jnp.zeros((n,)), jnp.zeros((n,)),
+                            3.0 * jnp.ones((n,)), u2)
+        frac1 = float((res.light == 1).mean())
+        assert abs(frac1 - 0.75) < 0.02
+        np.testing.assert_allclose(np.asarray(res.m), 2.0)
+        np.testing.assert_allclose(np.asarray(res.w_sum), 4.0)
+
+    def test_initial_sampling_valid(self, setup):
+        scene, trc, gb, view, px, py = setup
+        res = restir.initial_sampling(
+            scene, gb, view, trc, px, py, 0, restir.ReSTIRSettings())
+        assert bool(jnp.all(res.m == restir.ReSTIRSettings().initial_light_samples))
+        assert bool(jnp.all(jnp.isfinite(res.w)))
+        assert float(res.w.max()) > 0  # someone sees the light
+
+
+class TestConvergence:
+    def test_restir_matches_reference_direct(self, setup):
+        scene, trc, gb, view, px, py = setup
+        ref = reference_direct(scene, trc, gb, view, px, py, frames=300)
+
+        settings = restir.ReSTIRSettings(spatial_samples=2)
+        state = restir.ReSTIRState.empty(gb.depth.shape[0])
+        acc = np.zeros_like(ref)
+        frames = 60
+        for f in range(frames):
+            (diff, spec), state = restir.render_direct_lighting(
+                scene, gb, view, trc, state, px, py, f, W, H, settings)
+            acc += np.asarray((diff + spec).to_array())
+        got = acc / frames
+
+        # compare means over lit pixels (reservoir reuse is slightly biased
+        # by design — the reference's "basic" mode; tolerance reflects that)
+        mask = ref.mean(-1) > 0.01
+        rel = abs(got[mask].mean() / ref[mask].mean() - 1.0)
+        assert rel < 0.15, (got[mask].mean(), ref[mask].mean())
+
+    def test_restir_lower_variance_than_one_light_sample(self, setup):
+        scene, trc, gb, view, px, py = setup
+        from tpu_pbrt.passes import lights as lights_mod
+        from tpu_pbrt.ops import bxdf, rng
+
+        settings = restir.ReSTIRSettings()
+        state = restir.ReSTIRState.empty(gb.depth.shape[0])
+        outs = []
+        for f in range(12):
+            (diff, spec), state = restir.render_direct_lighting(
+                scene, gb, view, trc, state, px, py, f, W, H, settings)
+            outs.append(np.asarray((diff + spec).to_array()))
+        restir_var = np.stack(outs[4:]).var(0).mean()
+
+        naive = []
+        for f in range(8):
+            b, sv = restir._surface_from_gbuffer(scene, gb, view)
+            u3 = rng.uniform4(px, py, 999 + f, 0)
+            ls = lights_mod.sample(scene.lights, u3)
+            to_l = ls.position - gb.position
+            dist = vec.length(to_l)
+            wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
+            cos_l = jnp.maximum(-vec.dot(ls.normal, wi), 0.0)
+            pdf_sa = ls.pdf_area * dist * dist / jnp.maximum(cos_l, 1e-6)
+            w = bxdf.lobe_weights(b, sv, view)
+            fd, fs = bxdf.evaluate_combined(b, sv, wi, view, w)
+            origin = vec.safe_spawn_offset(gb.position, gb.flat_normal, wi)
+            live = gb.valid & (cos_l > 1e-6)
+            occ = trc.any_hit(origin, wi, 0.0,
+                              jnp.where(live, dist * (1 - 1e-3), -jnp.inf))
+            contrib = (fd + fs) * ls.radiance * (1.0 / jnp.maximum(pdf_sa, 1e-20))
+            out = vec.where(live & ~occ & (pdf_sa > 0), contrib,
+                            vec.Vec3.splat(0.0))
+            naive.append(np.asarray(out.to_array()))
+        naive_var = np.stack(naive).var(0).mean()
+        assert restir_var < 0.5 * naive_var, (restir_var, naive_var)

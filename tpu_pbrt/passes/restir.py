@@ -1,0 +1,331 @@
+"""ReSTIR DI: reservoir-based direct-light sampling (initial candidates,
+temporal reuse, spatial reuse, final shading).
+
+Capability mirror of the reference's RTXDI integration
+(reference: Source/RTXDI.ixx:141-241 — LocalLightPresampling/ReGIR/
+InitialSampling/TemporalResampling/SpatialResampling/FinalShading pipeline;
+Shaders/DIInitialSampling.hlsl, DITemporalResampling.hlsl,
+DISpatialResampling.hlsl, DIFinalShading.hlsl; Shaders/RTXDIAppBridge.hlsli
+surface/brdf callbacks). TPU re-design:
+
+  * reservoirs are SoA arrays over the pixel pool — light index + sample
+    barycentrics + stream statistics (w_sum, M, W), merged branchlessly;
+  * the RIS power-PDF mip pyramid becomes the light table's prefix-sum CDF
+    (passes/lights.py) — same distribution, sort-free on TPU;
+  * temporal reuse reprojects via the G-buffer motion vectors with
+    depth/normal disocclusion tests (RTXDIAppBridge.hlsli:297-376);
+  * spatial reuse taps a per-frame jittered disc of neighbors
+    (DISpatialResampling.hlsl semantics) with the same geometry tests;
+  * final shading traces one visibility ray for the winning sample and
+    splits the result into diffuse/specular for the denoiser
+    (DIFinalShading.hlsl:27-103).
+
+Weighting uses streaming RIS with 1/M normalization and clamped history
+(the reference's default "basic" bias-correction mode) — visibility-driven
+darkening at disocclusions is bounded by the M-clamp exactly as in RTXDI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..models.scene import Scene
+from ..ops import bxdf, rng, vec
+from ..ops.vec import Vec3
+from .gbuffer import GBuffer
+
+
+@dataclasses.dataclass(frozen=True)
+class ReSTIRSettings:
+    """Defaults follow the reference (MyAppData.h:192-246)."""
+    initial_light_samples: int = 8      # ReGIR/local-light candidates
+    initial_brdf_samples: int = 1
+    temporal: bool = True
+    spatial: bool = True
+    spatial_samples: int = 2            # neighbor taps
+    spatial_radius: float = 30.0        # pixels
+    max_history: float = 20.0           # M-clamp (x initial M)
+    initial_visibility: bool = True     # DIInitialSampling.hlsl:51-57
+
+
+class Reservoir(NamedTuple):
+    """Per-pixel DI reservoir (RTXDI packed reservoir analogue)."""
+    light: jnp.ndarray    # (R,) i32 light index, -1 = empty
+    u: jnp.ndarray        # (R,) sample barycentric u (sqrt-warped space)
+    v: jnp.ndarray        # (R,)
+    w_sum: jnp.ndarray    # (R,) sum of RIS weights
+    m: jnp.ndarray        # (R,) candidate count
+    w: jnp.ndarray        # (R,) unbiased contribution weight W
+
+    @classmethod
+    def empty(cls, r: int) -> "Reservoir":
+        z = jnp.zeros((r,))
+        return cls(jnp.full((r,), -1, jnp.int32), z, z, z, z, z)
+
+
+def _light_point(scene: Scene, light, u, v):
+    """Reconstruct the sampled point on light `light` from stored (u, v)
+    (sqrt-warped barycentrics, Shaders/Math.hlsli:41-45)."""
+    s = jnp.sqrt(u)
+    b0 = s * (1.0 - v)
+    b1 = s * v
+    li = jnp.maximum(light, 0)
+    pos = (
+        vec.gather(scene.lights.v0, li)
+        + vec.gather(scene.lights.e1, li) * b0
+        + vec.gather(scene.lights.e2, li) * b1
+    )
+    normal = vec.gather(scene.lights.normal, li)
+    radiance = vec.gather(scene.lights.radiance, li)
+    return pos, normal, radiance
+
+
+def _target_pdf(scene: Scene, b: bxdf.BSDF, sv: bxdf.SurfaceVectors,
+                view: Vec3, position: Vec3, light, u, v):
+    """p-hat: luminance of the unshadowed contribution f * Le * G
+    (RTXDIAppBridge.hlsli target-pdf callback semantics)."""
+    lpos, lnrm, lrad = _light_point(scene, light, u, v)
+    to_l = lpos - position
+    dist2 = jnp.maximum(vec.dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l * (1.0 / dist)
+    cos_light = -vec.dot(lnrm, wi)
+    weights = bxdf.lobe_weights(b, sv, view)
+    f_d, f_s = bxdf.evaluate_combined(b, sv, wi, view, weights)
+    f = f_d + f_s
+    g = jnp.maximum(cos_light, 0.0) / dist2
+    p_hat = vec.luminance(f * lrad) * g
+    return jnp.where((light >= 0) & (cos_light > 0.0), p_hat, 0.0), wi, dist
+
+
+def _merge(res: Reservoir, cand_light, cand_u, cand_v, weight, rand,
+           cand_m=1.0):
+    """Branchless streaming-RIS reservoir update."""
+    w_sum = res.w_sum + weight
+    take = (rand * jnp.maximum(w_sum, 1e-20)) < weight
+    return Reservoir(
+        light=jnp.where(take, cand_light, res.light),
+        u=jnp.where(take, cand_u, res.u),
+        v=jnp.where(take, cand_v, res.v),
+        w_sum=w_sum,
+        m=res.m + cand_m,
+        w=res.w,
+    )
+
+
+def _surface_from_gbuffer(scene: Scene, gb: GBuffer, view: Vec3):
+    b = bxdf.make_bsdf(gb.base_color, gb.metallic, gb.roughness, gb.ior,
+                       gb.transmission, gb.is_front_face)
+    sv = bxdf.make_surface_vectors(gb.is_front_face, gb.geometric_normal,
+                                   gb.shading_normal)
+    return b, sv
+
+
+def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
+                     px, py, frame, settings: ReSTIRSettings) -> Reservoir:
+    """Candidate generation: N power-sampled light candidates streamed into
+    a reservoir (DIInitialSampling.hlsl / RTXDI_SampleLightsForSurface);
+    optional initial visibility on the winner."""
+    r = gb.depth.shape[0]
+    b, sv = _surface_from_gbuffer(scene, gb, view)
+    res = Reservoir.empty(r)
+
+    for k in range(settings.initial_light_samples):
+        u4 = rng.uniform4(px, py, frame, 100 + k)
+        li = jnp.searchsorted(scene.lights.cdf, u4[:, 0]).astype(jnp.int32)
+        li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
+        total = jnp.sum(scene.lights.power)
+        select_pdf = scene.lights.power[li] / jnp.maximum(total, 1e-20)
+        pdf_area = select_pdf / jnp.maximum(scene.lights.area[li], 1e-20)
+
+        p_hat, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                  li, u4[:, 1], u4[:, 2])
+        # RIS weight in area measure: p_hat expressed w.r.t. area via G
+        w = jnp.where(pdf_area > 0, p_hat / jnp.maximum(pdf_area, 1e-20), 0.0)
+        w = jnp.where(
+            gb.valid & (scene.lights.count > 0), w, 0.0
+        )
+        res = _merge(res, li, u4[:, 1], u4[:, 2], w, u4[:, 3])
+
+    res = finalize(scene, b, sv, view, gb.position, res)
+
+    if settings.initial_visibility:
+        lpos, _, _ = _light_point(scene, res.light, res.u, res.v)
+        to_l = lpos - gb.position
+        dist = vec.length(to_l)
+        wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
+        origin = vec.safe_spawn_offset(gb.position, gb.flat_normal, wi)
+        occluded = tracer.any_hit(
+            origin, wi, 0.0,
+            jnp.where(gb.valid & (res.light >= 0), dist * (1.0 - 1e-3),
+                      -jnp.inf),
+        )
+        res = res._replace(w=jnp.where(occluded, 0.0, res.w))
+    return res
+
+
+def finalize(scene, b, sv, view, position, res: Reservoir) -> Reservoir:
+    """Compute the unbiased contribution weight W = w_sum / (M * p_hat)."""
+    p_hat, _, _ = _target_pdf(scene, b, sv, view, position,
+                              res.light, res.u, res.v)
+    w = jnp.where(
+        (p_hat > 0) & (res.m > 0),
+        res.w_sum / jnp.maximum(res.m * p_hat, 1e-20),
+        0.0,
+    )
+    return res._replace(w=w)
+
+
+def _reproject_nearest(field, prev_x, prev_y, width, height):
+    """Nearest-pixel gather of a (R,) field laid out row-major."""
+    xi = jnp.clip(jnp.round(prev_x).astype(jnp.int32), 0, width - 1)
+    yi = jnp.clip(jnp.round(prev_y).astype(jnp.int32), 0, height - 1)
+    return field[yi * width + xi], (
+        (prev_x >= 0) & (prev_x <= width - 1)
+        & (prev_y >= 0) & (prev_y <= height - 1)
+    )
+
+
+def _geometry_similar(gb: GBuffer, prev_depth, prev_normal: Vec3,
+                      depth_tol=0.1, normal_tol=0.9):
+    """Disocclusion test (RTXDIAppBridge.hlsli:371-376 material/geometry
+    similarity)."""
+    depth_ok = jnp.abs(prev_depth - gb.depth) <= depth_tol * jnp.maximum(
+        jnp.abs(gb.depth), 1e-3)
+    normal_ok = vec.dot(prev_normal, gb.shading_normal) >= normal_tol
+    return depth_ok & normal_ok & jnp.isfinite(prev_depth)
+
+
+class ReSTIRState(NamedTuple):
+    """Cross-frame state: previous reservoirs + previous geometry."""
+    reservoir: Reservoir
+    depth: jnp.ndarray      # (R,)
+    normal: Vec3            # (R,) x3
+
+    @classmethod
+    def empty(cls, r: int) -> "ReSTIRState":
+        return cls(Reservoir.empty(r), jnp.full((r,), jnp.inf),
+                   Vec3.zeros((r,)))
+
+
+def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
+                        state: ReSTIRState, cur: Reservoir,
+                        px, py, frame, width, height,
+                        settings: ReSTIRSettings) -> Reservoir:
+    """Motion-guided temporal reuse (DITemporalResampling.hlsl)."""
+    b, sv = _surface_from_gbuffer(scene, gb, view)
+    prev_x = px.astype(jnp.float32) + gb.motion_x
+    prev_y = py.astype(jnp.float32) + gb.motion_y
+
+    prev = state.reservoir
+    p_light, in_b = _reproject_nearest(prev.light, prev_x, prev_y, width, height)
+    p_u, _ = _reproject_nearest(prev.u, prev_x, prev_y, width, height)
+    p_v, _ = _reproject_nearest(prev.v, prev_x, prev_y, width, height)
+    p_w, _ = _reproject_nearest(prev.w, prev_x, prev_y, width, height)
+    p_m, _ = _reproject_nearest(prev.m, prev_x, prev_y, width, height)
+    pd, _ = _reproject_nearest(state.depth, prev_x, prev_y, width, height)
+    pn = Vec3(
+        _reproject_nearest(state.normal.x, prev_x, prev_y, width, height)[0],
+        _reproject_nearest(state.normal.y, prev_x, prev_y, width, height)[0],
+        _reproject_nearest(state.normal.z, prev_x, prev_y, width, height)[0],
+    )
+    valid_hist = in_b & _geometry_similar(gb, pd, pn) & (p_light >= 0) & gb.valid
+
+    # clamp history (RTXDI maxHistoryLength)
+    m_clamp = settings.max_history * jnp.maximum(cur.m, 1.0)
+    p_m = jnp.minimum(p_m, m_clamp)
+
+    # re-evaluate the previous sample's target pdf at the current surface
+    p_hat_prev, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                   p_light, p_u, p_v)
+    w_prev = jnp.where(valid_hist, p_hat_prev * p_w * p_m, 0.0)
+
+    u = rng.uniform4(px, py, frame, 200)
+    merged = _merge(cur, p_light, p_u, p_v, w_prev, u[:, 0],
+                    cand_m=jnp.where(valid_hist, p_m, 0.0))
+    return finalize(scene, b, sv, view, gb.position, merged)
+
+
+def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
+                       cur: Reservoir, px, py, frame, width, height,
+                       settings: ReSTIRSettings) -> Reservoir:
+    """Neighbor-disc spatial reuse (DISpatialResampling.hlsl)."""
+    b, sv = _surface_from_gbuffer(scene, gb, view)
+    res = cur
+    for k in range(settings.spatial_samples):
+        u4 = rng.uniform4(px, py, frame, 300 + k)
+        ang = 2.0 * jnp.pi * u4[:, 0]
+        rad = settings.spatial_radius * jnp.sqrt(u4[:, 1])
+        nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
+        ny = py.astype(jnp.float32) + jnp.sin(ang) * rad
+
+        n_light, in_b = _reproject_nearest(cur.light, nx, ny, width, height)
+        n_u, _ = _reproject_nearest(cur.u, nx, ny, width, height)
+        n_v, _ = _reproject_nearest(cur.v, nx, ny, width, height)
+        n_w, _ = _reproject_nearest(cur.w, nx, ny, width, height)
+        n_m, _ = _reproject_nearest(cur.m, nx, ny, width, height)
+        nd, _ = _reproject_nearest(gb.depth, nx, ny, width, height)
+        nn = Vec3(
+            _reproject_nearest(gb.shading_normal.x, nx, ny, width, height)[0],
+            _reproject_nearest(gb.shading_normal.y, nx, ny, width, height)[0],
+            _reproject_nearest(gb.shading_normal.z, nx, ny, width, height)[0],
+        )
+        ok = in_b & _geometry_similar(gb, nd, nn) & (n_light >= 0) & gb.valid
+
+        p_hat_n, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                    n_light, n_u, n_v)
+        w_n = jnp.where(ok, p_hat_n * n_w * n_m, 0.0)
+        res = _merge(res, n_light, n_u, n_v, w_n, u4[:, 2],
+                     cand_m=jnp.where(ok, n_m, 0.0))
+    return finalize(scene, b, sv, view, gb.position, res)
+
+
+def final_shading(scene: Scene, gb: GBuffer, view: Vec3, tracer,
+                  res: Reservoir):
+    """Shade the winning sample with a visibility ray; returns
+    (diffuse: Vec3, specular: Vec3) for the denoiser demux
+    (DIFinalShading.hlsl:27-103)."""
+    b, sv = _surface_from_gbuffer(scene, gb, view)
+    lpos, lnrm, lrad = _light_point(scene, res.light, res.u, res.v)
+    to_l = lpos - gb.position
+    dist2 = jnp.maximum(vec.dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(dist2)
+    wi = to_l * (1.0 / dist)
+    cos_light = jnp.maximum(-vec.dot(lnrm, wi), 0.0)
+    g = cos_light / dist2
+
+    weights = bxdf.lobe_weights(b, sv, view)
+    f_d, f_s = bxdf.evaluate_combined(b, sv, wi, view, weights)
+
+    live = gb.valid & (res.light >= 0) & (res.w > 0.0) & (cos_light > 0.0)
+    origin = vec.safe_spawn_offset(gb.position, gb.flat_normal, wi)
+    occluded = tracer.any_hit(
+        origin, wi, 0.0,
+        jnp.where(live, dist * (1.0 - 1e-3), -jnp.inf),
+    )
+    scale = jnp.where(live & ~occluded, g * res.w, 0.0)
+    diffuse = f_d * lrad * scale
+    specular = f_s * lrad * scale
+    return diffuse, specular
+
+
+def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
+                           state: ReSTIRState, px, py, frame, width, height,
+                           settings: ReSTIRSettings = ReSTIRSettings()):
+    """The full per-frame ReSTIR DI pipeline (RTXDI.ixx:207-241 order).
+    Returns ((diffuse, specular), new state)."""
+    res = initial_sampling(scene, gb, view, tracer, px, py, frame, settings)
+    if settings.temporal:
+        res = temporal_resampling(scene, gb, view, state, res, px, py, frame,
+                                  width, height, settings)
+    if settings.spatial:
+        res = spatial_resampling(scene, gb, view, res, px, py, frame,
+                                 width, height, settings)
+    out = final_shading(scene, gb, view, tracer, res)
+    new_state = ReSTIRState(reservoir=res, depth=gb.depth,
+                            normal=gb.shading_normal)
+    return out, new_state
