@@ -22,8 +22,7 @@ def cornell_gbuffer():
     scene = make_cornell_box()
     cam_ctl = make_cornell_camera(w, h)
     cam = cam_ctl.data()
-    v0, v1, v2 = scene.geometry.triangle_vertices()
-    trc = tracer_mod.build(v0, v1, v2)
+    trc = tracer_mod.build_for_scene(scene)
     o, d, tmin, tmax = generate_rays(cam, w, h)
     px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)

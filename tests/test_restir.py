@@ -19,8 +19,7 @@ W = H = 32
 def setup():
     scene = make_cornell_box()
     cam = make_cornell_camera(W, H).data()
-    v0, v1, v2 = scene.geometry.triangle_vertices()
-    trc = tracer_mod.build(v0, v1, v2)
+    trc = tracer_mod.build_for_scene(scene)
     o, d, tmin, tmax = generate_rays(cam, W, H)
     px = jnp.tile(jnp.arange(W, dtype=jnp.uint32), H)
     py = jnp.repeat(jnp.arange(H, dtype=jnp.uint32), W)

@@ -1,0 +1,264 @@
+"""Packed per-triangle shade table: ONE wide row-gather per hit.
+
+Why: on this TPU/XLA stack, each additional dynamic gather inside a fused
+loop body costs ~25 ms per 2M lanes (measured; they appear to lower to
+serialized row loops), while ONE row-gather of a wide (T, 64) table costs
+~5 ms total. So everything shading needs at a hit — triangle geometry,
+vertex normals/tangents/UVs, material constants, emission, NEE-MIS light
+pdf — is packed into a single f32 table row, fetched once per bounce, and
+unpacked with pure elementwise math.
+
+This replaces the reference's bindless descriptor-heap fetch chain
+(reference: Shaders/RaytracingHelpers.hlsli:59-133 vertex loads +
+Shaders/ShadingHelpers.hlsli material/texture loads + g_objectData lookups,
+Source/CommonShaderData.ixx:14-40) with the TPU equivalent of one coalesced
+"object data" read.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from .vec import Vec3
+
+# column layout
+_P0 = 0       # 3: triangle base vertex
+_E1 = 3       # 3: edge 1
+_E2 = 6       # 3: edge 2
+_N0 = 9       # 9: vertex normals
+_T0 = 18      # 9: vertex tangents
+_UV = 27      # 6: vertex uv (u0,v0,u1,v1,u2,v2)
+_MAT = 33     # material id
+_OBJ = 34     # object id
+_TRI = 35     # original triangle id (-1 padding)
+_EMIT = 36    # 3: emissive radiance
+_BASE = 39    # 3: base color rgb
+_METAL = 42
+_ROUGH = 43
+_IOR = 44
+_TRANS = 45
+_LPDF = 46    # NEE area-measure pdf of this triangle (0 if not a light)
+_ALPHA_MODE = 47
+COLS = 48
+
+
+def build(geometry, materials, lights) -> np.ndarray:
+    """(T, COLS) float32, numpy (host-side, one device transfer)."""
+    pos = np.asarray(geometry.positions, np.float32)
+    nrm = np.asarray(geometry.normals, np.float32)
+    tan = np.asarray(geometry.tangents, np.float32)[:, :3]
+    uv = np.asarray(geometry.uv0, np.float32)
+    ind = np.asarray(geometry.indices, np.int32)
+    mat = np.asarray(geometry.tri_material, np.int32)
+    obj = np.asarray(geometry.tri_object, np.int32)
+
+    t = ind.shape[0]
+    out = np.zeros((t, COLS), np.float32)
+    i0, i1, i2 = ind[:, 0], ind[:, 1], ind[:, 2]
+    out[:, _P0:_P0 + 3] = pos[i0]
+    out[:, _E1:_E1 + 3] = pos[i1] - pos[i0]
+    out[:, _E2:_E2 + 3] = pos[i2] - pos[i0]
+    out[:, _N0:_N0 + 3] = nrm[i0]
+    out[:, _N0 + 3:_N0 + 6] = nrm[i1]
+    out[:, _N0 + 6:_N0 + 9] = nrm[i2]
+    out[:, _T0:_T0 + 3] = tan[i0]
+    out[:, _T0 + 3:_T0 + 6] = tan[i1]
+    out[:, _T0 + 6:_T0 + 9] = tan[i2]
+    out[:, _UV:_UV + 2] = uv[i0]
+    out[:, _UV + 2:_UV + 4] = uv[i1]
+    out[:, _UV + 4:_UV + 6] = uv[i2]
+    out[:, _MAT] = mat
+    out[:, _OBJ] = obj
+    out[:, _TRI] = np.arange(t, dtype=np.float32)
+
+    m_base = np.asarray(materials.base_color, np.float32)[:, :3]
+    m_emit = np.asarray(materials.emissive, np.float32)
+    m_metal = np.asarray(materials.metallic, np.float32)
+    m_rough = np.asarray(materials.roughness, np.float32)
+    m_ior = np.asarray(materials.ior, np.float32)
+    m_trans = np.asarray(materials.transmission, np.float32)
+    m_alpha = np.asarray(materials.alpha_mode, np.float32)
+    out[:, _EMIT:_EMIT + 3] = m_emit[mat]
+    out[:, _BASE:_BASE + 3] = m_base[mat]
+    out[:, _METAL] = m_metal[mat]
+    out[:, _ROUGH] = m_rough[mat]
+    out[:, _IOR] = m_ior[mat]
+    # fully-metallic kills transmission (Raytracing.hlsl:146)
+    out[:, _TRANS] = np.where(m_metal[mat] < 1.0, m_trans[mat], 0.0)
+    out[:, _ALPHA_MODE] = m_alpha[mat]
+
+    # NEE MIS: area-measure pdf this triangle would have under power
+    # sampling (passes/lights.py) — folded in so emission MIS costs no
+    # extra gather
+    t2l = np.asarray(lights.tri_to_light, np.int32)
+    power = np.asarray(lights.power, np.float32)
+    area = np.asarray(lights.area, np.float32)
+    total = max(float(power.sum()), 1e-20)
+    li = np.maximum(t2l, 0)
+    lpdf = np.where(
+        t2l >= 0, power[li] / total / np.maximum(area[li], 1e-20), 0.0
+    )
+    out[:, _LPDF] = lpdf
+    return out
+
+
+def pad(table: np.ndarray, chunk: int = 128) -> np.ndarray:
+    t = table.shape[0]
+    padn = (-t) % chunk
+    if padn:
+        padrows = np.zeros((padn, COLS), np.float32)
+        padrows[:, _TRI] = -1.0
+        table = np.concatenate([table, padrows])
+    return table
+
+
+class ShadeAttrs(NamedTuple):
+    """Unpacked hit attributes + material — everything `shade` consumes."""
+    position: Vec3
+    flat_normal: Vec3
+    shading_normal: Vec3
+    tangent: Vec3
+    uv_u: jnp.ndarray
+    uv_v: jnp.ndarray
+    is_front_face: jnp.ndarray
+    material: jnp.ndarray       # i32
+    object_id: jnp.ndarray      # i32
+    tri: jnp.ndarray            # i32 original triangle, -1 invalid
+    base_color: Vec3
+    emission: Vec3
+    metallic: jnp.ndarray
+    roughness: jnp.ndarray
+    ior: jnp.ndarray
+    transmission: jnp.ndarray
+    light_pdf_area: jnp.ndarray  # NEE MIS pdf of hitting this emitter
+    light_cos: jnp.ndarray       # cos at the emitting side w.r.t. the ray
+
+
+def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
+          ray_dir: Vec3, u: jnp.ndarray | None = None,
+          v: jnp.ndarray | None = None) -> ShadeAttrs:
+    """One row-gather + elementwise unpack/interpolate.
+
+    slot: (R,) padded-table row index (clamped >= 0 by caller). When u/v
+    are None the barycentrics are re-derived against the fetched triangle
+    (Möller–Trumbore on the winning row — cheaper than carrying them
+    through the traversal's minor-axis reductions)."""
+    from . import vec
+
+    row = table[slot]  # (R, COLS) — the single wide gather
+
+    def v3(c):
+        return Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
+
+    p0 = v3(_P0)
+    e1 = v3(_E1)
+    e2 = v3(_E2)
+    if u is None or v is None:
+        from . import intersect
+
+        _, u, v, _ = intersect.ray_triangle_soa(
+            ray_origin, ray_dir, p0, e1, e2, -jnp.inf, jnp.inf
+        )
+        u = jnp.clip(u, 0.0, 1.0)
+        v = jnp.clip(v, 0.0, 1.0)
+    w = 1.0 - u - v
+    position = p0 + e1 * u + e2 * v
+
+    flat = vec.normalize(vec.cross(e1, e2))
+
+    n0 = v3(_N0)
+    n1 = v3(_N0 + 3)
+    n2 = v3(_N0 + 6)
+    shading = vec.normalize(n0 * w + n1 * u + n2 * v)
+
+    t0 = v3(_T0)
+    t1 = v3(_T0 + 3)
+    t2 = v3(_T0 + 6)
+    tangent = vec.normalize(t0 * w + t1 * u + t2 * v)
+
+    uv_u = row[:, _UV] * w + row[:, _UV + 2] * u + row[:, _UV + 4] * v
+    uv_v = row[:, _UV + 1] * w + row[:, _UV + 3] * u + row[:, _UV + 5] * v
+
+    # emitting-side cosine (lights emit from their winding side):
+    # cos = dot(flat_winding, -ray_dir)
+    light_cos = -vec.dot(flat, ray_dir)
+
+    # orient flat with the interpolated normal, then resolve front face
+    flat = vec.where(vec.dot(flat, shading) < 0.0, -flat, flat)
+    front = vec.dot(flat, ray_dir) < 0.0
+    shading = vec.where(front, shading, -shading)
+
+    return ShadeAttrs(
+        position=position,
+        flat_normal=flat,
+        shading_normal=shading,
+        tangent=tangent,
+        uv_u=uv_u,
+        uv_v=uv_v,
+        is_front_face=front,
+        material=row[:, _MAT].astype(jnp.int32),
+        object_id=row[:, _OBJ].astype(jnp.int32),
+        tri=row[:, _TRI].astype(jnp.int32),
+        base_color=v3(_BASE),
+        emission=v3(_EMIT),
+        metallic=row[:, _METAL],
+        roughness=row[:, _ROUGH],
+        ior=row[:, _IOR],
+        transmission=row[:, _TRANS],
+        light_pdf_area=row[:, _LPDF],
+        light_cos=light_cos,
+    )
+
+
+# ---------------------------------------------------------------------------
+# packed emissive-light table for NEE (one row-gather per light sample)
+# ---------------------------------------------------------------------------
+
+_LV0 = 0
+_LE1 = 3
+_LE2 = 6
+_LN = 9
+_LRAD = 12
+_LPDFA = 15
+LIGHT_COLS = 16
+
+
+def build_light_table(lights) -> np.ndarray:
+    """(L, 16) float32: v0, e1, e2, normal, radiance, area-pdf."""
+    n = np.asarray(lights.v0, np.float32).shape[0]
+    out = np.zeros((n, LIGHT_COLS), np.float32)
+    out[:, _LV0:_LV0 + 3] = np.asarray(lights.v0, np.float32)
+    out[:, _LE1:_LE1 + 3] = np.asarray(lights.e1, np.float32)
+    out[:, _LE2:_LE2 + 3] = np.asarray(lights.e2, np.float32)
+    out[:, _LN:_LN + 3] = np.asarray(lights.normal, np.float32)
+    out[:, _LRAD:_LRAD + 3] = np.asarray(lights.radiance, np.float32)
+    power = np.asarray(lights.power, np.float32)
+    area = np.asarray(lights.area, np.float32)
+    total = max(float(power.sum()), 1e-20)
+    out[:, _LPDFA] = power / total / np.maximum(area, 1e-20)
+    return out
+
+
+class LightFetch(NamedTuple):
+    position: Vec3
+    normal: Vec3
+    radiance: Vec3
+    pdf_area: jnp.ndarray
+
+
+def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> LightFetch:
+    """Power-CDF selection + one row-gather + uniform point."""
+    li = jnp.clip(jnp.searchsorted(cdf, u0), 0, table.shape[0] - 1)
+    row = table[li]
+
+    def v3(c):
+        return Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
+
+    s = jnp.sqrt(bary_u)
+    b0 = s * (1.0 - bary_v)
+    b1 = s * bary_v
+    pos = v3(_LV0) + v3(_LE1) * b0 + v3(_LE2) * b1
+    return LightFetch(pos, v3(_LN), v3(_LRAD), row[:, _LPDFA])

@@ -16,10 +16,12 @@ specializes to one backend with zero dispatch overhead.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 from . import bvh as bvh_mod
+from . import shade_table as shade_mod
 from . import traverse, traverse_dense
 
 DENSE_MAX_TRIS = 8192
@@ -27,16 +29,24 @@ DENSE_MAX_TRIS = 8192
 
 @jax.tree_util.register_pytree_node_class
 class Tracer:
-    def __init__(self, kind: str, accel):
+    """Acceleration structure + packed shade/light tables (one-row-gather
+    shading, see ops/shade_table.py)."""
+
+    def __init__(self, kind: str, accel, shade_table=None, light_table=None,
+                 light_cdf=None):
         self.kind = kind
         self.accel = accel
+        self.shade_table = shade_table
+        self.light_table = light_table
+        self.light_cdf = light_cdf
 
     def tree_flatten(self):
-        return (self.accel,), self.kind
+        return (self.accel, self.shade_table, self.light_table,
+                self.light_cdf), self.kind
 
     @classmethod
     def tree_unflatten(cls, kind, children):
-        return cls(kind, children[0])
+        return cls(kind, *children)
 
     def closest_hit(self, origin, direction, t_min, t_max) -> traverse.Hit:
         if self.kind == "dense":
@@ -54,13 +64,39 @@ class Tracer:
 
 
 def build(v0, v1, v2, kind: str | None = None) -> Tracer:
-    """Build the acceleration structure (BLAS-build equivalent). `kind`
-    None -> choose by triangle count."""
+    """Build the acceleration structure only (no shade tables — traversal
+    tests / refit paths). `kind` None -> choose by triangle count."""
     if kind is None:
         kind = "dense" if v0.shape[0] <= DENSE_MAX_TRIS else "bvh"
     if kind == "dense":
         return Tracer("dense", traverse_dense.prepare(v0, v1, v2))
     return Tracer("bvh", bvh_mod.build(v0, v1, v2))
+
+
+def build_for_scene(scene, kind: str | None = None) -> Tracer:
+    """Full build: acceleration structure + packed shade/light tables.
+    Host-side (numpy) table construction; the caller device-puts or jits
+    the accel build."""
+    geometry = scene.geometry
+    t = geometry.num_tris
+    if kind is None:
+        kind = "dense" if t <= DENSE_MAX_TRIS else "bvh"
+
+    table = shade_mod.build(geometry, scene.materials, scene.lights)
+    table = shade_mod.pad(table)
+    light_table = shade_mod.build_light_table(scene.lights)
+
+    pos = np.asarray(geometry.positions, np.float32)
+    ind = np.asarray(geometry.indices, np.int32)
+    v0, v1, v2 = pos[ind[:, 0]], pos[ind[:, 1]], pos[ind[:, 2]]
+    if kind == "dense":
+        accel = traverse_dense.prepare(jnp.asarray(v0), jnp.asarray(v1),
+                                       jnp.asarray(v2))
+    else:
+        accel = bvh_mod.build(jnp.asarray(v0), jnp.asarray(v1),
+                              jnp.asarray(v2))
+    return Tracer(kind, accel, jnp.asarray(table), jnp.asarray(light_table),
+                  jnp.asarray(np.asarray(scene.lights.cdf, np.float32)))
 
 
 def refit(tracer: Tracer, v0, v1, v2) -> Tracer:

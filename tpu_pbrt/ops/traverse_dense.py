@@ -104,35 +104,32 @@ def closest_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
     n_chunks = tp // chunk
 
     def body(c, carry):
-        best_t, best_u, best_v, best_i = carry
+        best_t, best_i = carry
         base = c * chunk
         cv0 = lax.dynamic_slice(tris.v0, (base, 0), (chunk, 3))
         ce1 = lax.dynamic_slice(tris.e1, (base, 0), (chunk, 3))
         ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
         t, u, v = _mt_chunk(origin, direction, cv0, ce1, ce2, t_min,
                             jnp.minimum(t_max, best_t))
+        # only (min, argmin) per chunk — barycentrics are re-derived at
+        # shade time from the winning triangle row (shade_table.fetch),
+        # which halves the minor-axis reductions here (profiled hot)
         j = jnp.argmin(t, axis=-1)
-        # minor-axis selects instead of take_along_axis (a per-lane gather,
-        # slow on TPU): pick the argmin column with a one-hot masked sum
-        onehot = j[:, None] == jnp.arange(chunk, dtype=jnp.int32)[None, :]
         tj = jnp.min(t, axis=-1)
-        uj = jnp.sum(jnp.where(onehot, u, 0.0), axis=-1)
-        vj = jnp.sum(jnp.where(onehot, v, 0.0), axis=-1)
         closer = tj < best_t
         best_t = jnp.where(closer, tj, best_t)
-        best_u = jnp.where(closer, uj, best_u)
-        best_v = jnp.where(closer, vj, best_v)
         best_i = jnp.where(closer, (base + j).astype(jnp.int32), best_i)
-        return best_t, best_u, best_v, best_i
+        return best_t, best_i
 
-    init = (
-        t_max, jnp.zeros((r,)), jnp.zeros((r,)),
-        jnp.full((r,), -1, jnp.int32),
-    )
-    best_t, best_u, best_v, best_i = lax.fori_loop(0, n_chunks, body, init)
+    init = (t_max, jnp.full((r,), -1, jnp.int32))
+    best_t, best_i = lax.fori_loop(0, n_chunks, body, init)
     found = best_i >= 0
-    tri = jnp.where(found, tris.tri_id[jnp.maximum(best_i, 0)], -1)
-    return Hit(jnp.where(found, best_t, INF), best_u, best_v, tri)
+    zeros = jnp.zeros((r,))
+    # rows are in original triangle order (prepare() only pads), so the
+    # winning row IS the triangle id — no gather needed. u/v are filled by
+    # the shade fetch.
+    return Hit(jnp.where(found, best_t, INF), zeros, zeros,
+               jnp.where(found, best_i, -1))
 
 
 def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,

@@ -19,9 +19,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from ..models.mesh import interpolate_hit
 from ..models.scene import Scene, environment_radiance
-from ..ops import vec
+from ..ops import shade_table, vec
 from ..ops.vec import Vec3
 from ..render.camera import CameraData
 
@@ -79,15 +78,11 @@ def generate(tracer, scene: Scene, cam: CameraData,
     """Trace primary rays and fill the G-buffer. pixel_u/v is the jittered
     UV each ray was generated from (for motion-vector deltas)."""
     hit = tracer.closest_hit(origin, direction, t_min, t_max)
-    attrs = interpolate_hit(
-        scene.geometry, hit.tri, hit.u, hit.v, origin, direction, hit.t
+    attrs = shade_table.fetch(
+        tracer.shade_table, jnp.maximum(hit.tri, 0), origin, direction
     )
-    m = attrs.material
-    mats = scene.materials
-
     env = environment_radiance(scene.environment, direction)
-    emissive = vec.gather(mats.emissive, m)
-    emission = vec.where(hit.mask, emissive, env)
+    emission = vec.where(hit.mask, attrs.emission, env)
 
     # linear view depth = t * dot(dir, forward_unit)
     fwd = vec.normalize(Vec3(cam.forward[0], cam.forward[1], cam.forward[2]))
@@ -109,18 +104,17 @@ def generate(tracer, scene: Scene, cam: CameraData,
         geometric_normal=geometric,
         shading_normal=attrs.shading_normal,
         is_front_face=attrs.is_front_face,
-        base_color=vec.gather(mats.base_color, m),
-        metallic=mats.metallic[m],
-        roughness=mats.roughness[m],
-        ior=mats.ior[m],
-        transmission=jnp.where(mats.metallic[m] < 1.0,
-                               mats.transmission[m], 0.0),
+        base_color=attrs.base_color,
+        metallic=attrs.metallic,
+        roughness=attrs.roughness,
+        ior=attrs.ior,
+        transmission=attrs.transmission,
         emission=emission,
         motion_x=motion_x,
         motion_y=motion_y,
-        uv0_u=attrs.uv0_u,
-        uv0_v=attrs.uv0_v,
-        material=m,
+        uv0_u=attrs.uv_u,
+        uv0_v=attrs.uv_v,
+        material=attrs.material,
         object_id=attrs.object_id,
         tri=hit.tri,
         bary_u=hit.u,

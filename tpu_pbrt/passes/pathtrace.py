@@ -31,12 +31,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.material import MaterialTable
-from ..models.mesh import interpolate_hit
 from ..models.scene import Scene, environment_radiance
-from ..ops import bxdf, rng, vec
+from ..ops import bxdf, rng, shade_table, vec
 from ..ops.traverse import Hit
 from ..ops.vec import Vec3
-from . import lights as lights_mod
 
 
 @dataclasses.dataclass(frozen=True)
@@ -70,21 +68,11 @@ class _PathState(NamedTuple):
     prev_bsdf_pdf: jnp.ndarray  # (R,) solid-angle pdf of the ray's direction
 
 
-def _fetch_bsdf(materials: MaterialTable, attrs):
-    """Gather material params at hit lanes (1-D component gathers) and build
-    the BSDF + emission."""
-    m = attrs.material
-    base_color = vec.gather(materials.base_color, m)  # rgb of rgba
-    metallic = materials.metallic[m]
-    roughness = materials.roughness[m]
-    ior = materials.ior[m]
-    # transmission disabled for fully-metallic like the reference
-    # (Raytracing.hlsl:146: metalness < 1 gate)
-    transmission = jnp.where(metallic < 1.0, materials.transmission[m], 0.0)
-    b = bxdf.make_bsdf(base_color, metallic, roughness, ior, transmission,
-                       attrs.is_front_face)
-    emission = vec.gather(materials.emissive, m)
-    return b, emission
+def _bsdf_from_attrs(attrs: shade_table.ShadeAttrs) -> bxdf.BSDF:
+    """BSDF from the packed shade-table row (material constants were folded
+    into the per-triangle table — zero extra gathers)."""
+    return bxdf.make_bsdf(attrs.base_color, attrs.metallic, attrs.roughness,
+                          attrs.ior, attrs.transmission, attrs.is_front_face)
 
 
 def trace(
@@ -106,8 +94,6 @@ def trace(
     (Shaders/Raytracing.hlsl:108). `primary_hit` (if given) supplies the
     bounce-0 hit from the G-buffer pass instead of retracing."""
     r = origin.shape[0]
-    geometry = scene.geometry
-    materials = scene.materials
 
     def draw(bounce, slot):
         counter = (sample_offset * 64 + slot) + bounce * 8
@@ -140,22 +126,21 @@ def trace(
             state.active & ~hit.mask, state.throughput * env, zero3
         )
 
-        # --- hit shading
-        attrs = interpolate_hit(
-            geometry, hit.tri, hit.u, hit.v, state.origin, state.direction,
-            hit.t,
+        # --- hit shading: ONE packed row-gather for all attributes
+        attrs = shade_table.fetch(
+            tracer.shade_table, jnp.maximum(hit.tri, 0),
+            state.origin, state.direction,
         )
-        b, emission = _fetch_bsdf(materials, attrs)
+        b = _bsdf_from_attrs(attrs)
+        emission = attrs.emission
 
         # --- emission pickup, MIS-weighted against NEE when enabled
         if settings.next_event_estimation:
-            li = scene.lights.tri_to_light[jnp.maximum(hit.tri, 0)]
-            n_l = vec.gather(scene.lights.normal, jnp.maximum(li, 0))
-            cos_l = -vec.dot(n_l, state.direction)
-            p_l_area = lights_mod.pdf_hit_area(scene.lights, hit.tri)
+            cos_l = attrs.light_cos
             p_l_sa = jnp.where(
                 cos_l > 1e-6,
-                p_l_area * hit.t * hit.t / jnp.maximum(cos_l, 1e-6), 0.0,
+                attrs.light_pdf_area * hit.t * hit.t
+                / jnp.maximum(cos_l, 1e-6), 0.0,
             )
             denom = state.prev_bsdf_pdf + p_l_sa
             w_emit = jnp.where(
@@ -180,7 +165,10 @@ def trace(
         nee_rays = jnp.zeros((), jnp.float32)
         if settings.next_event_estimation:
             u3 = draw(bounce, 2)
-            ls = lights_mod.sample(scene.lights, u3)
+            ls = shade_table.fetch_light(
+                tracer.light_table, tracer.light_cdf,
+                u3[:, 0], u3[:, 1], u3[:, 2],
+            )
             to_l = ls.position - attrs.position
             dist = vec.length(to_l)
             wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))

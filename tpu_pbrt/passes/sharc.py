@@ -1,0 +1,218 @@
+"""SHARC-style hash-grid radiance cache, reformulated sort-free-of-atomics.
+
+Capability mirror of the reference's RTXGI SHARC integration
+(reference: Source/SHARC.ixx:23-102 — 2^22-entry u64 hash grid with
+resolve/compaction passes, AccumulationFrames=10, MaxStaleFrames=64;
+Shaders/Raytracing.hlsl:175-316 — SHARC_UPDATE pass at 1/4 res writing path
+radiance into voxels + SHARC_QUERY pass terminating paths into cached
+radiance when the voxel footprint test passes; camera-centered logarithmic
+voxel levels via HashGridGetLevel).
+
+TPU re-design (SURVEY.md §7 step 9): the GPU's atomic CAS probing becomes
+**key sort + segment reduce**:
+
+  * update: the downscaled update trace records (voxel key, incident
+    radiance) per path vertex; suffix accumulation over the bounce axis
+    converts per-vertex throughput/emission records into per-vertex
+    *incident radiance* estimates, exactly what SharcUpdateHit accumulates;
+  * resolve: new records are sorted by key and segment-summed, then merged
+    with the persistent sorted table under an exponential-moving-average
+    with sample-count cap (the reference's accumulation-frames logic) and
+    stale-entry eviction;
+  * query: vectorized binary search (`searchsorted`) over the sorted key
+    table — 1-D gathers only, the TPU-fast lookup form.
+
+The table is double-buffered per frame exactly like the reference's
+voxel-buffer swap (Raytracing.ixx:147).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops import vec
+from ..ops.vec import Vec3
+
+_U32 = jnp.uint32
+EMPTY_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+@dataclasses.dataclass(frozen=True)
+class SHARCSettings:
+    """Defaults per the reference (SHARC.ixx:23-27, MyAppData.h:256-265)."""
+    capacity_log2: int = 18          # table entries (2^22 in the reference)
+    scene_scale: float = 50.0
+    downscale: int = 4               # update pass at renderSize/downscale
+    accumulation_frames: float = 10.0
+    max_stale_frames: int = 64
+    roughness_threshold: float = 0.4
+    level_bias: float = 2.0
+    log_base: float = 2.0
+
+
+class SHARCState(NamedTuple):
+    """Persistent sorted voxel table (double-buffered by the frame loop)."""
+    keys: jnp.ndarray      # (C,) u32 sorted, EMPTY_KEY padding at the end
+    radiance: jnp.ndarray  # (C, 3) accumulated mean radiance
+    count: jnp.ndarray     # (C,) accumulated sample count
+    stale: jnp.ndarray     # (C,) frames since last touch
+
+
+def init_state(settings: SHARCSettings) -> SHARCState:
+    c = 1 << settings.capacity_log2
+    return SHARCState(
+        keys=jnp.full((c,), EMPTY_KEY, _U32),
+        radiance=jnp.zeros((c, 3)),
+        count=jnp.zeros((c,)),
+        stale=jnp.zeros((c,)),
+    )
+
+
+def grid_level(position: Vec3, camera_pos, settings: SHARCSettings):
+    """Camera-distance logarithmic level (HashGridGetLevel)."""
+    cp = Vec3(camera_pos[0], camera_pos[1], camera_pos[2])
+    d = vec.length(position - cp)
+    lvl = jnp.floor(
+        jnp.log2(jnp.maximum(d, 1e-6)) / jnp.log2(settings.log_base)
+        + settings.level_bias
+    )
+    return jnp.clip(lvl, 1.0, 16.0)
+
+
+def voxel_size(level, settings: SHARCSettings):
+    return (settings.log_base ** level) / settings.scene_scale
+
+
+def voxel_key(position: Vec3, normal: Vec3, camera_pos,
+              settings: SHARCSettings):
+    """Quantize position (+ a 3-bit normal bucket like SHARC's hash of the
+    surface orientation) into a u32 key. EMPTY_KEY is reserved."""
+    lvl = grid_level(position, camera_pos, settings)
+    size = voxel_size(lvl, settings)
+    ix = jnp.floor(position.x / size).astype(jnp.int32)
+    iy = jnp.floor(position.y / size).astype(jnp.int32)
+    iz = jnp.floor(position.z / size).astype(jnp.int32)
+    # normal bucket: dominant axis + sign
+    ax = jnp.abs(normal.x)
+    ay = jnp.abs(normal.y)
+    az = jnp.abs(normal.z)
+    dom = jnp.where(ax >= jnp.maximum(ay, az), 0,
+                    jnp.where(ay >= az, 1, 2))
+    sgn = jnp.where(
+        jnp.where(dom == 0, normal.x, jnp.where(dom == 1, normal.y,
+                                                normal.z)) >= 0, 0, 1)
+    h = (ix.astype(_U32) * _U32(0x9E3779B1)
+         ^ iy.astype(_U32) * _U32(0x85EBCA77)
+         ^ iz.astype(_U32) * _U32(0xC2B2AE3D)
+         ^ lvl.astype(_U32) * _U32(0x27D4EB2F)
+         ^ (dom.astype(_U32) * 2 + sgn.astype(_U32)) * _U32(0x165667B1))
+    return jnp.where(h == EMPTY_KEY, _U32(0), h)
+
+
+def resolve(state: SHARCState, new_keys: jnp.ndarray, new_radiance: Vec3,
+            new_valid: jnp.ndarray, settings: SHARCSettings) -> SHARCState:
+    """Merge new (key, radiance) records into the table: sort + segment
+    reduce (the SHARC.hlsl resolve/compaction pair, TPU form)."""
+    c = state.keys.shape[0]
+
+    nk = jnp.where(new_valid, new_keys, EMPTY_KEY)
+    # aggregate the new records by key
+    order = jnp.argsort(nk)
+    sk = nk[order]
+    sr = jnp.stack(
+        [new_radiance.x[order], new_radiance.y[order], new_radiance.z[order]],
+        axis=-1,
+    )
+    sv = new_valid[order].astype(jnp.float32)
+    sr = sr * sv[:, None]
+    # segment boundaries
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
+    )
+    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
+    nseg = sk.shape[0]
+    agg_rad = jnp.zeros((nseg, 3)).at[seg].add(sr)
+    agg_cnt = jnp.zeros((nseg,)).at[seg].add(sv)
+    agg_key = jnp.where(
+        first, sk, EMPTY_KEY
+    )
+    # compact: the first row of each segment carries its aggregate
+    agg_rad = jnp.where(first[:, None], agg_rad[seg], 0.0)
+    agg_cnt = jnp.where(first, agg_cnt[seg], 0.0)
+
+    # age existing entries; evict stale (SHARC MaxStaleFrames)
+    stale = state.stale + 1.0
+    keep = (state.keys != EMPTY_KEY) & (stale <= settings.max_stale_frames)
+    old_keys = jnp.where(keep, state.keys, EMPTY_KEY)
+
+    # merge: concat old + new aggregates, sort, then combine runs (an old
+    # entry and a new aggregate with the same key land adjacent)
+    all_keys = jnp.concatenate([old_keys, agg_key])
+    all_rad = jnp.concatenate([state.radiance * state.count[:, None], agg_rad])
+    all_cnt = jnp.concatenate([state.count * keep, agg_cnt])
+    all_stale = jnp.concatenate([stale, jnp.zeros((nseg,))])
+    all_new = jnp.concatenate(
+        [jnp.zeros((c,)), (agg_cnt > 0).astype(jnp.float32)]
+    )
+
+    order2 = jnp.argsort(all_keys)
+    k2 = all_keys[order2]
+    r2 = all_rad[order2]
+    n2 = all_cnt[order2]
+    s2 = all_stale[order2]
+    fresh2 = all_new[order2]
+
+    first2 = jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
+    seg2 = jnp.cumsum(first2.astype(jnp.int32)) - 1
+    m = k2.shape[0]
+    rad_sum = jnp.zeros((m, 3)).at[seg2].add(r2)
+    cnt_sum = jnp.zeros((m,)).at[seg2].add(n2)
+    stale_min = jnp.full((m,), jnp.inf).at[seg2].min(
+        jnp.where(fresh2 > 0, 0.0, s2))
+
+    out_key = jnp.where(first2 & (k2 != EMPTY_KEY), k2, EMPTY_KEY)
+    cnt = cnt_sum[seg2]
+    # accumulation cap: EMA with max effective count (SHARC
+    # AccumulationFrames — old samples decay once the cap is reached)
+    capped = jnp.minimum(cnt, settings.accumulation_frames)
+    mean_rad = rad_sum[seg2] / jnp.maximum(cnt, 1e-8)[:, None]
+    valid_row = first2 & (k2 != EMPTY_KEY)
+
+    # keep the first `c` rows after pushing EMPTY keys to the end (sorting
+    # by key already did that; truncate)
+    return SHARCState(
+        keys=jnp.where(valid_row, out_key, EMPTY_KEY)[:c],
+        radiance=jnp.where(valid_row[:, None], mean_rad, 0.0)[:c],
+        count=jnp.where(valid_row, capped, 0.0)[:c],
+        stale=jnp.where(valid_row, stale_min[seg2], 0.0)[:c],
+    )
+
+
+def query(state: SHARCState, keys: jnp.ndarray):
+    """Vectorized lookup: (radiance: Vec3, found mask). Binary search over
+    the sorted key table (1-D gathers only)."""
+    idx = jnp.searchsorted(state.keys, keys)
+    idx = jnp.clip(idx, 0, state.keys.shape[0] - 1)
+    found = (state.keys[idx] == keys) & (keys != EMPTY_KEY) & (
+        state.count[idx] > 0.0
+    )
+    rad = vec.gather(state.radiance, idx)
+    return vec.where(found, rad, Vec3.splat(jnp.zeros_like(rad.x))), found
+
+
+def footprint_valid(hit_t, roughness_accum, position: Vec3, camera_pos,
+                    settings: SHARCSettings):
+    """The SHARC_QUERY validity heuristic (Raytracing.hlsl:265-274): only
+    terminate into the cache once the ray's blur footprint exceeds the voxel
+    size — keeps the cache invisible in sharp reflections."""
+    lvl = grid_level(position, camera_pos, settings)
+    size = voxel_size(lvl, settings)
+    far_enough = hit_t > size * jnp.sqrt(3.0)
+    a = jnp.minimum(roughness_accum, 0.99) ** 2
+    footprint = hit_t * jnp.sqrt(
+        0.5 * a * a / jnp.maximum(1.0 - a * a, 1e-6))
+    return far_enough & (footprint > size)

@@ -34,11 +34,7 @@ class Renderer:
     )
 
     def __post_init__(self):
-        num_tris = self.scene.geometry.num_tris
-        kind = "dense" if num_tris <= tracer_mod.DENSE_MAX_TRIS else "bvh"
-        self.tracer = jax.jit(
-            lambda g: tracer_mod.build(*g.triangle_vertices(), kind=kind)
-        )(self.scene.geometry)
+        self.tracer = tracer_mod.build_for_scene(self.scene)
         self._render_frame = jax.jit(
             functools.partial(_render_frame, settings=self.settings),
             static_argnames=("width", "height", "with_gbuffer"),
