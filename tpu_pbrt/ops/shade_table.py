@@ -42,7 +42,10 @@ _IOR = 44
 _TRANS = 45
 _LPDF = 46    # NEE area-measure pdf of this triangle (0 if not a light)
 _ALPHA_MODE = 47
-COLS = 48
+_PP0 = 48     # 3: previous-frame base vertex (motion vectors; = p0 static)
+_PE1 = 51     # 3
+_PE2 = 54     # 3
+COLS = 64     # padded for lane alignment
 
 
 def build(geometry, materials, lights) -> np.ndarray:
@@ -102,6 +105,11 @@ def build(geometry, materials, lights) -> np.ndarray:
         t2l >= 0, power[li] / total / np.maximum(area[li], 1e-20), 0.0
     )
     out[:, _LPDF] = lpdf
+    # previous-frame geometry = current for static scenes; the animation
+    # pass overwrites these per frame (GBufferGeneration.hlsl:62-91 motion)
+    out[:, _PP0:_PP0 + 3] = out[:, _P0:_P0 + 3]
+    out[:, _PE1:_PE1 + 3] = out[:, _E1:_E1 + 3]
+    out[:, _PE2:_PE2 + 3] = out[:, _E2:_E2 + 3]
     return out
 
 
@@ -118,6 +126,7 @@ def pad(table: np.ndarray, chunk: int = 128) -> np.ndarray:
 class ShadeAttrs(NamedTuple):
     """Unpacked hit attributes + material — everything `shade` consumes."""
     position: Vec3
+    prev_position: Vec3
     flat_normal: Vec3
     shading_normal: Vec3
     tangent: Vec3
@@ -166,6 +175,7 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
         v = jnp.clip(v, 0.0, 1.0)
     w = 1.0 - u - v
     position = p0 + e1 * u + e2 * v
+    prev_position = v3(_PP0) + v3(_PE1) * u + v3(_PE2) * v
 
     flat = vec.normalize(vec.cross(e1, e2))
 
@@ -193,6 +203,7 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
 
     return ShadeAttrs(
         position=position,
+        prev_position=prev_position,
         flat_normal=flat,
         shading_normal=shading,
         tangent=tangent,
@@ -262,3 +273,26 @@ def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> Lig
     b1 = s * bary_v
     pos = v3(_LV0) + v3(_LE1) * b0 + v3(_LE2) * b1
     return LightFetch(pos, v3(_LN), v3(_LRAD), row[:, _LPDFA])
+
+
+def update_geometry(table: jnp.ndarray, p0, e1, e2,
+                    normals0, normals1, normals2,
+                    prev_p0, prev_e1, prev_e2) -> jnp.ndarray:
+    """Device-side per-frame geometry refresh for deforming meshes (the
+    skinning pass output; Scene.ixx:233-280 analogue). All args (T, 3)
+    arrays in triangle order; padding rows must be passed through."""
+    t = table.shape[0]
+
+    def put(tab, col, arr):
+        return tab.at[:, col:col + 3].set(arr)
+
+    table = put(table, _P0, p0)
+    table = put(table, _E1, e1)
+    table = put(table, _E2, e2)
+    table = put(table, _N0, normals0)
+    table = put(table, _N0 + 3, normals1)
+    table = put(table, _N0 + 6, normals2)
+    table = put(table, _PP0, prev_p0)
+    table = put(table, _PE1, prev_e1)
+    table = put(table, _PE2, prev_e2)
+    return table

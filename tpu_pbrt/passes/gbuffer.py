@@ -88,7 +88,7 @@ def generate(tracer, scene: Scene, cam: CameraData,
     fwd = vec.normalize(Vec3(cam.forward[0], cam.forward[1], cam.forward[2]))
     depth = jnp.where(hit.mask, hit.t * vec.dot(direction, fwd), jnp.inf)
 
-    prev_u, prev_v = project_to_uv(cam, attrs.position, previous=True)
+    prev_u, prev_v = project_to_uv(cam, attrs.prev_position, previous=True)
     w, h = dims
     motion_x = jnp.where(hit.mask, (prev_u - pixel_u) * w, 0.0)
     motion_y = jnp.where(hit.mask, (prev_v - pixel_v) * h, 0.0)
