@@ -1,0 +1,140 @@
+"""SHARC hash-grid radiance cache: key/resolve/query semantics."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pbrt.ops.vec import Vec3
+from tpu_pbrt.passes import sharc
+
+
+SETTINGS = sharc.SHARCSettings(capacity_log2=12)
+CAM = np.zeros(3, np.float32)
+
+
+def v3(arr):
+    a = jnp.asarray(arr, jnp.float32)
+    return Vec3(a[:, 0], a[:, 1], a[:, 2])
+
+
+class TestKeys:
+    def test_same_voxel_same_key(self):
+        p = v3([[5.0, 0.0, 0.0], [5.001, 0.0, 0.0]])
+        n = v3([[0, 1, 0], [0, 1, 0]])
+        k = sharc.voxel_key(p, n, CAM, SETTINGS)
+        assert int(k[0]) == int(k[1])
+
+    def test_different_voxel_different_key(self):
+        p = v3([[5.0, 0.0, 0.0], [6.0, 3.0, 1.0]])
+        n = v3([[0, 1, 0], [0, 1, 0]])
+        k = sharc.voxel_key(p, n, CAM, SETTINGS)
+        assert int(k[0]) != int(k[1])
+
+    def test_normal_bucket_separates_faces(self):
+        p = v3([[5.0, 0.0, 0.0], [5.0, 0.0, 0.0]])
+        n = v3([[0, 1, 0], [0, -1, 0]])
+        k = sharc.voxel_key(p, n, CAM, SETTINGS)
+        assert int(k[0]) != int(k[1])
+
+    def test_level_grows_with_distance(self):
+        p = v3([[1.0, 0, 0], [100.0, 0, 0]])
+        lvl = sharc.grid_level(p, CAM, SETTINGS)
+        assert float(lvl[1]) > float(lvl[0])
+
+
+class TestResolveQuery:
+    def test_roundtrip(self):
+        state = sharc.init_state(SETTINGS)
+        keys = jnp.asarray([111, 222, 111, 333], jnp.uint32)
+        rad = v3([[1, 0, 0], [0, 2, 0], [3, 0, 0], [0, 0, 4]])
+        valid = jnp.ones((4,), bool)
+        state = sharc.resolve(state, keys, rad, valid, SETTINGS)
+
+        q = jnp.asarray([111, 222, 333, 999], jnp.uint32)
+        out, found = sharc.query(state, q)
+        f = np.asarray(found)
+        assert f.tolist() == [True, True, True, False]
+        got = np.asarray(out.to_array())
+        np.testing.assert_allclose(got[0], [2.0, 0, 0], atol=1e-5)  # mean(1,3)
+        np.testing.assert_allclose(got[1], [0, 2.0, 0], atol=1e-5)
+        np.testing.assert_allclose(got[2], [0, 0, 4.0], atol=1e-5)
+
+    def test_accumulation_across_frames(self):
+        state = sharc.init_state(SETTINGS)
+        k = jnp.asarray([42], jnp.uint32)
+        valid = jnp.ones((1,), bool)
+        state = sharc.resolve(state, k, v3([[1, 1, 1]]), valid, SETTINGS)
+        state = sharc.resolve(state, k, v3([[3, 3, 3]]), valid, SETTINGS)
+        out, found = sharc.query(state, k)
+        assert bool(found[0])
+        np.testing.assert_allclose(np.asarray(out.to_array())[0], 2.0,
+                                   atol=1e-5)
+
+    def test_invalid_records_ignored(self):
+        state = sharc.init_state(SETTINGS)
+        k = jnp.asarray([7, 8], jnp.uint32)
+        valid = jnp.asarray([True, False])
+        state = sharc.resolve(state, k, v3([[1, 0, 0], [5, 5, 5]]), valid,
+                              SETTINGS)
+        _, found = sharc.query(state, jnp.asarray([7, 8], jnp.uint32))
+        assert bool(found[0]) and not bool(found[1])
+
+    def test_stale_eviction(self):
+        s = sharc.SHARCSettings(capacity_log2=12, max_stale_frames=2)
+        state = sharc.init_state(s)
+        k = jnp.asarray([5], jnp.uint32)
+        state = sharc.resolve(state, k, v3([[1, 1, 1]]), jnp.ones((1,), bool), s)
+        # 3 frames with unrelated keys -> entry 5 goes stale and is evicted
+        other = jnp.asarray([9], jnp.uint32)
+        for _ in range(3):
+            state = sharc.resolve(state, other, v3([[0, 0, 1]]),
+                                  jnp.ones((1,), bool), s)
+        _, found = sharc.query(state, k)
+        assert not bool(found[0])
+
+    def test_footprint_gate(self):
+        # close sharp hit -> invalid; far rough path -> valid
+        pos = v3([[2.0, 0, 0], [50.0, 0, 0]])
+        hit_t = jnp.asarray([0.01, 40.0])
+        rough = jnp.asarray([0.0, 1.0])
+        ok = sharc.footprint_valid(hit_t, rough, pos, CAM, SETTINGS)
+        assert not bool(ok[0])
+        assert bool(ok[1])
+
+
+class TestSharcRender:
+    def test_query_render_matches_reference_mean(self):
+        """Cornell with SHARC on: after a few warmup frames the cached
+        render's mean must sit near the plain path-traced mean (the cache
+        replaces tail bounces with accumulated radiance)."""
+        import jax
+        from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+        from tpu_pbrt.ops import tracer as tracer_mod
+        from tpu_pbrt.passes.pathtrace import PathTraceSettings
+        from tpu_pbrt.render.renderer import Renderer, render_frame_sharc
+
+        w = h = 32
+        scene = make_cornell_box()
+        cam = make_cornell_camera(w, h)
+        settings = PathTraceSettings(bounces=4)
+        r = Renderer(scene, w, h, settings)
+        s = sharc.SHARCSettings(capacity_log2=14, scene_scale=10.0,
+                                downscale=2)
+        state = sharc.init_state(s)
+
+        fn = jax.jit(lambda trc, sc, c, f, st: render_frame_sharc(
+            trc, sc, c, f, st, width=w, height=h, settings=settings,
+            sharc_settings=s))
+        imgs = []
+        for f in range(10):
+            img, rays, state = fn(r.tracer, scene, cam.data(),
+                                  np.uint32(f), state)
+            imgs.append(np.asarray(img))
+        sharc_mean = np.stack(imgs[5:]).mean()
+        assert np.isfinite(np.stack(imgs)).all()
+        # some cache entries exist after warmup
+        assert int((np.asarray(state.count) > 0).sum()) > 10
+
+        ref = np.stack(
+            [np.asarray(r.render(cam, 100 + f)) for f in range(12)]).mean()
+        assert abs(sharc_mean / ref - 1.0) < 0.35, (sharc_mean, ref)

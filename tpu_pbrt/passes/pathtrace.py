@@ -50,6 +50,10 @@ class PathTraceSettings:
     # tracer relies on the ReSTIR DI pass for direct light instead
     # (Raytracing.hlsl:150-163).
     next_event_estimation: bool = True
+    # SHARC radiance cache (reference: Raytracing.hlsl SHARC_QUERY
+    # permutation): "off" | "query". Query terminates paths into cached
+    # radiance once the blur footprint covers a voxel (:261-289).
+    sharc_mode: str = "off"
 
 
 class _PathState(NamedTuple):
@@ -66,6 +70,8 @@ class _PathState(NamedTuple):
     ray_count: jnp.ndarray    # () f32 — rays actually traced
     # MIS bookkeeping for BSDF-sampled emission vs NEE
     prev_bsdf_pdf: jnp.ndarray  # (R,) solid-angle pdf of the ray's direction
+    # SHARC query: accumulated roughness along the path (Raytracing.hlsl:366)
+    rough_accum: jnp.ndarray    # (R,)
 
 
 def _bsdf_from_attrs(attrs: shade_table.ShadeAttrs) -> bxdf.BSDF:
@@ -88,6 +94,9 @@ def trace(
     settings: PathTraceSettings,
     sample_offset: int = 0,
     primary_hit: Hit | None = None,
+    sharc_state=None,
+    sharc_settings=None,
+    camera_pos=None,
 ):
     """Trace one sample per pool entry; returns (radiance: Vec3, first_lobe,
     first_hit_t, ray_count). px/py feed the per-pixel RNG stream
@@ -111,6 +120,7 @@ def trace(
         first_hit_t=jnp.full((r,), jnp.inf),
         ray_count=jnp.zeros((), jnp.float32),
         prev_bsdf_pdf=jnp.zeros((r,)),
+        rough_accum=jnp.zeros((r,)),
     )
 
     zero3 = Vec3.splat(0.0)
@@ -120,12 +130,6 @@ def trace(
         sample, RR, cutoff, continuation ray."""
         is_hit = hit.mask & state.active
 
-        # --- miss: environment light, terminate (Raytracing.hlsl:241-259)
-        env = environment_radiance(scene.environment, state.direction)
-        radiance = state.radiance + vec.where(
-            state.active & ~hit.mask, state.throughput * env, zero3
-        )
-
         # --- hit shading: ONE packed row-gather for all attributes
         attrs = shade_table.fetch(
             tracer.shade_table, jnp.maximum(hit.tri, 0),
@@ -133,6 +137,33 @@ def trace(
         )
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
+
+        # --- miss: environment light, terminate (Raytracing.hlsl:241-259)
+        env = environment_radiance(scene.environment, state.direction)
+
+        # --- SHARC query: terminate into cached radiance when the path
+        # footprint covers the voxel (Raytracing.hlsl:261-289)
+        if settings.sharc_mode == "query":
+            from . import sharc as sharc_mod
+
+            front_flat = vec.where(attrs.is_front_face, attrs.flat_normal,
+                                   -attrs.flat_normal)
+            key = sharc_mod.voxel_key(attrs.position, front_flat,
+                                      camera_pos, sharc_settings)
+            cached, found = sharc_mod.query(sharc_state, key)
+            fp_ok = sharc_mod.footprint_valid(
+                hit.t, state.rough_accum, attrs.position, camera_pos,
+                sharc_settings)
+            use_cache = is_hit & found & fp_ok & (bounce > 0)
+            radiance = state.radiance + vec.where(
+                use_cache, state.throughput * cached, Vec3.splat(0.0))
+            # cached lanes contribute nothing else at this vertex
+            is_hit = is_hit & ~use_cache
+            radiance = radiance + vec.where(
+                state.active & ~hit.mask, state.throughput * env, zero3)
+        else:
+            radiance = state.radiance + vec.where(
+                state.active & ~hit.mask, state.throughput * env, zero3)
 
         # --- emission pickup, MIS-weighted against NEE when enabled
         if settings.next_event_estimation:
@@ -259,6 +290,12 @@ def trace(
             ray_count=state.ray_count + nee_rays
             + jnp.sum(state.active.astype(jnp.float32)),
             prev_bsdf_pdf=jnp.where(is_hit, next_pdf, state.prev_bsdf_pdf),
+            rough_accum=jnp.where(
+                is_hit,
+                state.rough_accum + jnp.where(
+                    lobe == bxdf.LOBE_DIFFUSE, 1.0, b.roughness),
+                state.rough_accum,
+            ),
         )
 
     def bounce_body(bounce, state: _PathState):
@@ -315,3 +352,128 @@ def render_sample_radiance(
         (Vec3.zeros((origin.shape[0],)), jnp.zeros((), jnp.float32)),
     )
     return acc * (1.0 / spp), rays
+
+
+def trace_sharc_update(
+    tracer, scene: Scene, origin: Vec3, direction: Vec3, t_min, t_max,
+    px, py, frame, settings: PathTraceSettings, sharc_settings, camera_pos,
+):
+    """The SHARC_UPDATE permutation (reference: Raytracing.hlsl:203-316,
+    306-316): a short path trace at reduced resolution whose per-vertex
+    radiance estimates feed the hash-grid resolve.
+
+    Returns (keys (B+1, R) u32, radiance records Vec3 of (B+1, R), valid
+    (B+1, R)): per vertex b, L(b) = (sum of contributions from b onward) /
+    throughput(b) — what SharcUpdateHit accumulates with its running
+    throughput. Roughness is floored to the SHARC threshold so the cache
+    trains on diffuse-ish transport (:307). The loop is statically
+    unrolled (update passes use few bounces at 1/downscale^2 rays)."""
+    from . import sharc as sharc_mod
+
+    r = origin.shape[0]
+    zero3 = Vec3.splat(0.0)
+
+    def draw(bounce, slot):
+        return rng.uniform4(px, py, frame, 7000 + slot + bounce * 8)
+
+    active = jnp.ones((r,), bool)
+    o, d = origin, direction
+    tmin = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    tmax = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    throughput = Vec3.full(1.0, (r,))
+
+    keys, contribs, thrs, valids = [], [], [], []
+
+    for bounce in range(settings.bounces + 1):
+        hit = tracer.closest_hit(o, d, tmin,
+                                 jnp.where(active, tmax, -jnp.inf))
+        is_hit = hit.mask & active
+        attrs = shade_table.fetch(
+            tracer.shade_table, jnp.maximum(hit.tri, 0), o, d)
+        b = _bsdf_from_attrs(attrs)
+        b = b._replace(roughness=jnp.maximum(
+            b.roughness, sharc_settings.roughness_threshold))
+
+        front_flat = vec.where(attrs.is_front_face, attrs.flat_normal,
+                               -attrs.flat_normal)
+        key = sharc_mod.voxel_key(attrs.position, front_flat, camera_pos,
+                                  sharc_settings)
+
+        # vertex contribution: emission + one-light NEE (throughput-scaled)
+        contrib = vec.where(is_hit, throughput * attrs.emission, zero3)
+        sv = bxdf.make_surface_vectors(
+            attrs.is_front_face, attrs.flat_normal, attrs.shading_normal)
+        view = -d
+        weights = bxdf.lobe_weights(b, sv, view)
+        u3 = draw(bounce, 2)
+        ls = shade_table.fetch_light(
+            tracer.light_table, tracer.light_cdf, u3[:, 0], u3[:, 1],
+            u3[:, 2])
+        to_l = ls.position - attrs.position
+        dist = vec.length(to_l)
+        wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
+        cos_light = -vec.dot(ls.normal, wi)
+        pdf_sa = jnp.where(
+            cos_light > 1e-6,
+            ls.pdf_area * dist * dist / jnp.maximum(cos_light, 1e-6), 0.0)
+        f_d, f_s = bxdf.evaluate_combined(b, sv, wi, view, weights)
+        f_nee = f_d + f_s
+        ok_nee = is_hit & (scene.lights.count > 0) & (pdf_sa > 0.0)
+        shadow_o = vec.safe_spawn_offset(attrs.position, attrs.flat_normal, wi)
+        occluded = tracer.any_hit(
+            shadow_o, wi, 0.0,
+            jnp.where(ok_nee, dist * (1.0 - 1e-3), -jnp.inf))
+        contrib = contrib + vec.where(
+            ok_nee & ~occluded,
+            throughput * f_nee * ls.radiance
+            * (1.0 / jnp.maximum(pdf_sa, 1e-20)),
+            zero3)
+
+        keys.append(key)
+        contribs.append(contrib)
+        thrs.append(throughput)
+        valids.append(is_hit)
+
+        # continuation
+        u4 = draw(bounce, 0)
+        l, lobe, valid = bxdf.sample(b, sv, view, u4)
+        pdf = bxdf.pdf_sampled_lobe(b, sv, l, view, weights, lobe)
+        f = bxdf.evaluate_sampled_lobe(b, sv, l, view, weights, lobe)
+        ok = valid & (pdf > 0.0)
+        throughput = throughput * vec.where(
+            ok, f * (1.0 / jnp.maximum(pdf, 1e-20)), Vec3.splat(1.0))
+        active = is_hit & ok
+        o = vec.safe_spawn_offset(attrs.position, attrs.flat_normal, l)
+        d = vec.where(is_hit, l, d)
+        tmin = jnp.zeros((r,))
+        tmax = jnp.full((r,), jnp.inf)
+
+    nb = len(keys)
+    key_arr = jnp.stack(keys)                       # (B+1, R)
+    valid_arr = jnp.stack(valids)
+    contrib_arr = Vec3(
+        jnp.stack([c.x for c in contribs]),
+        jnp.stack([c.y for c in contribs]),
+        jnp.stack([c.z for c in contribs]),
+    )
+    thr_arr = Vec3(
+        jnp.stack([t.x for t in thrs]),
+        jnp.stack([t.y for t in thrs]),
+        jnp.stack([t.z for t in thrs]),
+    )
+    # suffix sums over the bounce axis: S_b = sum_{k >= b} c_k
+    def suffix(x):
+        return jnp.flip(jnp.cumsum(jnp.flip(x, 0), 0), 0)
+
+    s = Vec3(suffix(contrib_arr.x), suffix(contrib_arr.y),
+             suffix(contrib_arr.z))
+    inv = Vec3(
+        1.0 / jnp.maximum(thr_arr.x, 1e-6),
+        1.0 / jnp.maximum(thr_arr.y, 1e-6),
+        1.0 / jnp.maximum(thr_arr.z, 1e-6),
+    )
+    records = s * inv
+    return (key_arr.reshape(-1), Vec3(records.x.reshape(-1),
+                                      records.y.reshape(-1),
+                                      records.z.reshape(-1)),
+            valid_arr.reshape(-1))

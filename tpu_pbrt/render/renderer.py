@@ -108,3 +108,48 @@ def _render_frame(tracer, scene: Scene, cam: CameraData, frame,
     if with_gbuffer:
         return out, ray_count, gb
     return out, ray_count
+
+
+def render_frame_sharc(tracer, scene: Scene, cam: CameraData, frame,
+                       sharc_state, *, width: int, height: int,
+                       settings: pathtrace.PathTraceSettings,
+                       sharc_settings=None):
+    """SHARC frame (reference: Source/Raytracing.ixx:114-148): a downscaled
+    update trace fills the hash grid, resolve merges it, and the full-res
+    trace queries the fresh cache; the state double-buffers across frames.
+
+    Returns (radiance (H, W, 3), rays, new sharc state)."""
+    from ..passes import sharc as sharc_mod
+
+    s = sharc_settings or sharc_mod.SHARCSettings()
+    ds = s.downscale
+    uw, uh = max(width // ds, 1), max(height // ds, 1)
+
+    # --- update pass at reduced resolution, jittered (Raytracing.hlsl:112)
+    up_cam = cam
+    uo, ud, utmin, utmax = generate_rays(up_cam, uw, uh)
+    upx = jnp.tile(jnp.arange(uw, dtype=jnp.uint32), uh)
+    upy = jnp.repeat(jnp.arange(uh, dtype=jnp.uint32), uw)
+    upd_settings = dataclasses.replace(settings, bounces=min(settings.bounces, 4))
+    keys, records, valid = pathtrace.trace_sharc_update(
+        tracer, scene, uo, ud, utmin, utmax, upx, upy, frame, upd_settings,
+        s, cam.position,
+    )
+    new_state = None
+    from ..passes import sharc as sharc_mod2
+
+    new_state = sharc_mod2.resolve(sharc_state, keys, records, valid, s)
+
+    # --- full-res query render
+    origin, direction, t_min, t_max = generate_rays(cam, width, height)
+    px = jnp.tile(jnp.arange(width, dtype=jnp.uint32), height)
+    py = jnp.repeat(jnp.arange(height, dtype=jnp.uint32), width)
+    q_settings = dataclasses.replace(settings, sharc_mode="query")
+    radiance, _, _, rays = pathtrace.trace(
+        tracer, scene, origin, direction, t_min, t_max, px, py, frame,
+        q_settings, sharc_state=new_state, sharc_settings=s,
+        camera_pos=cam.position,
+    )
+    img = radiance.to_array().reshape(height, width, 3)
+    rays = rays + uw * uh * (upd_settings.bounces + 1)
+    return img, rays, new_state
