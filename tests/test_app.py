@@ -1,0 +1,96 @@
+"""Full frame-graph (App) tests: the benchmark config #5 pipeline —
+ReSTIR DI + SHARC + denoise + TAA + bloom + tonemap at 1 SPP."""
+
+import numpy as np
+import pytest
+
+from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+from tpu_pbrt.render.app import App
+from tpu_pbrt.utils import config
+
+
+def make_app(**over):
+    s = config.GraphicsSettings()
+    s.width = over.pop("width", 32)
+    s.height = over.pop("height", 32)
+    s.raytracing.bounces = over.pop("bounces", 3)
+    s.raytracing.sharc_capacity_log2 = 12
+    s.raytracing.sharc_scene_scale = 10.0
+    for k, v in over.pop("rt", {}).items():
+        setattr(s.raytracing, k, v)
+    for k, v in over.pop("pp", {}).items():
+        setattr(s.post_processing, k, v)
+    s.check()
+    scene = make_cornell_box()
+    cam = make_cornell_camera(s.width, s.height)
+    return App(scene=scene, camera=cam, settings=s)
+
+
+@pytest.fixture(scope="module")
+def default_app():
+    return make_app()
+
+
+class TestFullPipeline:
+    def test_default_pipeline_runs(self, default_app):
+        app = default_app
+        for _ in range(3):
+            img, rays = app.tick()
+        a = np.asarray(img)
+        assert a.shape == (32, 32, 3)
+        assert np.isfinite(a).all()
+        assert 0.0 <= a.min() and a.max() <= 1.0  # tonemapped
+        assert a.mean() > 0.01
+        assert float(rays) > 48 * 48
+
+    def test_temporal_stability(self, default_app):
+        """With every temporal system on, consecutive frames of a static
+        scene must converge to low frame-to-frame variance at 1 SPP."""
+        app = default_app
+        frames = [np.asarray(app.tick()[0]) for _ in range(8)]
+        early = np.abs(frames[1] - frames[2]).mean()
+        late = np.abs(frames[-2] - frames[-1]).mean()
+        assert late < early * 0.9 or late < 0.02, (early, late)
+
+    def test_plain_pt_mode(self):
+        app = make_app(rt={"restir_di": False, "sharc": False},
+                       pp={"denoiser": "none", "upscaler": "none",
+                           "bloom": False})
+        img, _ = app.tick()
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_super_resolution_scale(self):
+        app = make_app(pp={"super_resolution_scale": 0.5})
+        assert app.render_w == 16 and app.render_h == 16
+        img, _ = app.tick()
+        assert np.asarray(img).shape == (32, 32, 3)
+
+    def test_reset_history(self, default_app):
+        app = default_app
+        app.history = app.reset_history()
+        img, _ = app.tick()
+        assert np.isfinite(np.asarray(img)).all()
+
+    def test_di_composition_matches_reference_estimator(self):
+        """ReSTIR-composited direct+indirect should sit near the plain
+        NEE path tracer's converged mean (both unbiased-ish for this
+        scene)."""
+        app = make_app(bounces=3,
+                       pp={"denoiser": "none", "upscaler": "none",
+                           "bloom": False, "tonemap_operator": "none"})
+        acc = None
+        n = 16
+        for _ in range(n):
+            img, _ = app.tick()
+            a = np.asarray(img)
+            acc = a if acc is None else acc + a
+        composed = (acc / n).mean()
+
+        from tpu_pbrt.passes.pathtrace import PathTraceSettings
+        from tpu_pbrt.render.renderer import Renderer
+
+        scene = make_cornell_box()
+        cam = make_cornell_camera(32, 32)
+        r = Renderer(scene, 32, 32, PathTraceSettings(bounces=3))
+        ref = np.stack([np.asarray(r.render(cam, f)) for f in range(16)]).mean()
+        assert abs(composed / ref - 1.0) < 0.3, (composed, ref)

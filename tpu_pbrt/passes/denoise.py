@@ -159,7 +159,11 @@ def atrous_filter(
 ):
     """Edge-stopping à-trous wavelet filter (SVGF). Separable-ish 5x5 cross
     pattern per iteration with stride 2^i."""
-    lum_center_src = pmath.luminance(color)
+    # miss pixels carry +inf depth; |inf - inf| = NaN would poison the
+    # depth weight — clamp to a large finite sentinel (still an edge
+    # against every finite depth)
+    finite_depth = jnp.isfinite(depth)
+    depth = jnp.where(finite_depth, depth, 1e10)
 
     for it in range(iterations):
         step = 1 << it

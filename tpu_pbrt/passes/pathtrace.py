@@ -54,6 +54,10 @@ class PathTraceSettings:
     # permutation): "off" | "query". Query terminates paths into cached
     # radiance once the blur footprint covers a voxel (:261-289).
     sharc_mode: str = "off"
+    # Direct lighting supplied externally (the ReSTIR DI pass): skip the
+    # first vertex's NEE and zero the bounce-1 emission where DI is valid
+    # (reference: Raytracing.hlsl:150-163, 302 `isDIValid` demux).
+    external_di: bool = False
 
 
 class _PathState(NamedTuple):
@@ -97,6 +101,7 @@ def trace(
     sharc_state=None,
     sharc_settings=None,
     camera_pos=None,
+    di_valid=None,
 ):
     """Trace one sample per pool entry; returns (radiance: Vec3, first_lobe,
     first_hit_t, ray_count). px/py feed the per-pixel RNG stream
@@ -181,6 +186,10 @@ def trace(
             )
         else:
             w_emit = 1.0
+        if settings.external_di:
+            # ReSTIR owns the first vertex's direct light: kill bounce-1
+            # emission where DI was produced (Raytracing.hlsl:302)
+            w_emit = jnp.where((bounce == 1) & di_valid, 0.0, w_emit)
         radiance = radiance + vec.where(
             is_hit, state.throughput * (emission * w_emit), zero3
         )
@@ -218,6 +227,8 @@ def trace(
                 & (pdf_sa > 0.0)
                 & ((f_nee.x > 0.0) | (f_nee.y > 0.0) | (f_nee.z > 0.0))
             )
+            if settings.external_di:
+                valid_nee = valid_nee & ~((bounce == 0) & di_valid)
             shadow_o = vec.safe_spawn_offset(
                 attrs.position, attrs.flat_normal, wi
             )
@@ -328,7 +339,7 @@ def trace(
 def render_sample_radiance(
     tracer, scene: Scene, origin: Vec3, direction: Vec3, t_min, t_max,
     px, py, frame, settings: PathTraceSettings,
-    primary_hit: Hit | None = None,
+    primary_hit: Hit | None = None, **trace_kwargs,
 ):
     """Average `samples_per_pixel` independent path samples
     (Raytracing.hlsl:191,377)."""
@@ -339,13 +350,14 @@ def render_sample_radiance(
         rad, _, _, rc = trace(
             tracer, scene, origin, direction, t_min, t_max, px, py, frame,
             settings, sample_offset=s, primary_hit=primary_hit,
+            **trace_kwargs,
         )
         return acc + rad, rays + rc
 
     if spp == 1:
         rad, _, _, rc = trace(tracer, scene, origin, direction, t_min, t_max,
                               px, py, frame, settings,
-                              primary_hit=primary_hit)
+                              primary_hit=primary_hit, **trace_kwargs)
         return rad, rc
     (acc, rays) = lax.fori_loop(
         0, spp, one,

@@ -1,0 +1,230 @@
+"""The application frame graph: every pass composed, history carried.
+
+Capability mirror of the reference application core (reference:
+Source/App.cpp:573-654 Render -> 1157-1329 RenderScene -> 1506-1571
+PostProcessGraphics, with the Previous<->Current history swap at
+App.cpp:629-634). Per frame, all inside one jit:
+
+  1. jittered rays at render resolution (Halton, App.cpp:550-561)
+  2. G-buffer (primary visibility + motion)
+  3. ReSTIR DI -> (diffuse, specular) direct lighting      [optional]
+  4. SHARC update at 1/downscale resolution + resolve      [optional]
+  5. path trace (indirect; external-DI demux; SHARC query) [1 SPP default]
+  6. composite direct + indirect
+  7. denoise: demodulate -> temporal accumulate -> à-trous -> remodulate
+  8. TAA resolve/upscale to output resolution (+ sharpen)
+  9. bloom + tonemap -> display-ready linear or sRGB
+
+The vendor NN stack (DLSS/XeSS/NIS/NRD) maps to the classical equivalents
+per SURVEY.md §2.3: TAA upscale, sharpen, SVGF-class denoiser.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models.scene import Scene
+from ..ops import tonemap, tracer as tracer_mod, traverse, vec
+from ..ops.sampling import camera_jitter
+from ..ops.vec import Vec3
+from ..passes import bloom as bloom_mod
+from ..passes import denoise as denoise_mod
+from ..passes import gbuffer as gbuffer_mod
+from ..passes import pathtrace
+from ..passes import restir as restir_mod
+from ..passes import sharc as sharc_mod
+from ..passes import taa as taa_mod
+from ..utils import config as config_mod
+from .camera import Camera, CameraData, generate_rays
+
+
+class FrameHistory(NamedTuple):
+    """Cross-frame state (the reference's Previous* texture set)."""
+    denoiser: denoise_mod.DenoiserState
+    taa: taa_mod.TAAState
+    restir: restir_mod.ReSTIRState
+    sharc: sharc_mod.SHARCState
+
+
+@dataclasses.dataclass
+class App:
+    """Owns scene + settings + history; `tick()` renders one frame
+    (reference: App::Tick, App.cpp:150-192)."""
+    scene: Scene
+    camera: Camera
+    settings: config_mod.GraphicsSettings
+
+    def __post_init__(self):
+        s = self.settings
+        self.out_w, self.out_h = s.width, s.height
+        scale = s.post_processing.super_resolution_scale
+        self.render_w = max(int(self.out_w * scale) // 2 * 2, 2)
+        self.render_h = max(int(self.out_h * scale) // 2 * 2, 2)
+        self.camera.aspect = self.out_w / self.out_h
+        # the camera keeps its own FoV; settings.vertical_fov_deg applies
+        # only when the caller built the camera from settings (__main__)
+
+        self.tracer = tracer_mod.build_for_scene(self.scene)
+        self.sharc_settings = sharc_mod.SHARCSettings(
+            capacity_log2=min(s.raytracing.sharc_capacity_log2, 18),
+            scene_scale=s.raytracing.sharc_scene_scale,
+            downscale=s.raytracing.sharc_downscale,
+            roughness_threshold=s.raytracing.sharc_roughness_threshold,
+        )
+        self.restir_settings = restir_mod.ReSTIRSettings(
+            initial_light_samples=s.raytracing.restir_local_light_samples,
+            temporal=s.raytracing.restir_temporal,
+            spatial=s.raytracing.restir_spatial,
+        )
+        self.pt_settings = pathtrace.PathTraceSettings(
+            bounces=s.raytracing.bounces,
+            samples_per_pixel=s.raytracing.samples_per_pixel,
+            russian_roulette=s.raytracing.russian_roulette,
+            next_event_estimation=not s.raytracing.restir_di,
+            external_di=s.raytracing.restir_di,
+            sharc_mode="query" if s.raytracing.sharc else "off",
+        )
+        self.history = self.reset_history()
+        self.frame_index = 0
+        self._step = jax.jit(self._frame)
+
+    def reset_history(self) -> FrameHistory:
+        """The reference's history reset on discontinuities
+        (App.cpp:677-689 m_resetHistory)."""
+        return FrameHistory(
+            denoiser=denoise_mod.init_state(self.render_h, self.render_w),
+            taa=taa_mod.init_state(self.out_h, self.out_w),
+            restir=restir_mod.ReSTIRState.empty(self.render_w * self.render_h),
+            sharc=sharc_mod.init_state(self.sharc_settings),
+        )
+
+    def tick(self, dt: float = 1 / 60):
+        """Render one frame; returns (display linear (out_h, out_w, 3),
+        rays traced)."""
+        jit = (camera_jitter(self.frame_index, 64)
+               if self.settings.camera_jitter else np.zeros(2, np.float32))
+        cam = self.camera.data(jitter=jit)
+        self.camera.snapshot_previous()
+        out, rays, self.history = self._step(
+            self.tracer, self.scene, cam, np.uint32(self.frame_index),
+            self.history)
+        self.frame_index += 1
+        return out, rays
+
+    def tonemapped_frame(self, dt: float = 1 / 60) -> np.ndarray:
+        out, _ = self.tick(dt)
+        return np.asarray(tonemap.to_srgb8(out))
+
+    # ------------------------------------------------------------------
+    def _frame(self, tracer, scene, cam: CameraData, frame,
+               history: FrameHistory):
+        s = self.settings
+        rw, rh = self.render_w, self.render_h
+        rays_total = jnp.zeros((), jnp.float32)
+
+        origin, direction, t_min, t_max = generate_rays(cam, rw, rh)
+        px = jnp.tile(jnp.arange(rw, dtype=jnp.uint32), rh)
+        py = jnp.repeat(jnp.arange(rh, dtype=jnp.uint32), rw)
+        pixel_u = (px.astype(jnp.float32) + 0.5 + cam.jitter[0]) / rw
+        pixel_v = (py.astype(jnp.float32) + 0.5 + cam.jitter[1]) / rh
+
+        # --- G-buffer
+        gb = gbuffer_mod.generate(tracer, scene, cam, origin, direction,
+                                  t_min, t_max, pixel_u, pixel_v, (rw, rh))
+        rays_total = rays_total + rw * rh
+        view = -direction
+
+        # --- ReSTIR DI
+        restir_state = history.restir
+        if s.raytracing.restir_di:
+            (di_diff, di_spec), restir_state = restir_mod.render_direct_lighting(
+                scene, gb, view, tracer, history.restir, px, py, frame,
+                rw, rh, self.restir_settings)
+            di = di_diff + di_spec
+            di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
+            rays_total = rays_total + rw * rh * (
+                1 + self.restir_settings.initial_light_samples * 0)
+        else:
+            di = Vec3.zeros((rw * rh,))
+            di_valid = jnp.zeros((rw * rh,), bool)
+
+        # --- SHARC update + resolve
+        sharc_state = history.sharc
+        if s.raytracing.sharc:
+            ds = self.sharc_settings.downscale
+            uw, uh = max(rw // ds, 2), max(rh // ds, 2)
+            uo, ud, ut0, ut1 = generate_rays(cam, uw, uh)
+            upx = jnp.tile(jnp.arange(uw, dtype=jnp.uint32), uh)
+            upy = jnp.repeat(jnp.arange(uh, dtype=jnp.uint32), uw)
+            upd = dataclasses.replace(
+                self.pt_settings, bounces=min(s.raytracing.bounces, 4),
+                sharc_mode="off", external_di=False)
+            keys, records, valid = pathtrace.trace_sharc_update(
+                tracer, scene, uo, ud, ut0, ut1, upx, upy, frame, upd,
+                self.sharc_settings, cam.position)
+            sharc_state = sharc_mod.resolve(history.sharc, keys, records,
+                                            valid, self.sharc_settings)
+            rays_total = rays_total + uw * uh * (upd.bounces + 1)
+
+        # --- path trace (indirect + env; DI handled above when enabled)
+        fwd = vec.normalize(Vec3(cam.forward[0], cam.forward[1],
+                                 cam.forward[2]))
+        primary = traverse.Hit(
+            t=jnp.where(gb.valid,
+                        gb.depth / jnp.maximum(vec.dot(direction, fwd), 1e-8),
+                        jnp.inf),
+            u=gb.bary_u, v=gb.bary_v, tri=gb.tri)
+        radiance, rays = pathtrace.render_sample_radiance(
+            tracer, scene, origin, direction, t_min, t_max, px, py, frame,
+            self.pt_settings, primary_hit=primary,
+            sharc_state=sharc_state if s.raytracing.sharc else None,
+            sharc_settings=self.sharc_settings if s.raytracing.sharc else None,
+            camera_pos=cam.position,
+            di_valid=di_valid,
+        )
+        rays_total = rays_total + rays
+        signal = radiance + di
+
+        img = signal.to_array().reshape(rh, rw, 3)
+
+        # --- denoise (demodulate -> temporal -> à-trous -> remodulate)
+        denoiser_state = history.denoiser
+        if s.post_processing.denoiser != "none":
+            albedo = denoise_mod.demodulation_albedo(
+                gb.base_color.to_array().reshape(rh, rw, 3),
+                gb.metallic.reshape(rh, rw),
+                jnp.full((rh, rw, 3), 0.04))
+            motion = jnp.stack([gb.motion_x.reshape(rh, rw),
+                                gb.motion_y.reshape(rh, rw)], -1)
+            img, denoiser_state = denoise_mod.denoise_frame(
+                history.denoiser, img, albedo, gb.depth.reshape(rh, rw),
+                gb.shading_normal.to_array().reshape(rh, rw, 3), motion,
+                iterations=s.post_processing.denoiser_iterations)
+        else:
+            motion = jnp.stack([gb.motion_x.reshape(rh, rw),
+                                gb.motion_y.reshape(rh, rw)], -1)
+
+        # --- TAA upscale to output resolution
+        taa_state = history.taa
+        if s.post_processing.upscaler != "none":
+            img, taa_state = taa_mod.resolve(
+                history.taa, img, motion, self.out_h, self.out_w)
+            if s.post_processing.sharpness > 0:
+                img = taa_mod.sharpen(img, s.post_processing.sharpness)
+        elif (rw, rh) != (self.out_w, self.out_h):
+            img = taa_mod._upscale_bilinear(img, self.out_h, self.out_w)
+
+        # --- bloom + tonemap (App.cpp:1769-1803)
+        if s.post_processing.bloom:
+            img = bloom_mod.apply(img, s.post_processing.bloom_strength)
+        img = tonemap.apply(img, s.post_processing.tonemap_operator,
+                            s.post_processing.exposure)
+
+        history = FrameHistory(denoiser=denoiser_state, taa=taa_state,
+                               restir=restir_state, sharc=sharc_state)
+        return img, rays_total, history
