@@ -16,7 +16,7 @@ from tpu_pbrt.utils import config
 
 
 def make_quad_gltf(path, binpath=None, glb=False, with_texture=False,
-                   base_dir=None):
+                   base_dir=None, emissive=True):
     """A unit quad in XY with normals, UVs, a PBR material, and optionally a
     2x2 PNG base-color texture."""
     positions = np.asarray(
@@ -49,13 +49,15 @@ def make_quad_gltf(path, binpath=None, glb=False, with_texture=False,
             "metallicFactor": 0.3,
             "roughnessFactor": 0.7,
         },
-        "emissiveFactor": [1.0, 0.5, 0.25],
         "extensions": {
-            "KHR_materials_emissive_strength": {"emissiveStrength": 4.0},
             "KHR_materials_ior": {"ior": 1.33},
             "KHR_materials_transmission": {"transmissionFactor": 0.5},
         },
     }
+    if emissive:
+        material["emissiveFactor"] = [1.0, 0.5, 0.25]
+        material["extensions"]["KHR_materials_emissive_strength"] = {
+            "emissiveStrength": 4.0}
     doc = {
         "asset": {"version": "2.0"},
         "scene": 0,
@@ -248,3 +250,79 @@ class TestConfig:
     def test_load_missing_gives_defaults(self, tmp_path):
         s = config.load(str(tmp_path / "absent.json"))
         assert s.raytracing.bounces == 8
+
+
+class TestTextures:
+    def test_atlas_bilinear_sampling(self):
+        import jax.numpy as jnp
+        from tpu_pbrt.ops import texture as tex_mod
+
+        # 2x2 texture: distinct corners
+        img = np.zeros((2, 2, 4), np.float32)
+        img[0, 0] = [1, 0, 0, 1]
+        img[0, 1] = [0, 1, 0, 1]
+        img[1, 0] = [0, 0, 1, 1]
+        img[1, 1] = [1, 1, 1, 1]
+        atlas = tex_mod.build_atlas([img])
+        ti = jnp.zeros((4,), jnp.int32)
+        # texel centers
+        u = jnp.asarray([0.25, 0.75, 0.25, 0.75])
+        v = jnp.asarray([0.25, 0.25, 0.75, 0.75])
+        rgb, a = tex_mod.sample_bilinear(atlas, ti, u, v)
+        got = np.asarray(rgb.to_array())
+        np.testing.assert_allclose(got[0], [1, 0, 0], atol=1e-5)
+        np.testing.assert_allclose(got[1], [0, 1, 0], atol=1e-5)
+        np.testing.assert_allclose(got[2], [0, 0, 1], atol=1e-5)
+        np.testing.assert_allclose(got[3], [1, 1, 1], atol=1e-5)
+        # midpoint blends all four
+        rgb, _ = tex_mod.sample_bilinear(
+            atlas, ti[:1], jnp.asarray([0.5]), jnp.asarray([0.5]))
+        np.testing.assert_allclose(np.asarray(rgb.to_array())[0],
+                                   [0.5, 0.5, 0.5], atol=1e-5)
+
+    def test_wrap_repeat(self):
+        import jax.numpy as jnp
+        from tpu_pbrt.ops import texture as tex_mod
+
+        img = np.zeros((1, 2, 4), np.float32)
+        img[0, 0] = [1, 0, 0, 1]
+        img[0, 1] = [0, 1, 0, 1]
+        atlas = tex_mod.build_atlas([img])
+        rgb, _ = tex_mod.sample_bilinear(
+            atlas, jnp.zeros((2,), jnp.int32),
+            jnp.asarray([0.25, 1.25]), jnp.asarray([0.5, 0.5]))
+        got = np.asarray(rgb.to_array())
+        np.testing.assert_allclose(got[0], got[1], atol=1e-5)
+
+    def test_textured_scene_renders(self, tmp_path):
+        """End-to-end: a textured quad through the full loader + renderer;
+        the base-color texture must show up in the image."""
+        import jax.numpy as jnp
+        from tpu_pbrt.models.scene_json import build_scene, load_scene_desc
+        from tpu_pbrt.ops import tracer as tracer_mod
+        from tpu_pbrt.passes.pathtrace import PathTraceSettings
+        from tpu_pbrt.render.renderer import Renderer
+
+        make_quad_gltf(str(tmp_path / "quad.gltf"), with_texture=True,
+                       emissive=False)
+        desc = {
+            "Camera": {"Position": {"X": 1.0, "Y": 2.0, "Z": 0.5}},
+            "EnvironmentLight": {"Color": {"R": 1, "G": 1, "B": 1, "A": 1}},
+            "Models": {"Quad": "quad.gltf"},
+            "RenderObjects": [{"Name": "q", "Model": "Quad"}],
+        }
+        p = tmp_path / "scene.json"
+        p.write_text(json.dumps(desc))
+        scene, camera, textures = build_scene(load_scene_desc(str(p)))
+        camera.aspect = 1.0
+
+        r = Renderer(scene, 32, 32, PathTraceSettings(bounces=1))
+        # swap in a textured tracer
+        r.tracer = tracer_mod.build_for_scene(
+            scene, textures=textures[0], texture_srgb=textures[1])
+        img = np.asarray(r.render_accumulated(camera, frames=6))
+        assert np.isfinite(img).all()
+        # the 2x2 texture modulates base color per quadrant: the green/red
+        # channel ratio must vary across the image (texture visible)
+        ratio = img[..., 1] / np.maximum(img[..., 0], 1e-6)
+        assert ratio.max() - ratio.min() > 0.2, (ratio.min(), ratio.max())

@@ -60,11 +60,15 @@ def main(argv=None):
 
     import numpy as np
 
+    textures = None
     if args.scene:
         from tpu_pbrt.models.scene_json import build_scene, load_scene_desc
 
-        scene, camera, _ = build_scene(load_scene_desc(args.scene))
+        scene, camera, textures = build_scene(load_scene_desc(args.scene))
+        if not textures[0]:
+            textures = None
         camera.aspect = settings.width / settings.height
+        camera.vertical_fov_deg = settings.vertical_fov_deg
     else:
         from tpu_pbrt.models.cornell import (make_cornell_box,
                                              make_cornell_camera)
@@ -76,7 +80,8 @@ def main(argv=None):
     from tpu_pbrt.render.app import App
     from tpu_pbrt.utils.image import write_png
 
-    app = App(scene=scene, camera=camera, settings=settings)
+    app = App(scene=scene, camera=camera, settings=settings,
+              textures=textures)
     print(f"render {settings.width}x{settings.height} "
           f"({app.render_w}x{app.render_h} internal), "
           f"{settings.raytracing.bounces} bounces, "

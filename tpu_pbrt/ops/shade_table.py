@@ -45,6 +45,10 @@ _ALPHA_MODE = 47
 _PP0 = 48     # 3: previous-frame base vertex (motion vectors; = p0 static)
 _PE1 = 51     # 3
 _PE2 = 54     # 3
+_TEX_BASE = 57   # texture indices (-1 = none): base color
+_TEX_EMIT = 58   # emissive
+_TEX_MR = 59     # metallic-roughness (glTF: B=metal, G=rough)
+_TEX_NRM = 60    # normal map
 COLS = 64     # padded for lane alignment
 
 
@@ -110,6 +114,12 @@ def build(geometry, materials, lights) -> np.ndarray:
     out[:, _PP0:_PP0 + 3] = out[:, _P0:_P0 + 3]
     out[:, _PE1:_PE1 + 3] = out[:, _E1:_E1 + 3]
     out[:, _PE2:_PE2 + 3] = out[:, _E2:_E2 + 3]
+    # material texture slots (Material.ixx:23-33 order; models/material.py)
+    ti = np.asarray(materials.texture_index, np.int32)
+    out[:, _TEX_BASE] = ti[mat, 0]
+    out[:, _TEX_EMIT] = ti[mat, 1]
+    out[:, _TEX_MR] = ti[mat, 4]
+    out[:, _TEX_NRM] = ti[mat, 6]
     return out
 
 
@@ -119,6 +129,7 @@ def pad(table: np.ndarray, chunk: int = 128) -> np.ndarray:
     if padn:
         padrows = np.zeros((padn, COLS), np.float32)
         padrows[:, _TRI] = -1.0
+        padrows[:, (_TEX_BASE, _TEX_EMIT, _TEX_MR, _TEX_NRM)] = -1.0
         table = np.concatenate([table, padrows])
     return table
 
@@ -144,6 +155,10 @@ class ShadeAttrs(NamedTuple):
     transmission: jnp.ndarray
     light_pdf_area: jnp.ndarray  # NEE MIS pdf of hitting this emitter
     light_cos: jnp.ndarray       # cos at the emitting side w.r.t. the ray
+    tex_base: jnp.ndarray        # i32 texture indices, -1 = none
+    tex_emit: jnp.ndarray
+    tex_mr: jnp.ndarray
+    tex_nrm: jnp.ndarray
 
 
 def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
@@ -221,6 +236,10 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
         transmission=row[:, _TRANS],
         light_pdf_area=row[:, _LPDF],
         light_cos=light_cos,
+        tex_base=row[:, _TEX_BASE].astype(jnp.int32),
+        tex_emit=row[:, _TEX_EMIT].astype(jnp.int32),
+        tex_mr=row[:, _TEX_MR].astype(jnp.int32),
+        tex_nrm=row[:, _TEX_NRM].astype(jnp.int32),
     )
 
 
@@ -296,3 +315,44 @@ def update_geometry(table: jnp.ndarray, p0, e1, e2,
     table = put(table, _PE1, prev_e1)
     table = put(table, _PE2, prev_e2)
     return table
+
+
+def apply_textures(atlas, attrs: ShadeAttrs) -> ShadeAttrs:
+    """Modulate the fetched material by its texture maps
+    (reference: Shaders/ShadingHelpers.hlsli:159-235 EvaluateMaterial —
+    base-color/emissive multiply, metallic-roughness B/G channels, normal
+    perturbation through the TBN)."""
+    from . import texture as tex_mod
+    from . import vec
+
+    u, v = attrs.uv_u, attrs.uv_v
+
+    base_rgb, base_a = tex_mod.sample_bilinear(atlas, attrs.tex_base, u, v)
+    has = attrs.tex_base >= 0
+    base_color = vec.where(has, attrs.base_color * base_rgb,
+                           attrs.base_color)
+
+    emit_rgb, _ = tex_mod.sample_bilinear(atlas, attrs.tex_emit, u, v)
+    emission = vec.where(attrs.tex_emit >= 0, attrs.emission * emit_rgb,
+                         attrs.emission)
+
+    mr_rgb, _ = tex_mod.sample_bilinear(atlas, attrs.tex_mr, u, v)
+    has_mr = attrs.tex_mr >= 0
+    metallic = jnp.where(has_mr, attrs.metallic * mr_rgb.z, attrs.metallic)
+    roughness = jnp.where(has_mr, attrs.roughness * mr_rgb.y,
+                          attrs.roughness)
+
+    nrm_rgb, _ = tex_mod.sample_bilinear(atlas, attrs.tex_nrm, u, v)
+    has_n = attrs.tex_nrm >= 0
+    # tangent-space normal decode + TBN rotate (Math.hlsli:17-21 TBN)
+    n_ts = vec.normalize(Vec3(nrm_rgb.x * 2.0 - 1.0, nrm_rgb.y * 2.0 - 1.0,
+                              jnp.maximum(nrm_rgb.z * 2.0 - 1.0, 1e-3)))
+    n = attrs.shading_normal
+    t = vec.normalize(attrs.tangent - n * vec.dot(n, attrs.tangent))
+    b = vec.cross(n, t)
+    n_world = vec.normalize(t * n_ts.x + b * n_ts.y + n * n_ts.z)
+    shading = vec.where(has_n, n_world, attrs.shading_normal)
+
+    return attrs._replace(base_color=base_color, emission=emission,
+                          metallic=metallic, roughness=roughness,
+                          shading_normal=shading)

@@ -33,16 +33,21 @@ class Tracer:
     shading, see ops/shade_table.py)."""
 
     def __init__(self, kind: str, accel, shade_table=None, light_table=None,
-                 light_cdf=None):
+                 light_cdf=None, atlas=None):
         self.kind = kind
         self.accel = accel
         self.shade_table = shade_table
         self.light_table = light_table
         self.light_cdf = light_cdf
+        self.atlas = atlas
+
+    @property
+    def textured(self) -> bool:
+        return self.atlas is not None
 
     def tree_flatten(self):
         return (self.accel, self.shade_table, self.light_table,
-                self.light_cdf), self.kind
+                self.light_cdf, self.atlas), self.kind
 
     @classmethod
     def tree_unflatten(cls, kind, children):
@@ -73,10 +78,11 @@ def build(v0, v1, v2, kind: str | None = None) -> Tracer:
     return Tracer("bvh", bvh_mod.build(v0, v1, v2))
 
 
-def build_for_scene(scene, kind: str | None = None) -> Tracer:
-    """Full build: acceleration structure + packed shade/light tables.
-    Host-side (numpy) table construction; the caller device-puts or jits
-    the accel build."""
+def build_for_scene(scene, kind: str | None = None, textures=None,
+                    texture_srgb=None) -> Tracer:
+    """Full build: acceleration structure + packed shade/light tables +
+    optional texture atlas. Host-side (numpy) table construction; the
+    caller device-puts or jits the accel build."""
     geometry = scene.geometry
     t = geometry.num_tris
     if kind is None:
@@ -89,19 +95,42 @@ def build_for_scene(scene, kind: str | None = None) -> Tracer:
     pos = np.asarray(geometry.positions, np.float32)
     ind = np.asarray(geometry.indices, np.int32)
     v0, v1, v2 = pos[ind[:, 0]], pos[ind[:, 1]], pos[ind[:, 2]]
+    # per-triangle opacity for shadow rays (ALPHA_BLEND never occludes;
+    # ALPHA_MASK occludes when its constant alpha passes the cutoff)
+    mat = np.asarray(geometry.tri_material, np.int32)
+    alpha_mode = np.asarray(scene.materials.alpha_mode, np.int32)[mat]
+    base_a = np.asarray(scene.materials.base_color, np.float32)[mat, 3]
+    cutoff = np.asarray(scene.materials.alpha_cutoff, np.float32)[mat]
+    opacity = np.where(
+        alpha_mode == 0, 1.0,
+        np.where(alpha_mode == 2, (base_a >= cutoff).astype(np.float32),
+                 base_a),
+    ).astype(np.float32)
     if kind == "dense":
         accel = traverse_dense.prepare(jnp.asarray(v0), jnp.asarray(v1),
-                                       jnp.asarray(v2))
+                                       jnp.asarray(v2),
+                                       opacity=jnp.asarray(opacity))
     else:
         accel = bvh_mod.build(jnp.asarray(v0), jnp.asarray(v1),
                               jnp.asarray(v2))
+    atlas = None
+    if textures:
+        from . import texture as tex_mod
+
+        atlas = tex_mod.build_atlas(textures, texture_srgb)
     return Tracer(kind, accel, jnp.asarray(table), jnp.asarray(light_table),
-                  jnp.asarray(np.asarray(scene.lights.cdf, np.float32)))
+                  jnp.asarray(np.asarray(scene.lights.cdf, np.float32)),
+                  atlas)
 
 
 def refit(tracer: Tracer, v0, v1, v2) -> Tracer:
     """Refit to deformed vertices (skinned-BLAS update equivalent,
-    Source/Scene.ixx:329)."""
+    Source/Scene.ixx:329). Preserves tables, opacity, atlas."""
+    t = v0.shape[0]
     if tracer.kind == "dense":
-        return Tracer("dense", traverse_dense.prepare(v0, v1, v2))
-    return Tracer("bvh", bvh_mod.refit(tracer.accel, v0, v1, v2))
+        accel = traverse_dense.prepare(
+            v0, v1, v2, opacity=tracer.accel.opacity[:t])
+    else:
+        accel = bvh_mod.refit(tracer.accel, v0, v1, v2)
+    return Tracer(tracer.kind, accel, tracer.shade_table,
+                  tracer.light_table, tracer.light_cdf, tracer.atlas)

@@ -74,22 +74,30 @@ class DenseTris(NamedTuple):
     e1: jnp.ndarray   # (Tp, 3)
     e2: jnp.ndarray   # (Tp, 3)
     tri_id: jnp.ndarray  # (Tp,) i32, -1 on padding
+    opacity: jnp.ndarray  # (Tp,) f32 — shadow/stochastic-alpha opacity
     num: int          # real triangle count (static)
 
 
 def prepare(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
-            chunk: int = 128) -> DenseTris:
+            chunk: int = 128, opacity: jnp.ndarray | None = None) -> DenseTris:
+    """`opacity` (T,) in [0,1]: 1 = opaque; alpha-MASK materials carry their
+    constant base alpha, alpha-BLEND their alpha (transparent-shadow
+    behavior, reference: Shaders/ShadingHelpers.hlsli:105-157 IsOpaque +
+    RaytracingHelpers.hlsli:17-44 any-hit emulation)."""
     t = v0.shape[0]
     pad = (-t) % chunk
     z = jnp.zeros((pad, 3), v0.dtype)
     ids = jnp.concatenate([
         jnp.arange(t, dtype=jnp.int32), jnp.full((pad,), -1, jnp.int32)
     ])
+    if opacity is None:
+        opacity = jnp.ones((t,), jnp.float32)
     return DenseTris(
         v0=jnp.concatenate([v0, z]),
         e1=jnp.concatenate([v1 - v0, z]),
         e2=jnp.concatenate([v2 - v0, z]),
         tri_id=ids,
+        opacity=jnp.concatenate([opacity, jnp.zeros((pad,), jnp.float32)]),
         num=t,
     )
 
@@ -146,9 +154,13 @@ def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
         cv0 = lax.dynamic_slice(tris.v0, (base, 0), (chunk, 3))
         ce1 = lax.dynamic_slice(tris.e1, (base, 0), (chunk, 3))
         ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
+        cop = lax.dynamic_slice(tris.opacity, (base,), (chunk,))
         # occluded lanes shrink their interval to empty — skips real work
         tmax = jnp.where(occluded, -INF, t_max)
         t, _, _ = _mt_chunk(origin, direction, cv0, ce1, ce2, t_min, tmax)
-        return occluded | jnp.any(jnp.isfinite(t), axis=-1)
+        # only sufficiently-opaque surfaces occlude (transparent shadows:
+        # conservative visibility like the reference's shadow any-hit)
+        blocks = jnp.isfinite(t) & (cop[None, :] >= 0.5)
+        return occluded | jnp.any(blocks, axis=-1)
 
     return lax.fori_loop(0, n_chunks, body, jnp.zeros((r,), bool))

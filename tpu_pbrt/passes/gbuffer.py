@@ -81,6 +81,8 @@ def generate(tracer, scene: Scene, cam: CameraData,
     attrs = shade_table.fetch(
         tracer.shade_table, jnp.maximum(hit.tri, 0), origin, direction
     )
+    if tracer.textured:
+        attrs = shade_table.apply_textures(tracer.atlas, attrs)
     env = environment_radiance(scene.environment, direction)
     emission = vec.where(hit.mask, attrs.emission, env)
 

@@ -140,6 +140,8 @@ def trace(
             tracer.shade_table, jnp.maximum(hit.tri, 0),
             state.origin, state.direction,
         )
+        if tracer.textured:
+            attrs = shade_table.apply_textures(tracer.atlas, attrs)
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
 
@@ -402,6 +404,8 @@ def trace_sharc_update(
         is_hit = hit.mask & active
         attrs = shade_table.fetch(
             tracer.shade_table, jnp.maximum(hit.tri, 0), o, d)
+        if tracer.textured:
+            attrs = shade_table.apply_textures(tracer.atlas, attrs)
         b = _bsdf_from_attrs(attrs)
         b = b._replace(roughness=jnp.maximum(
             b.roughness, sharc_settings.roughness_threshold))

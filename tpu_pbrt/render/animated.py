@@ -165,9 +165,11 @@ def _animated_frame(tracer, scene, cam, frame, palette, prev_palette,
         padz(n0), padz(n1), padz(n2),
         padz(pv0), padz(pv1 - pv0), padz(pv2 - pv0),
     )
-    accel = traverse_dense.prepare(v0, v1, v2)
+    accel = traverse_dense.prepare(
+        v0, v1, v2, opacity=tracer.accel.opacity[:v0.shape[0]])
     new_tracer = tracer_mod.Tracer(
-        tracer.kind, accel, table, tracer.light_table, tracer.light_cdf
+        tracer.kind, accel, table, tracer.light_table, tracer.light_cdf,
+        tracer.atlas,
     )
     img, rays = _render_frame(new_tracer, scene, cam, frame,
                               width=width, height=height, settings=settings)

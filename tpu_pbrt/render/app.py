@@ -58,6 +58,7 @@ class App:
     scene: Scene
     camera: Camera
     settings: config_mod.GraphicsSettings
+    textures: tuple | None = None  # (images, srgb flags) from the loader
 
     def __post_init__(self):
         s = self.settings
@@ -69,7 +70,9 @@ class App:
         # the camera keeps its own FoV; settings.vertical_fov_deg applies
         # only when the caller built the camera from settings (__main__)
 
-        self.tracer = tracer_mod.build_for_scene(self.scene)
+        tex, tex_srgb = (self.textures if self.textures else (None, None))
+        self.tracer = tracer_mod.build_for_scene(
+            self.scene, textures=tex, texture_srgb=tex_srgb)
         self.sharc_settings = sharc_mod.SHARCSettings(
             capacity_log2=min(s.raytracing.sharc_capacity_log2, 18),
             scene_scale=s.raytracing.sharc_scene_scale,
