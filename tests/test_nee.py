@@ -48,8 +48,8 @@ def test_nee_unbiased_vs_bsdf_sampling(floor_light_scene):
         bounces=1, next_event_estimation=False, russian_roulette=False))
     r_nee = Renderer(scene, 8, 8, PathTraceSettings(
         bounces=1, next_event_estimation=True, russian_roulette=False))
-    naive = np.mean([np.asarray(r_naive.render(cam, f)) for f in range(4000)], axis=0)
-    nee = np.mean([np.asarray(r_nee.render(cam, f)) for f in range(400)], axis=0)
+    naive = np.asarray(r_naive.render_mean(cam, 4000))
+    nee = np.asarray(r_nee.render_mean(cam, 400))
     assert abs(nee.mean() / naive.mean() - 1.0) < 0.06, (nee.mean(), naive.mean())
 
 
@@ -62,7 +62,7 @@ def test_nee_matches_analytic_direct(floor_light_scene):
 
     r_nee = Renderer(scene, 8, 8, PathTraceSettings(
         bounces=1, next_event_estimation=True, russian_roulette=False))
-    nee = np.mean([np.asarray(r_nee.render(cam, f)) for f in range(500)], axis=0)
+    nee = np.asarray(r_nee.render_mean(cam, 500))
 
     o3, d3, _, _ = generate_rays(cam.data(), 8, 8)
     o, d = np.asarray(o3.to_array()), np.asarray(d3.to_array())

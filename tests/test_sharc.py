@@ -135,6 +135,5 @@ class TestSharcRender:
         # some cache entries exist after warmup
         assert int((np.asarray(state.count) > 0).sum()) > 10
 
-        ref = np.stack(
-            [np.asarray(r.render(cam, 100 + f)) for f in range(12)]).mean()
+        ref = np.asarray(r.render_mean(cam, 12, frame_offset=100)).mean()
         assert abs(sharc_mean / ref - 1.0) < 0.35, (sharc_mean, ref)

@@ -22,9 +22,9 @@ import jax.numpy as jnp
 
 from . import bvh as bvh_mod
 from . import shade_table as shade_mod
-from . import traverse, traverse_dense
+from . import traverse, traverse_blocked, traverse_dense
 
-DENSE_MAX_TRIS = 8192
+DENSE_MAX_TRIS = 2048
 
 
 @jax.tree_util.register_pytree_node_class
@@ -58,11 +58,19 @@ class Tracer:
             return traverse_dense.closest_hit(
                 self.accel, origin, direction, t_min, t_max
             )
+        if self.kind == "blocked":
+            return traverse_blocked.closest_hit(
+                self.accel, origin, direction, t_min, t_max
+            )
         return traverse.closest_hit(self.accel, origin, direction, t_min, t_max)
 
     def any_hit(self, origin, direction, t_min, t_max) -> jnp.ndarray:
         if self.kind == "dense":
             return traverse_dense.any_hit(
+                self.accel, origin, direction, t_min, t_max
+            )
+        if self.kind == "blocked":
+            return traverse_blocked.any_hit(
                 self.accel, origin, direction, t_min, t_max
             )
         return traverse.any_hit(self.accel, origin, direction, t_min, t_max)
@@ -86,7 +94,7 @@ def build_for_scene(scene, kind: str | None = None, textures=None,
     geometry = scene.geometry
     t = geometry.num_tris
     if kind is None:
-        kind = "dense" if t <= DENSE_MAX_TRIS else "bvh"
+        kind = "dense" if t <= DENSE_MAX_TRIS else "blocked"
 
     table = shade_mod.build(geometry, scene.materials, scene.lights)
     table = shade_mod.pad(table)
@@ -110,6 +118,8 @@ def build_for_scene(scene, kind: str | None = None, textures=None,
         accel = traverse_dense.prepare(jnp.asarray(v0), jnp.asarray(v1),
                                        jnp.asarray(v2),
                                        opacity=jnp.asarray(opacity))
+    elif kind == "blocked":
+        accel = traverse_blocked.prepare(v0, v1, v2, opacity)
     else:
         accel = bvh_mod.build(jnp.asarray(v0), jnp.asarray(v1),
                               jnp.asarray(v2))

@@ -46,7 +46,12 @@ def resolve(
     blend: float = 0.1,
 ):
     """One TAA resolve: upscale current frame, reproject display-res
-    history, neighborhood-clamp, blend. Returns (output, new state)."""
+    history, neighborhood-clamp, blend. Returns (output, new state).
+
+    Runs in Reinhard-compressed space (c/(1+c)) so HDR outliers don't bias
+    the neighborhood clamp (the classic HDR-TAA energy-loss fix); the
+    output is decompressed back to linear."""
+    color = color / (1.0 + color)
     up = _upscale_bilinear(color, out_height, out_width)
     scale_y = out_height / color.shape[0]
     scale_x = out_width / color.shape[1]
@@ -73,7 +78,9 @@ def resolve(
 
     a = jnp.where(state.valid > 0, blend, 1.0)
     out = hist + (up - hist) * a
-    return out, TAAState(history=out, valid=jnp.ones(()))
+    new_state = TAAState(history=out, valid=jnp.ones(()))
+    out = out / jnp.maximum(1.0 - out, 1e-4)  # decompress to linear
+    return out, new_state
 
 
 def sharpen(img: jnp.ndarray, amount: float = 0.2) -> jnp.ndarray:

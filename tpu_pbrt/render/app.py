@@ -88,7 +88,11 @@ class App:
             bounces=s.raytracing.bounces,
             samples_per_pixel=s.raytracing.samples_per_pixel,
             russian_roulette=s.raytracing.russian_roulette,
-            next_event_estimation=not s.raytracing.restir_di,
+            # NEE stays on for secondary vertices — external_di only routes
+            # the FIRST vertex's direct light through ReSTIR; BSDF-only
+            # secondary direct would make the indirect signal spiky and the
+            # denoiser/TAA would eat the outliers (energy loss)
+            next_event_estimation=True,
             external_di=s.raytracing.restir_di,
             sharc_mode="query" if s.raytracing.sharc else "off",
         )

@@ -66,6 +66,28 @@ class Renderer:
             acc = acc + self.render(camera, f, jitter=jitter)
         return acc / frames
 
+    def render_mean(self, camera: Camera, frames: int,
+                    frame_offset: int = 0) -> jnp.ndarray:
+        """Average of `frames` un-jittered frames computed inside ONE jit
+        (a fori over the frame index) — per-call dispatch overhead is paid
+        once, which matters for Monte-Carlo-heavy tests and offline runs."""
+        cam = camera.data()
+
+        def run(tracer, scene, cam):
+            def body(i, acc):
+                img, _ = _render_frame(
+                    tracer, scene, cam,
+                    (i + frame_offset).astype(jnp.uint32),
+                    width=self.width, height=self.height,
+                    settings=self.settings,
+                )
+                return acc + img
+            acc = jax.lax.fori_loop(
+                0, frames, body, jnp.zeros((self.height, self.width, 3)))
+            return acc / frames
+
+        return jax.jit(run)(self.tracer, self.scene, cam)
+
     def tonemapped(self, linear_hdr: jnp.ndarray, operator: str = "aces",
                    exposure: float = 1.0) -> np.ndarray:
         img = tonemap.apply(linear_hdr, operator, exposure)

@@ -66,7 +66,9 @@ class RaytracingSettings:
 class PostProcessingSettings:
     """MyAppData Graphics::PostProcessing (MyAppData.h:268-330)."""
     denoiser: str = "temporal_atrous"   # none | temporal_atrous
-    denoiser_iterations: int = 4
+    # each bilateral iteration costs a few % energy on spiky 1-SPP input
+    # (converged input is unaffected); 2 is the realtime sweet spot
+    denoiser_iterations: int = 2
     upscaler: str = "taa"               # none | taa
     super_resolution_scale: float = 1.0  # render scale, <=1
     sharpness: float = 0.0
