@@ -24,7 +24,8 @@ def main():
     scene = make_cornell_box()
     trc = tracer_mod.build_for_scene(scene)
     cam = make_cornell_camera(width, height).data()
-    settings = PathTraceSettings(bounces=8, samples_per_pixel=1)
+    settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
+                                 count_rays=True)
 
     # Frames are batched inside one jit (a fori over the frame index) so
     # the metric reflects sustained device throughput; single-call timings

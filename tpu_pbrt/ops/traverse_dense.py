@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -104,38 +105,55 @@ def prepare(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
 
 def closest_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
                 chunk: int = 128) -> Hit:
-    """Blocked dense closest hit; O(R * T) but all-vector work."""
+    """Blocked dense closest hit; O(R * T) but all-vector work.
+
+    min and argmin are fused into ONE u32 min-reduce by packing the row
+    index into the low mantissa bits of t (positive-float bit patterns are
+    order-preserving as u32). The stolen bits only blur *tie-breaking*
+    between nearly-equal t (relative 2^-10 — far below geometric epsilon);
+    the separate min + iota-argmin reduces profiled as the hottest loop
+    fusions on v5e."""
     r = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     tp = tris.v0.shape[0]
     n_chunks = tp // chunk
+    # one spare code above tp-1 is reserved as the 'no hit' sentinel
+    idx_bits = tp.bit_length()
+    idx_mask = jnp.uint32((1 << idx_bits) - 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (1, chunk), 1)
 
-    def body(c, carry):
-        best_t, best_i = carry
+    def pack(t, base):
+        bits = lax.bitcast_convert_type(t, jnp.uint32)
+        key = (bits & ~idx_mask) | (row_ids + jnp.uint32(base))
+        # misses (t = inf) must never undercut the "no hit" sentinel
+        return jnp.where(jnp.isfinite(t), key, jnp.uint32(0xFFFFFFFF))
+
+    def body(c, best_key):
         base = c * chunk
         cv0 = lax.dynamic_slice(tris.v0, (base, 0), (chunk, 3))
         ce1 = lax.dynamic_slice(tris.e1, (base, 0), (chunk, 3))
         ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
+        best_t = lax.bitcast_convert_type(best_key & ~idx_mask, jnp.float32)
         t, u, v = _mt_chunk(origin, direction, cv0, ce1, ce2, t_min,
                             jnp.minimum(t_max, best_t))
-        # only (min, argmin) per chunk — barycentrics are re-derived at
-        # shade time from the winning triangle row (shade_table.fetch),
-        # which halves the minor-axis reductions here (profiled hot)
-        j = jnp.argmin(t, axis=-1)
-        tj = jnp.min(t, axis=-1)
-        closer = tj < best_t
-        best_t = jnp.where(closer, tj, best_t)
-        best_i = jnp.where(closer, (base + j).astype(jnp.int32), best_i)
-        return best_t, best_i
+        key = jnp.min(pack(t, base), axis=-1)
+        return jnp.minimum(best_key, key)
 
-    init = (t_max, jnp.full((r,), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(0, n_chunks, body, init)
-    found = best_i >= 0
+    # init encodes "no hit" (index field all-ones) with the t field set to
+    # max(t_max, 0) so the first chunk's interval is correct; lanes with an
+    # empty interval (t_max = -inf) keep t=0 and never accept a hit
+    init = (
+        lax.bitcast_convert_type(jnp.maximum(t_max, 0.0), jnp.uint32)
+        & ~idx_mask
+    ) | idx_mask
+    best_key = lax.fori_loop(0, n_chunks, body, init)
+    best_t = lax.bitcast_convert_type(best_key & ~idx_mask, jnp.float32)
+    best_i = (best_key & idx_mask).astype(jnp.int32)
+    # a lane that never improved keeps index == idx_mask from init
+    found = (best_key & idx_mask) != idx_mask
+    # padded rows never hit (degenerate); ids are original triangle order
     zeros = jnp.zeros((r,))
-    # rows are in original triangle order (prepare() only pads), so the
-    # winning row IS the triangle id — no gather needed. u/v are filled by
-    # the shade fetch.
     return Hit(jnp.where(found, best_t, INF), zeros, zeros,
                jnp.where(found, best_i, -1))
 

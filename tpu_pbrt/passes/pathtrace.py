@@ -58,6 +58,11 @@ class PathTraceSettings:
     # first vertex's NEE and zero the bounce-1 emission where DI is valid
     # (reference: Raytracing.hlsl:150-163, 302 `isDIValid` demux).
     external_di: bool = False
+    # Exact live-lane ray counting costs one cross-pool reduction per
+    # bounce (~1.4 ms per 2M lanes on v5e); off by default — the returned
+    # count is then a static upper bound (pool x queries). bench.py turns
+    # it on for honest Mrays/s.
+    count_rays: bool = False
 
 
 class _PathState(NamedTuple):
@@ -246,7 +251,8 @@ def trace(
             radiance = radiance + vec.where(
                 valid_nee & ~occluded, contrib, zero3
             )
-            nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
+            if settings.count_rays:
+                nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
 
         # --- BSDF sampling (Raytracing.hlsl:323-346)
         u4 = draw(bounce, 0)
@@ -290,6 +296,13 @@ def trace(
         else:
             next_pdf = pdf
 
+        if settings.count_rays:
+            new_count = (state.ray_count + nee_rays
+                         + jnp.sum(state.active.astype(jnp.float32)))
+        else:
+            # static upper bound: every lane traces + one NEE shadow ray
+            new_count = state.ray_count + (
+                r * (2 if settings.next_event_estimation else 1))
         return _PathState(
             active=active,
             origin=vec.where(is_hit, new_origin, state.origin),
@@ -300,8 +313,7 @@ def trace(
             radiance=radiance,
             first_lobe=first_lobe,
             first_hit_t=first_hit_t,
-            ray_count=state.ray_count + nee_rays
-            + jnp.sum(state.active.astype(jnp.float32)),
+            ray_count=new_count,
             prev_bsdf_pdf=jnp.where(is_hit, next_pdf, state.prev_bsdf_pdf),
             rough_accum=jnp.where(
                 is_hit,
