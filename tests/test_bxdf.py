@@ -25,7 +25,7 @@ def make_state(n, base_color, metallic, roughness, ior=1.5, transmission=0.0,
 
 def estimator(b, sv, v, key, n):
     """One-sample-MIS estimate E[f/pdf] — the integrator's throughput."""
-    u4 = jax.random.uniform(key, (n, 4))
+    u4 = tuple(jax.random.uniform(key, (4, n)))
     l, lobe, valid = bxdf.sample(b, sv, v, u4)
     w = bxdf.lobe_weights(b, sv, v)
     pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, w, lobe)
@@ -113,7 +113,7 @@ class TestPdfConsistency:
         b, sv = make_state(n, (0.7, 0.7, 0.7), 0.2, 0.6, transmission=0.0)
         key = jax.random.PRNGKey(5)
         v = _rand_unit_vec3(key, n, up=True)
-        u4 = jax.random.uniform(jax.random.PRNGKey(6), (n, 4))
+        u4 = tuple(jax.random.uniform(jax.random.PRNGKey(6), (4, n)))
         l, lobe, valid = bxdf.sample(b, sv, v, u4)
         w = bxdf.lobe_weights(b, sv, v)
         combined = bxdf.pdf_combined(b, sv, l, v, w)

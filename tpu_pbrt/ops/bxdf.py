@@ -196,21 +196,22 @@ def _half_vector(bsdf: BSDF, sv: SurfaceVectors, l: Vec3, v: Vec3,
     return vec.where(refracted, h_t, h_r)
 
 
-def sample(bsdf: BSDF, sv: SurfaceVectors, v: Vec3, u4: jnp.ndarray):
+def sample(bsdf: BSDF, sv: SurfaceVectors, v: Vec3, u4):
     """Sample an outgoing direction; returns (L, lobe, valid)
-    (reference: Shaders/BxDF.hlsli:214-226). u4 is (R, 4)."""
+    (reference: Shaders/BxDF.hlsli:214-226). u4 is a 4-tuple of (R,)
+    uniforms (SoA)."""
     weights = lobe_weights(bsdf, sv, v)
-    lobe = find_lobe(weights, u4[..., 0])
+    lobe = find_lobe(weights, u4[0])
 
     t, b, n = sv.tangent, sv.bitangent, sv.shading_normal
     v_local = vec.to_local(t, b, n, v)
 
     l_diff = vec.to_world(
-        t, b, n, sample_cosine_hemisphere(u4[..., 1], u4[..., 2])
+        t, b, n, sample_cosine_hemisphere(u4[1], u4[2])
     )
 
     h = vec.to_world(
-        t, b, n, sample_ggx_vndf(u4[..., 1], u4[..., 2], bsdf.roughness, v_local)
+        t, b, n, sample_ggx_vndf(u4[1], u4[2], bsdf.roughness, v_local)
     )
     l_spec = vec.reflect(-v, h)
 
@@ -219,7 +220,7 @@ def sample(bsdf: BSDF, sv: SurfaceVectors, v: Vec3, u4: jnp.ndarray):
     tir = eta * eta * (1.0 - voh * voh) > 1.0
     f_diel = brdf.fresnel_dielectric(eta, voh)
     refr, refr_tir = vec.refract(-v, h, eta)
-    reflect_choice = tir | (u4[..., 3] < f_diel)
+    reflect_choice = tir | (u4[3] < f_diel)
     l_trans = vec.where(reflect_choice, l_spec, refr)
     l_trans = vec.where((~reflect_choice) & refr_tir, -v, l_trans)
 

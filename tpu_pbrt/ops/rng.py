@@ -20,11 +20,14 @@ from jax import lax
 _U32 = jnp.uint32
 
 
-def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
-    """pcg4d hash: (..., 4) uint32 -> (..., 4) uint32."""
-    v = v.astype(_U32)
-    v = v * _U32(1664525) + _U32(1013904223)
-    x, y, z, w = v[..., 0], v[..., 1], v[..., 2], v[..., 3]
+def pcg4d(x, y, z, w):
+    """pcg4d hash on four u32 component arrays -> four u32 arrays (SoA:
+    stacking into (..., 4) puts 4 on the TPU lane axis and wastes 31/32
+    lanes on every op — measured as a hot fusion class)."""
+    x = x.astype(_U32) * _U32(1664525) + _U32(1013904223)
+    y = y.astype(_U32) * _U32(1664525) + _U32(1013904223)
+    z = z.astype(_U32) * _U32(1664525) + _U32(1013904223)
+    w = w.astype(_U32) * _U32(1664525) + _U32(1013904223)
     x = x + y * w
     y = y + z * x
     z = z + x * y
@@ -37,7 +40,7 @@ def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
     y = y + z * x
     z = z + x * y
     w = w + y * z
-    return jnp.stack([x, y, z, w], axis=-1)
+    return x, y, z, w
 
 
 def u32_to_uniform(u: jnp.ndarray) -> jnp.ndarray:
@@ -65,39 +68,39 @@ class PixelRng:
         self._frame = jnp.asarray(frame).astype(_U32)
         self._counter = 0
 
-    def _draw(self) -> jnp.ndarray:
+    def _draw(self):
         c = jnp.broadcast_to(
             jnp.asarray(self._counter, dtype=_U32), self._px.shape
         )
         frame = jnp.broadcast_to(self._frame, self._px.shape)
         self._counter += 1
-        v = jnp.stack([self._px, self._py, frame, c], axis=-1)
-        return u32_to_uniform(pcg4d(v))
+        x, y, z, w = pcg4d(self._px, self._py, frame, c)
+        return (u32_to_uniform(x), u32_to_uniform(y),
+                u32_to_uniform(z), u32_to_uniform(w))
 
     def next1(self) -> jnp.ndarray:
-        return self._draw()[..., 0]
+        return self._draw()[0]
 
-    def next2(self) -> jnp.ndarray:
-        return self._draw()[..., :2]
+    def next2(self):
+        return self._draw()[:2]
 
-    def next3(self) -> jnp.ndarray:
-        return self._draw()[..., :3]
+    def next3(self):
+        return self._draw()[:3]
 
-    def next4(self) -> jnp.ndarray:
+    def next4(self):
         return self._draw()
 
 
-def uniform4(px: jnp.ndarray, py: jnp.ndarray, frame, counter) -> jnp.ndarray:
-    """Stateless draw of 4 uniforms; `frame`/`counter` may be traced scalars
-    (use inside `lax.fori_loop`/`lax.while_loop` bodies)."""
+def uniform4(px: jnp.ndarray, py: jnp.ndarray, frame, counter):
+    """Stateless draw of 4 uniforms as a TUPLE of component arrays (SoA);
+    `frame`/`counter` may be traced scalars (use inside `lax` loop
+    bodies)."""
     shape = jnp.broadcast_shapes(jnp.shape(px), jnp.shape(py))
-    v = jnp.stack(
-        [
-            jnp.broadcast_to(jnp.asarray(px), shape).astype(_U32),
-            jnp.broadcast_to(jnp.asarray(py), shape).astype(_U32),
-            jnp.broadcast_to(jnp.asarray(frame), shape).astype(_U32),
-            jnp.broadcast_to(jnp.asarray(counter), shape).astype(_U32),
-        ],
-        axis=-1,
+    x, y, z, w = pcg4d(
+        jnp.broadcast_to(jnp.asarray(px), shape),
+        jnp.broadcast_to(jnp.asarray(py), shape),
+        jnp.broadcast_to(jnp.asarray(frame), shape),
+        jnp.broadcast_to(jnp.asarray(counter), shape),
     )
-    return u32_to_uniform(pcg4d(v))
+    return (u32_to_uniform(x), u32_to_uniform(y),
+            u32_to_uniform(z), u32_to_uniform(w))

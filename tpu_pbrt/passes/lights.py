@@ -27,14 +27,15 @@ class LightSample(NamedTuple):
     light: jnp.ndarray       # (R,) i32 light index
 
 
-def sample(lights: EmissiveLights, u3: jnp.ndarray) -> LightSample:
-    """Pick a light ~ power, then a uniform point on it. u3: (R, 3)."""
-    li = jnp.searchsorted(lights.cdf, u3[:, 0]).astype(jnp.int32)
+def sample(lights: EmissiveLights, u3) -> LightSample:
+    """Pick a light ~ power, then a uniform point on it. u3: a tuple of
+    (R,) uniforms (SoA RNG)."""
+    li = jnp.searchsorted(lights.cdf, u3[0]).astype(jnp.int32)
     li = jnp.clip(li, 0, lights.power.shape[0] - 1)
 
-    s = jnp.sqrt(u3[:, 1])
-    b0 = s * (1.0 - u3[:, 2])
-    b1 = s * u3[:, 2]
+    s = jnp.sqrt(u3[1])
+    b0 = s * (1.0 - u3[2])
+    b1 = s * u3[2]
     pos = (
         vec.gather(lights.v0, li)
         + vec.gather(lights.e1, li) * b0

@@ -214,7 +214,7 @@ def trace(
             u3 = draw(bounce, 2)
             ls = shade_table.fetch_light(
                 tracer.light_table, tracer.light_cdf,
-                u3[:, 0], u3[:, 1], u3[:, 2],
+                u3[0], u3[1], u3[2],
             )
             to_l = ls.position - attrs.position
             dist = vec.length(to_l)
@@ -268,7 +268,7 @@ def trace(
         # --- Russian roulette (Raytracing.hlsl:348-356)
         if settings.russian_roulette:
             p = jnp.clip(vec.max_component(throughput), 0.0, 1.0)
-            u_rr = draw(bounce, 1)[:, 0]
+            u_rr = draw(bounce, 1)[0]
             rr_on = bounce > settings.rr_start_bounce
             rr_kill = rr_on & (u_rr >= p)
             rr_scale = jnp.where(rr_on & ~rr_kill,
@@ -435,8 +435,7 @@ def trace_sharc_update(
         weights = bxdf.lobe_weights(b, sv, view)
         u3 = draw(bounce, 2)
         ls = shade_table.fetch_light(
-            tracer.light_table, tracer.light_cdf, u3[:, 0], u3[:, 1],
-            u3[:, 2])
+            tracer.light_table, tracer.light_cdf, u3[0], u3[1], u3[2])
         to_l = ls.position - attrs.position
         dist = vec.length(to_l)
         wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))

@@ -136,20 +136,20 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
 
     for k in range(settings.initial_light_samples):
         u4 = rng.uniform4(px, py, frame, 100 + k)
-        li = jnp.searchsorted(scene.lights.cdf, u4[:, 0]).astype(jnp.int32)
+        li = jnp.searchsorted(scene.lights.cdf, u4[0]).astype(jnp.int32)
         li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
         total = jnp.sum(scene.lights.power)
         select_pdf = scene.lights.power[li] / jnp.maximum(total, 1e-20)
         pdf_area = select_pdf / jnp.maximum(scene.lights.area[li], 1e-20)
 
         p_hat, _, _ = _target_pdf(scene, b, sv, view, gb.position,
-                                  li, u4[:, 1], u4[:, 2])
+                                  li, u4[1], u4[2])
         # RIS weight in area measure: p_hat expressed w.r.t. area via G
         w = jnp.where(pdf_area > 0, p_hat / jnp.maximum(pdf_area, 1e-20), 0.0)
         w = jnp.where(
             gb.valid & (scene.lights.count > 0), w, 0.0
         )
-        res = _merge(res, li, u4[:, 1], u4[:, 2], w, u4[:, 3])
+        res = _merge(res, li, u4[1], u4[2], w, u4[3])
 
     res = finalize(scene, b, sv, view, gb.position, res)
 
@@ -245,7 +245,7 @@ def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     w_prev = jnp.where(valid_hist, p_hat_prev * p_w * p_m, 0.0)
 
     u = rng.uniform4(px, py, frame, 200)
-    merged = _merge(cur, p_light, p_u, p_v, w_prev, u[:, 0],
+    merged = _merge(cur, p_light, p_u, p_v, w_prev, u[0],
                     cand_m=jnp.where(valid_hist, p_m, 0.0))
     return finalize(scene, b, sv, view, gb.position, merged)
 
@@ -258,8 +258,8 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     res = cur
     for k in range(settings.spatial_samples):
         u4 = rng.uniform4(px, py, frame, 300 + k)
-        ang = 2.0 * jnp.pi * u4[:, 0]
-        rad = settings.spatial_radius * jnp.sqrt(u4[:, 1])
+        ang = 2.0 * jnp.pi * u4[0]
+        rad = settings.spatial_radius * jnp.sqrt(u4[1])
         nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
         ny = py.astype(jnp.float32) + jnp.sin(ang) * rad
 
@@ -279,7 +279,7 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
         p_hat_n, _, _ = _target_pdf(scene, b, sv, view, gb.position,
                                     n_light, n_u, n_v)
         w_n = jnp.where(ok, p_hat_n * n_w * n_m, 0.0)
-        res = _merge(res, n_light, n_u, n_v, w_n, u4[:, 2],
+        res = _merge(res, n_light, n_u, n_v, w_n, u4[2],
                      cand_m=jnp.where(ok, n_m, 0.0))
     return finalize(scene, b, sv, view, gb.position, res)
 
