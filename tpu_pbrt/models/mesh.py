@@ -1,11 +1,9 @@
-"""Triangle geometry SoA + hit-point attribute interpolation.
+"""Triangle geometry SoA (host-side assembly).
 
-Replaces the reference's bindless vertex fetch path (reference:
-Shaders/RaytracingHelpers.hlsli:59-133 CastRay attribute loads,
-Shaders/Vertex.hlsli attribute interpolation, Source/Model.ixx:26-49 Mesh
-buffers). Geometry lives as flat device arrays; a hit is shaded by gathering
-the 3 vertices of the hit triangle and lerping with barycentrics — exactly
-what the HLSL does from ByteAddressBuffers, but as batched `take` ops.
+The reference's per-hit bindless vertex fetch (reference:
+Shaders/RaytracingHelpers.hlsli:59-133, Source/Model.ixx:26-49) lives in
+ops/shade_table.py on the device side; this module assembles the host
+Geometry arrays the shade table and tracers are built from.
 """
 
 from __future__ import annotations
@@ -15,9 +13,6 @@ from typing import NamedTuple
 import numpy as np
 import jax.numpy as jnp
 
-from ..ops import math as pmath
-from ..ops import vec
-from ..ops.vec import Vec3
 from .material import MaterialTable
 
 
@@ -41,76 +36,6 @@ class Geometry(NamedTuple):
         i = self.indices
         p = self.positions
         return p[i[:, 0]], p[i[:, 1]], p[i[:, 2]]
-
-
-class HitAttributes(NamedTuple):
-    """Interpolated surface attributes at hit points (HitInfo analogue,
-    Shaders/HitInfo.hlsli:7-99). SoA: vectors are Vec3 of (R,) components."""
-    position: Vec3
-    flat_normal: Vec3              # geometric (triangle plane) normal
-    shading_normal: Vec3           # interpolated vertex normal
-    tangent: Vec3
-    uv0_u: jnp.ndarray             # (R,)
-    uv0_v: jnp.ndarray             # (R,)
-    is_front_face: jnp.ndarray     # (R,) bool
-    material: jnp.ndarray          # (R,) i32
-    object_id: jnp.ndarray         # (R,) i32
-
-
-def interpolate_hit(geom: Geometry, tri: jnp.ndarray, u: jnp.ndarray,
-                    v: jnp.ndarray, ray_origin: Vec3,
-                    ray_dir: Vec3, t: jnp.ndarray) -> HitAttributes:
-    """Gather + lerp surface attributes for hit triangles.
-
-    `tri` may contain -1 (miss); those lanes produce valid-but-meaningless
-    values the caller must mask. Front-face test and normal flipping follow
-    the reference (Shaders/HitInfo.hlsli:46-64: shading normal is flipped to
-    oppose the ray when back-facing; geometric normal keeps object
-    orientation)."""
-    tid = jnp.maximum(tri, 0)
-    i0 = geom.indices[:, 0][tid]
-    i1 = geom.indices[:, 1][tid]
-    i2 = geom.indices[:, 2][tid]
-    p0 = vec.gather(geom.positions, i0)
-    p1 = vec.gather(geom.positions, i1)
-    p2 = vec.gather(geom.positions, i2)
-    w = 1.0 - u - v
-
-    # Recompute the position from barycentrics (more robust than o + t*d).
-    position = p0 * w + p1 * u + p2 * v
-
-    flat = vec.normalize(vec.cross(p1 - p0, p2 - p0))
-
-    n0 = vec.gather(geom.normals, i0)
-    n1 = vec.gather(geom.normals, i1)
-    n2 = vec.gather(geom.normals, i2)
-    shading = vec.normalize(n0 * w + n1 * u + n2 * v)
-
-    t0 = vec.gather(geom.tangents, i0)
-    t1 = vec.gather(geom.tangents, i1)
-    t2 = vec.gather(geom.tangents, i2)
-    tangent = vec.normalize(t0 * w + t1 * u + t2 * v)
-
-    uv_u = geom.uv0[:, 0][i0] * w + geom.uv0[:, 0][i1] * u + geom.uv0[:, 0][i2] * v
-    uv_v = geom.uv0[:, 1][i0] * w + geom.uv0[:, 1][i1] * u + geom.uv0[:, 1][i2] * v
-
-    # Orient the flat normal with the interpolated one so both agree on the
-    # "geometric" side, then resolve front-face against the ray.
-    flat = vec.where(vec.dot(flat, shading) < 0.0, -flat, flat)
-    front = vec.dot(flat, ray_dir) < 0.0
-    shading = vec.where(front, shading, -shading)
-
-    return HitAttributes(
-        position=position,
-        flat_normal=flat,
-        shading_normal=shading,
-        tangent=tangent,
-        uv0_u=uv_u,
-        uv0_v=uv_v,
-        is_front_face=front,
-        material=geom.tri_material[tid],
-        object_id=geom.tri_object[tid],
-    )
 
 
 def build_geometry(meshes: list[dict]) -> Geometry:
