@@ -7,10 +7,11 @@ lanes (counted inside the integrator), not pool-size x bounces.
 """
 
 import json
+import sys
 import time
 
 
-def main():
+def main(config: str = "cornell"):
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -21,11 +22,54 @@ def main():
     from tpu_pbrt.render.renderer import _render_frame
 
     width, height = 1920, 1080
-    scene = make_cornell_box()
+    if config == "cornell-bxdf":
+        # BASELINE config #2: full metallic/roughness BxDF blocks, 4 SPP
+        from tpu_pbrt.models.cornell import MAT_GLASS, MAT_METAL
+
+        scene = make_cornell_box(tall_block_material=MAT_METAL,
+                                 short_block_material=MAT_GLASS)
+        settings = PathTraceSettings(bounces=8, samples_per_pixel=4,
+                                     count_rays=True)
+        label = "Cornell metal/glass 1080p, 4 SPP, 8 bounces"
+    elif config == "sphere":
+        # BASELINE config #3 stand-in: 25k-tri mesh via the blocked tracer
+        import numpy as _np
+        from tpu_pbrt.models.material import make_table
+        from tpu_pbrt.models.mesh import build_geometry
+        from tpu_pbrt.models.scene import make_environment, make_scene
+
+        nu, nv = 160, 80
+        theta = _np.linspace(0, _np.pi, nv)
+        phi = _np.linspace(0, 2 * _np.pi, nu, endpoint=False)
+        tt, pp = _np.meshgrid(theta, phi, indexing="ij")
+        pos = _np.stack([_np.sin(tt) * _np.cos(pp), _np.cos(tt),
+                         _np.sin(tt) * _np.sin(pp)], -1).reshape(-1, 3)
+        idx = []
+        for i in range(nv - 1):
+            for j in range(nu):
+                a = i * nu + j
+                b = i * nu + (j + 1) % nu
+                c = (i + 1) * nu + j
+                e = (i + 1) * nu + (j + 1) % nu
+                idx += [[a, b, c], [b, e, c]]
+        geometry = build_geometry([{
+            "positions": pos.astype(_np.float32),
+            "normals": pos.astype(_np.float32),
+            "indices": _np.asarray(idx, _np.int32), "material": 0,
+        }])
+        mats = make_table([{"base_color": (0.7, 0.5, 0.3, 1.0),
+                            "roughness": 0.4, "metallic": 0.8}])
+        scene = make_scene(geometry, mats, make_environment())
+        settings = PathTraceSettings(bounces=4, samples_per_pixel=1,
+                                     count_rays=True)
+        label = "25k-tri sphere 1080p, 1 SPP, 4 bounces (blocked tracer)"
+    else:
+        scene = make_cornell_box()
+        settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
+                                     count_rays=True)
+        label = "Cornell 1080p, 1 SPP, 8 bounces"
     trc = tracer_mod.build_for_scene(scene)
     cam = make_cornell_camera(width, height).data()
-    settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
-                                 count_rays=True)
 
     # Frames are batched inside one jit (a fori over the frame index) so
     # the metric reflects sustained device throughput; single-call timings
@@ -65,7 +109,7 @@ def main():
     baseline = 500.0  # Mrays/sec/chip target (BASELINE.json north_star)
 
     print(json.dumps({
-        "metric": "Mrays/sec/chip (Cornell 1080p, 1 SPP, 8 bounces)",
+        "metric": f"Mrays/sec/chip ({label})",
         "value": round(mrays_per_sec, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays_per_sec / baseline, 4),
@@ -79,4 +123,4 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "cornell")
