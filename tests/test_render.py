@@ -27,14 +27,14 @@ def test_finite_and_nonblack(cornell_render):
 
 
 def test_color_bleed_sides(cornell_render):
-    """Green wall on the left (x=0), red wall on the right (x=552.8);
-    the camera looks +z with +x to image right."""
+    """Red wall on the left (x=0), green wall on the right (x=552.8) —
+    the reference golden-shot orientation; camera looks +z, +x to image
+    right."""
     img = cornell_render
     left = img[:, :12]
     right = img[:, -12:]
-    # left strip: green dominates red; right strip: red dominates green
-    assert left[..., 1].mean() > left[..., 0].mean()
-    assert right[..., 0].mean() > right[..., 1].mean()
+    assert left[..., 0].mean() > left[..., 1].mean()
+    assert right[..., 1].mean() > right[..., 0].mean()
 
 
 def test_light_is_brightest(cornell_render):

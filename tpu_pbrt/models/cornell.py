@@ -98,8 +98,10 @@ def make_cornell_box(light_radiance=(17.0, 12.0, 4.0),
     meshes.append(_quad([0, 0, 0], [552.8, 0, 0], [552.8, 0, 559.2], [0, 0, 559.2], MAT_WHITE, 0, flip=True))   # floor, +y
     meshes.append(_quad([0, 548.8, 0], [0, 548.8, 559.2], [556, 548.8, 559.2], [556, 548.8, 0], MAT_WHITE, 0, flip=True))  # ceiling, -y
     meshes.append(_quad([0, 0, 559.2], [552.8, 0, 559.2], [552.8, 548.8, 559.2], [0, 548.8, 559.2], MAT_WHITE, 0, flip=True))  # back, -z
-    meshes.append(_quad([552.8, 0, 0], [552.8, 0, 559.2], [552.8, 548.8, 559.2], [552.8, 548.8, 0], MAT_RED, 0))   # right wall, -x
-    meshes.append(_quad([0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2], [0, 0, 559.2], MAT_GREEN, 0))                 # left wall, +x
+    # reference golden shot orientation: red LEFT, green RIGHT
+    # (reference: Screenshots/Cornell Box.png)
+    meshes.append(_quad([552.8, 0, 0], [552.8, 0, 559.2], [552.8, 548.8, 559.2], [552.8, 548.8, 0], MAT_GREEN, 0))  # right wall, -x
+    meshes.append(_quad([0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2], [0, 0, 559.2], MAT_RED, 0))                    # left wall, +x
     # area light slightly below the ceiling, facing down (-y)
     meshes.append(_quad([213, 548.0, 227], [343, 548.0, 227], [343, 548.0, 332], [213, 548.0, 332], MAT_LIGHT, 1))
     # blocks
