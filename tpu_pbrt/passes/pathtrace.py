@@ -27,6 +27,7 @@ from __future__ import annotations
 import dataclasses
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -63,6 +64,17 @@ class PathTraceSettings:
     # count is then a static upper bound (pool x queries). bench.py turns
     # it on for honest Mrays/s.
     count_rays: bool = False
+    # Stochastic pool compaction: at the START of each listed bounce the
+    # ray pool is folded in half (lane i paired with lane i+R/2, ONE
+    # survivor kept — a fair coin with 2x throughput reweighting when both
+    # are alive; population-control splitting-in-reverse, unbiased). Every
+    # later bounce then costs half as much. Schedule folds where the
+    # expected live fraction is < ~50% (after Russian roulette starts, or
+    # after open-scene miss attrition); earlier folds stay unbiased but
+    # trade real samples for speed (more variance). Entries must be
+    # strictly increasing, in [1, bounces]; the pool size must be
+    # divisible by 2**len(schedule). Default off.
+    compaction_schedule: tuple = ()
 
 
 class _PathState(NamedTuple):
@@ -90,6 +102,45 @@ def _bsdf_from_attrs(attrs: shade_table.ShadeAttrs) -> bxdf.BSDF:
                           attrs.ior, attrs.transmission, attrs.is_front_face)
 
 
+def _fold_half(state: _PathState, px, py, idx, di_valid,
+               frame, sample_offset, bounce):
+    """Stochastic pool compaction: pair lane i with lane i+R/2, keep ONE.
+
+    Population control (splitting in reverse — the dual of Russian
+    roulette): if both lanes of a pair are alive, a fair coin picks the
+    survivor and its throughput DOUBLES (E[2T_keep · C_keep] =
+    E[T_i·C_i] + E[T_j·C_j] — unbiased); if exactly one is alive it
+    survives with weight 1 (no variance added); dead pairs stay dead.
+    Every bounce after the fold costs half as much — on a lock-step
+    vector machine this is the only way masked-off lanes stop costing
+    time. The caller must bank `state.radiance` per-pixel BEFORE folding
+    (lane→pixel identity is lost) and reset it to zero.
+
+    Replaces compaction via sorting: a sort + 14 state gathers measured
+    ~105 ms per 2M lanes on v5e, while this fold is pure elementwise
+    selects (~1 ms). The coin rides the low half's pixel RNG stream at
+    slot 3 (slots 0-2 are used by shading).
+    """
+    r = state.active.shape[0]
+    h = r // 2
+    a_lo, a_hi = state.active[:h], state.active[h:]
+    both = a_lo & a_hi
+    coin = rng.uniform4(px[:h], py[:h], frame,
+                        sample_offset * 64 + 3 + bounce * 8)[0] < 0.5
+    take_hi = (a_hi & ~a_lo) | (both & coin)
+
+    def sel(a):
+        if a.ndim >= 1 and a.shape[0] == r:
+            return jnp.where(take_hi, a[h:], a[:h])
+        return a  # per-pool scalars (ray_count) pass through
+
+    state = jax.tree.map(sel, state)
+    state = state._replace(
+        throughput=state.throughput * jnp.where(both, 2.0, 1.0))
+    return (state, sel(jnp.asarray(px)), sel(jnp.asarray(py)), sel(idx),
+            None if di_valid is None else sel(jnp.asarray(di_valid)))
+
+
 def trace(
     tracer,
     scene: Scene,
@@ -113,8 +164,13 @@ def trace(
     (Shaders/Raytracing.hlsl:108). `primary_hit` (if given) supplies the
     bounce-0 hit from the G-buffer pass instead of retracing."""
     r = origin.shape[0]
+    schedule = tuple(settings.compaction_schedule)
+    if schedule:
+        assert list(schedule) == sorted(set(schedule)), schedule
+        assert 1 <= schedule[0] and schedule[-1] <= settings.bounces, schedule
+        assert r % (2 ** len(schedule)) == 0, (r, schedule)
 
-    def draw(bounce, slot):
+    def draw(px, py, bounce, slot):
         counter = (sample_offset * 64 + slot) + bounce * 8
         return rng.uniform4(px, py, frame, counter)
 
@@ -135,9 +191,12 @@ def trace(
 
     zero3 = Vec3.splat(0.0)
 
-    def shade(bounce, state: _PathState, hit: Hit) -> _PathState:
+    def shade(bounce, state: _PathState, hit: Hit,
+              px, py, di_valid) -> _PathState:
         """Everything after traversal: miss env, emission MIS, NEE, BSDF
-        sample, RR, cutoff, continuation ray."""
+        sample, RR, cutoff, continuation ray. px/py/di_valid are explicit
+        (not closures) so compaction can hand in the folded pool's views."""
+        r = state.t_min.shape[0]
         is_hit = hit.mask & state.active
 
         # --- hit shading: ONE packed row-gather for all attributes
@@ -211,7 +270,7 @@ def trace(
         # balance-heuristic MIS against the BSDF strategy
         nee_rays = jnp.zeros((), jnp.float32)
         if settings.next_event_estimation:
-            u3 = draw(bounce, 2)
+            u3 = draw(px, py, bounce, 2)
             ls = shade_table.fetch_light(
                 tracer.light_table, tracer.light_cdf,
                 u3[0], u3[1], u3[2],
@@ -255,7 +314,7 @@ def trace(
                 nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
 
         # --- BSDF sampling (Raytracing.hlsl:323-346)
-        u4 = draw(bounce, 0)
+        u4 = draw(px, py, bounce, 0)
         l, lobe, valid = bxdf.sample(b, sv, v, u4)
         pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
         f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
@@ -268,7 +327,7 @@ def trace(
         # --- Russian roulette (Raytracing.hlsl:348-356)
         if settings.russian_roulette:
             p = jnp.clip(vec.max_component(throughput), 0.0, 1.0)
-            u_rr = draw(bounce, 1)[0]
+            u_rr = draw(px, py, bounce, 1)[0]
             rr_on = bounce > settings.rr_start_bounce
             rr_kill = rr_on & (u_rr >= p)
             rr_scale = jnp.where(rr_on & ~rr_kill,
@@ -323,31 +382,66 @@ def trace(
             ),
         )
 
-    def bounce_body(bounce, state: _PathState):
-        # inactive lanes traverse with an empty interval so their walk
-        # degenerates to nothing (cheap lock-step idling)
-        hit = tracer.closest_hit(
-            state.origin, state.direction, state.t_min,
-            jnp.where(state.active, state.t_max, -jnp.inf),
-        )
-        return shade(bounce, state, hit)
+    def make_body(px, py, di_valid):
+        """Bounce body bound to one pool's pixel streams/DI mask — rebuilt
+        after each compaction fold so the closures track the halved pool."""
+        def bounce_body(bounce, state: _PathState):
+            # inactive lanes traverse with an empty interval so their walk
+            # degenerates to nothing (cheap lock-step idling)
+            hit = tracer.closest_hit(
+                state.origin, state.direction, state.t_min,
+                jnp.where(state.active, state.t_max, -jnp.inf),
+            )
+            return shade(bounce, state, hit, px, py, di_valid)
+        return bounce_body
 
     # bounce 0 can reuse an externally supplied primary hit (the G-buffer
     # pass result — the reference reconstructs the primary surface instead
     # of retracing, Raytracing.hlsl:118-163)
+    start = 0
     if primary_hit is not None:
-        state = shade(0, state, primary_hit)
+        state = shade(0, state, primary_hit, px, py, di_valid)
         # the primary was traced by the G-buffer pass, not here — keep the
         # ray counter honest (only NEE shadow rays at bounce 0 count)
         state = state._replace(ray_count=state.ray_count - r)
-        state = lax.fori_loop(1, settings.bounces + 1, bounce_body, state)
-    else:
-        state = lax.fori_loop(0, settings.bounces + 1, bounce_body, state)
+        start = 1
+
+    bounce_body = make_body(px, py, di_valid)
+    bank = idx = first_lobe = first_hit_t = None
+    for k, end in enumerate(list(schedule) + [settings.bounces + 1]):
+        if end > start:
+            state = lax.fori_loop(start, end, bounce_body, state)
+            start = end
+        if k >= len(schedule):
+            break
+        # --- stochastic compaction at bounce `end`: bank this pool's
+        # radiance into per-pixel slots (the fold discards lane identity),
+        # then halve the pool and rebind the bounce body to it.
+        cur = vec.where(vec.all_finite(state.radiance), state.radiance,
+                        Vec3.splat(0.0))
+        if bank is None:
+            # first fold: lane == pixel, banking is elementwise (no scatter)
+            bank = cur
+            idx = jnp.arange(r, dtype=jnp.int32)
+            first_lobe, first_hit_t = state.first_lobe, state.first_hit_t
+        else:
+            bank = Vec3(bank.x.at[idx].add(cur.x),
+                        bank.y.at[idx].add(cur.y),
+                        bank.z.at[idx].add(cur.z))
+        state = state._replace(
+            radiance=Vec3.zeros((state.active.shape[0],)))
+        state, px, py, idx, di_valid = _fold_half(
+            state, px, py, idx, di_valid, frame, sample_offset, end)
+        bounce_body = make_body(px, py, di_valid)
 
     # non-finite guard (Raytracing.hlsl:377)
     rad = vec.where(vec.all_finite(state.radiance), state.radiance,
                     Vec3.splat(0.0))
-    return rad, state.first_lobe, state.first_hit_t, state.ray_count
+    if bank is None:
+        return rad, state.first_lobe, state.first_hit_t, state.ray_count
+    rad = Vec3(bank.x.at[idx].add(rad.x), bank.y.at[idx].add(rad.y),
+               bank.z.at[idx].add(rad.z))
+    return rad, first_lobe, first_hit_t, state.ray_count
 
 
 def render_sample_radiance(

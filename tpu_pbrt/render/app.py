@@ -95,10 +95,21 @@ class App:
             next_event_estimation=True,
             external_di=s.raytracing.restir_di,
             sharc_mode="query" if s.raytracing.sharc else "off",
+            compaction_schedule=self._valid_schedule(
+                s.raytracing.compaction_schedule),
         )
         self.history = self.reset_history()
         self.frame_index = 0
         self._step = jax.jit(self._frame)
+
+    def _valid_schedule(self, schedule) -> tuple:
+        """Trim compaction folds the internal-resolution pool can't honor
+        (each fold halves the pool, so R must divide by 2**len)."""
+        schedule = tuple(schedule)
+        r = self.render_w * self.render_h
+        while schedule and r % (2 ** len(schedule)):
+            schedule = schedule[:-1]
+        return schedule
 
     def reset_history(self) -> FrameHistory:
         """The reference's history reset on discontinuities

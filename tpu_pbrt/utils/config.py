@@ -46,9 +46,17 @@ class RaytracingSettings:
     sharc_scene_scale: float = 50.0
     sharc_roughness_threshold: float = 0.4
     sharc_capacity_log2: int = 22
+    # Stochastic pool compaction (TPU-only concept, no reference analogue):
+    # bounce indices at which the ray pool is folded in half — unbiased
+    # population control, see passes/pathtrace.py. Best placed after the
+    # Russian-roulette cliff. Empty = off.
+    compaction_schedule: tuple = ()
 
     def check(self):
         self.bounces = _clamp(int(self.bounces), 0, MAX_BOUNCES)
+        self.compaction_schedule = tuple(
+            b for b in sorted(set(int(x) for x in self.compaction_schedule))
+            if 1 <= b <= self.bounces)
         self.samples_per_pixel = _clamp(
             int(self.samples_per_pixel), 1, MAX_SAMPLES_PER_PIXEL)
         self.restir_local_light_samples = _clamp(
