@@ -30,7 +30,8 @@ def main(config: str = "cornell"):
         scene = make_cornell_box(tall_block_material=MAT_METAL,
                                  short_block_material=MAT_GLASS)
         settings = PathTraceSettings(bounces=8, samples_per_pixel=4,
-                                     count_rays=True)
+                                     count_rays=True,
+                                     compaction_schedule=(4, 5, 6))
         label = "Cornell metal/glass 1080p, 4 SPP, 8 bounces"
     elif config == "sphere":
         # BASELINE config #3 stand-in: 25k-tri mesh via the blocked tracer
