@@ -102,6 +102,25 @@ def _bsdf_from_attrs(attrs: shade_table.ShadeAttrs) -> bxdf.BSDF:
                           attrs.ior, attrs.transmission, attrs.is_front_face)
 
 
+def _bank_add(bank: Vec3, idx, rad: Vec3) -> Vec3:
+    """Scatter-free radiance banking for folded pools.
+
+    The fold keeps pair structure — after any number of folds, a pool
+    lane p still satisfies idx[p] ≡ p (mod pool size) — so tiling the
+    folded pool back to full size lines every folded lane up under its
+    original pixel, turning the scatter-add into an elementwise masked
+    add. TPU scatter measured ~8 ms per bank at a 2M-lane 1080p pool
+    (serialized); this is a ~1 ms fusion.
+    """
+    r0 = bank.x.shape[0]
+    reps = r0 // idx.shape[0]
+    lane = jnp.arange(r0, dtype=jnp.int32)
+    m = jnp.tile(idx, reps) == lane
+    return Vec3(bank.x + jnp.where(m, jnp.tile(rad.x, reps), 0.0),
+                bank.y + jnp.where(m, jnp.tile(rad.y, reps), 0.0),
+                bank.z + jnp.where(m, jnp.tile(rad.z, reps), 0.0))
+
+
 def _fold_half(state: _PathState, px, py, idx, di_valid,
                frame, sample_offset, bounce):
     """Stochastic pool compaction: pair lane i with lane i+R/2, keep ONE.
@@ -425,9 +444,7 @@ def trace(
             idx = jnp.arange(r, dtype=jnp.int32)
             first_lobe, first_hit_t = state.first_lobe, state.first_hit_t
         else:
-            bank = Vec3(bank.x.at[idx].add(cur.x),
-                        bank.y.at[idx].add(cur.y),
-                        bank.z.at[idx].add(cur.z))
+            bank = _bank_add(bank, idx, cur)
         state = state._replace(
             radiance=Vec3.zeros((state.active.shape[0],)))
         state, px, py, idx, di_valid = _fold_half(
@@ -439,8 +456,7 @@ def trace(
                     Vec3.splat(0.0))
     if bank is None:
         return rad, state.first_lobe, state.first_hit_t, state.ray_count
-    rad = Vec3(bank.x.at[idx].add(rad.x), bank.y.at[idx].add(rad.y),
-               bank.z.at[idx].add(rad.z))
+    rad = _bank_add(bank, idx, rad)
     return rad, first_lobe, first_hit_t, state.ray_count
 
 
