@@ -12,6 +12,194 @@ import sys
 import time
 
 
+def bench_app(width=1920, height=1080, quiet=False):
+    """The flagship BASELINE metric: 1080p FPS at 1 SPP with the FULL frame
+    graph — ReSTIR DI + SHARC + denoise + TAA + bloom + tonemap
+    (reference golden config: README.md:59-64; metric def: BASELINE.json).
+    Returns (fps, mrays_per_sec, rays_per_frame)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+    from tpu_pbrt.render.app import App
+    from tpu_pbrt.utils.config import GraphicsSettings
+
+    s = GraphicsSettings()
+    s.width, s.height = width, height
+    s.raytracing.compaction_schedule = tuple(
+        int(x) for x in os.environ.get("BENCH_FOLD", "4,5,6").split(",") if x)
+    s.check()
+    scene = make_cornell_box()
+    cam = make_cornell_camera(width, height)
+    app = App(scene, cam, s)
+    cam_data = cam.data()
+    hist0 = app.history
+
+    def frames(n):
+        def run(c, hist):
+            def body(i, carry):
+                acc, rays, h = carry
+                img, rc, h = app._frame(app.tracer, scene, c,
+                                        i.astype(jnp.uint32), h)
+                return acc + img[::64, ::64].sum(), rays + rc, h
+            return lax.fori_loop(0, n, body,
+                                 (jnp.zeros(()), jnp.zeros(()), hist))
+        return jax.jit(run)
+
+    f_lo, f_hi = frames(1), frames(4)
+    float(f_lo(cam_data, hist0)[0])
+    float(f_hi(cam_data, hist0)[0])
+
+    def best_time(f):
+        best, rays = float("inf"), 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, r, _ = f(cam_data, hist0)
+            rays = float(r)
+            best = min(best, time.perf_counter() - t0)
+        return best, rays
+
+    t_lo, rays_lo = best_time(f_lo)
+    t_hi, rays_hi = best_time(f_hi)
+    per_frame = (t_hi - t_lo) / 3
+    rays_per_frame = (rays_hi - rays_lo) / 3
+    return (1.0 / per_frame, rays_per_frame / per_frame / 1e6,
+            rays_per_frame)
+
+
+def breakdown(config: str = "cornell"):
+    """Per-pass wall-time breakdown via jax.profiler: runs the config once
+    under a trace and aggregates device-op durations by named_scope prefix
+    (the PIX-capture analogue, SURVEY.md §5). Prints a table to stderr and
+    a JSON dict to stdout."""
+    import glob
+    import gzip
+    from collections import defaultdict
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    tracedir = "/tmp/tpu_pbrt_profile"
+    os.system(f"rm -rf {tracedir}")
+
+    if config == "app":
+        from tpu_pbrt.models.cornell import (make_cornell_box,
+                                             make_cornell_camera)
+        from tpu_pbrt.render.app import App
+        from tpu_pbrt.utils.config import GraphicsSettings
+
+        s = GraphicsSettings()
+        s.raytracing.compaction_schedule = (4, 5, 6)
+        s.check()
+        scene = make_cornell_box()
+        cam = make_cornell_camera(s.width, s.height)
+        app = App(scene, cam, s)
+        cam_data = cam.data()
+        hist = app.history
+
+        @jax.jit
+        def run(c, hist):
+            def body(i, carry):
+                acc, h = carry
+                img, _, h = app._frame(app.tracer, scene, c,
+                                       i.astype(jnp.uint32), h)
+                return acc + img[::64, ::64].sum(), h
+            return lax.fori_loop(0, 3, body, (jnp.zeros(()), hist))
+
+        float(run(cam_data, hist)[0])  # compile + warm
+        with jax.profiler.trace(tracedir):
+            float(run(cam_data, hist)[0])
+        hlo_text = run.lower(cam_data, hist).compile().as_text()
+    else:
+        from tpu_pbrt.models.cornell import (make_cornell_box,
+                                             make_cornell_camera)
+        from tpu_pbrt.ops import tracer as tracer_mod
+        from tpu_pbrt.passes.pathtrace import PathTraceSettings
+        from tpu_pbrt.render.renderer import _render_frame
+
+        scene = make_cornell_box()
+        trc = tracer_mod.build_for_scene(scene)
+        cam = make_cornell_camera(1920, 1080).data()
+        settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
+                                     count_rays=True,
+                                     compaction_schedule=(4, 5, 6))
+
+        @jax.jit
+        def run(c):
+            def body(i, acc):
+                img, _ = _render_frame(trc, scene, c, i.astype(jnp.uint32),
+                                       width=1920, height=1080,
+                                       settings=settings)
+                return acc + img[::64, ::64].sum()
+            return lax.fori_loop(0, 3, body, jnp.zeros(()))
+
+        float(run(cam))
+        with jax.profiler.trace(tracedir):
+            float(run(cam))
+        hlo_text = run.lower(cam).compile().as_text()
+
+    # map HLO instruction name -> named_scope path from op metadata
+    import re
+
+    op_scope = {}
+    for m in re.finditer(
+        r"%?([\w.\-]+) = [^\n]*?metadata=\{[^}]*?op_name=\"([^\"]+)\"",
+        hlo_text,
+    ):
+        op_scope[m.group(1)] = m.group(2)
+
+    TAGS = ("traverse", "shadow", "fetch", "nee", "bsdf", "gbuffer",
+            "restir", "sharc_update", "sharc_resolve", "pathtrace",
+            "denoise", "taa", "bloom_tonemap")
+
+    def scope_of(op_path: str) -> str:
+        best, pos = "other", -1
+        for tag in TAGS:
+            i = op_path.rfind(f"{tag}/")
+            if i < 0 and op_path.endswith(tag):
+                i = len(op_path) - len(tag)
+            if i > pos:
+                best, pos = tag, i
+        return best
+
+    # aggregate leaf device events (skip nested containers: jit_/while
+    # events contain their children, counting both double-counts)
+    paths = sorted(glob.glob(f"{tracedir}/plugins/profile/*/*trace.json.gz"))
+    assert paths, f"no trace written under {tracedir}"
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+
+    by_scope = defaultdict(float)
+    by_name = defaultdict(float)
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        name = e.get("name", "")
+        if name.startswith(("jit_", "while")) or name in ("run",):
+            continue  # containers; leaves are the fusions/ops inside
+        op_path = op_scope.get(name, "")
+        if not op_path:
+            continue  # host-side / non-HLO event
+        sc = scope_of(op_path)
+        by_scope[sc] += e["dur"]
+        cat = e.get("args", {}).get("hlo_category", "?")
+        by_name[f"{name} [{cat}] {op_path[-70:]}"] += e["dur"]
+        total += e["dur"]
+
+    print("== by scope (us, 3 frames) ==", file=sys.stderr)
+    for k, v in sorted(by_scope.items(), key=lambda kv: -kv[1]):
+        print(f"  {k:16s} {v:12.0f}  ({100 * v / max(total, 1):.1f}%)",
+              file=sys.stderr)
+    print("== top ops ==", file=sys.stderr)
+    for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
+        print(f"  {v:12.0f}  {k[:150]}", file=sys.stderr)
+    print(json.dumps({"total_us": total, "by_scope": dict(by_scope)}))
+
+
 def main(config: str = "cornell"):
     import jax
     import jax.numpy as jnp
@@ -21,6 +209,20 @@ def main(config: str = "cornell"):
     from tpu_pbrt.ops import tracer as tracer_mod
     from tpu_pbrt.passes.pathtrace import PathTraceSettings
     from tpu_pbrt.render.renderer import _render_frame
+
+    if config == "app":
+        fps, mrays, rpf = bench_app()
+        print(json.dumps({
+            "metric": ("1080p fps, 1 SPP, full frame graph "
+                       "(ReSTIR DI + SHARC + denoise + TAA + bloom)"),
+            "value": round(fps, 2),
+            "unit": "fps",
+            "vs_baseline": round(mrays / 500.0, 4),
+            "extra": {"mrays_per_sec": round(mrays, 2),
+                      "rays_per_frame": round(rpf),
+                      "device": str(jax.devices()[0])},
+        }))
+        return
 
     width, height = 1920, 1080
     if config == "cornell-bxdf":
@@ -127,19 +329,34 @@ def main(config: str = "cornell"):
     fps = 1.0 / per_frame
     baseline = 500.0  # Mrays/sec/chip target (BASELINE.json north_star)
 
+    extra = {
+        "fps_pt_only": round(fps, 2),
+        "ms_per_frame_pt_only": round(per_frame * 1e3, 1),
+        "rays_per_frame": round(rays_per_frame),
+        "device": str(jax.devices()[0]),
+    }
+    # the flagship BASELINE metric rides along: 1080p fps with the FULL
+    # frame graph (ReSTIR DI + SHARC + denoise + TAA + bloom + tonemap)
+    if config == "cornell" and os.environ.get("BENCH_APP", "1") != "0":
+        try:
+            app_fps, app_mrays, app_rpf = bench_app()
+            extra["app_fps_1080p_1spp_restir_sharc"] = round(app_fps, 2)
+            extra["app_mrays_per_sec"] = round(app_mrays, 2)
+            extra["app_rays_per_frame"] = round(app_rpf)
+        except Exception as e:  # never lose the headline to the rider
+            extra["app_error"] = f"{type(e).__name__}: {e}"[:200]
+
     print(json.dumps({
         "metric": f"Mrays/sec/chip ({label})",
         "value": round(mrays_per_sec, 2),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays_per_sec / baseline, 4),
-        "extra": {
-            "fps_1080p_1spp": round(fps, 2),
-            "ms_per_frame": round(per_frame * 1e3, 1),
-            "rays_per_frame": round(rays_per_frame),
-            "device": str(jax.devices()[0]),
-        },
+        "extra": extra,
     }))
 
 
 if __name__ == "__main__":
-    main(sys.argv[1] if len(sys.argv) > 1 else "cornell")
+    if len(sys.argv) > 1 and sys.argv[1] == "breakdown":
+        breakdown(sys.argv[2] if len(sys.argv) > 2 else "cornell")
+    else:
+        main(sys.argv[1] if len(sys.argv) > 1 else "cornell")

@@ -111,3 +111,44 @@ def test_blocked_scene_render():
     assert np.isfinite(img).all()
     # sphere silhouette: center pixels darker/metal, corners = sky
     assert img[0, 0].sum() != pytest.approx(img[24, 24].sum(), rel=0.2)
+
+
+def test_blocked_refit_matches_rebuild():
+    """Skinned-BLAS analogue: a >2048-tri mesh deformed after build must
+    trace exactly like a fresh build on the deformed soup (VERDICT r1:
+    blocked refit was broken — tracer.refit crashed on BlockedTris)."""
+    from tpu_pbrt.ops import tracer as tracer_mod
+
+    v0, v1, v2 = random_tris(jax.random.PRNGKey(11), 4000)
+    tris = traverse_blocked.prepare(np.asarray(v0), np.asarray(v1),
+                                    np.asarray(v2))
+    # deform: twist + translate (large enough to change every block AABB)
+    def deform(v):
+        ang = v[:, 1] * 0.2
+        c, s = jnp.cos(ang), jnp.sin(ang)
+        return jnp.stack([c * v[:, 0] - s * v[:, 2] + 1.5,
+                          v[:, 1] * 1.1,
+                          s * v[:, 0] + c * v[:, 2]], -1)
+
+    w0, w1, w2 = deform(v0), deform(v1), deform(v2)
+    refitted = jax.jit(traverse_blocked.refit)(tris, w0, w1, w2)
+
+    o, d = random_rays(jax.random.PRNGKey(12), 512)
+    got = traverse_blocked.closest_hit(
+        refitted, Vec3.from_array(o), Vec3.from_array(d), 0.0, jnp.inf,
+        tile=256)
+    want = traverse.brute_force_closest_hit(w0, w1, w2, o, d, 0.0, jnp.inf)
+    np.testing.assert_array_equal(np.asarray(got.tri >= 0),
+                                  np.asarray(want.tri >= 0))
+    m = np.asarray(got.tri >= 0)
+    np.testing.assert_array_equal(np.asarray(got.tri)[m],
+                                  np.asarray(want.tri)[m])
+    np.testing.assert_allclose(np.asarray(got.t)[m], np.asarray(want.t)[m],
+                               rtol=1e-4)
+
+    # the tracer dispatch layer must route blocked refits here, not crash
+    trc = tracer_mod.Tracer("blocked", tris)
+    trc2 = tracer_mod.refit(trc, w0, w1, w2)
+    got2 = trc2.closest_hit(Vec3.from_array(o), Vec3.from_array(d), 0.0,
+                            jnp.inf)
+    np.testing.assert_array_equal(np.asarray(got2.tri), np.asarray(got.tri))

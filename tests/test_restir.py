@@ -83,9 +83,12 @@ class TestReservoir:
 
     def test_initial_sampling_valid(self, setup):
         scene, trc, gb, view, px, py = setup
-        res = restir.initial_sampling(
+        res, _ = restir.initial_sampling(
             scene, gb, view, trc, px, py, 0, restir.ReSTIRSettings())
-        assert bool(jnp.all(res.m == restir.ReSTIRSettings().initial_light_samples))
+        s = restir.ReSTIRSettings()
+        # every candidate counts toward M — light AND BRDF samples
+        assert bool(jnp.all(
+            res.m == s.initial_light_samples + s.initial_brdf_samples))
         assert bool(jnp.all(jnp.isfinite(res.w)))
         assert float(res.w.max()) > 0  # someone sees the light
 
@@ -100,7 +103,7 @@ class TestConvergence:
         acc = np.zeros_like(ref)
         frames = 60
         for f in range(frames):
-            (diff, spec), state = restir.render_direct_lighting(
+            (diff, spec), state, _ = restir.render_direct_lighting(
                 scene, gb, view, trc, state, px, py, f, W, H, settings)
             acc += np.asarray((diff + spec).to_array())
         got = acc / frames
@@ -120,7 +123,7 @@ class TestConvergence:
         state = restir.ReSTIRState.empty(gb.depth.shape[0])
         outs = []
         for f in range(12):
-            (diff, spec), state = restir.render_direct_lighting(
+            (diff, spec), state, _ = restir.render_direct_lighting(
                 scene, gb, view, trc, state, px, py, f, W, H, settings)
             outs.append(np.asarray((diff + spec).to_array()))
         restir_var = np.stack(outs[4:]).var(0).mean()

@@ -140,6 +140,8 @@ def refit(tracer: Tracer, v0, v1, v2) -> Tracer:
     if tracer.kind == "dense":
         accel = traverse_dense.prepare(
             v0, v1, v2, opacity=tracer.accel.opacity[:t])
+    elif tracer.kind == "blocked":
+        accel = traverse_blocked.refit(tracer.accel, v0, v1, v2)
     else:
         accel = bvh_mod.refit(tracer.accel, v0, v1, v2)
     return Tracer(tracer.kind, accel, tracer.shade_table,

@@ -109,6 +109,34 @@ def prepare(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     )
 
 
+def refit(tris: BlockedTris, v0, v1, v2) -> BlockedTris:
+    """Refit to deformed vertices, keeping the Morton block assignment
+    fixed (the ALLOW_UPDATE skinned-BLAS path, reference:
+    Source/Scene.ixx:329): re-gather vertices into the stored sorted
+    order and recompute per-block AABBs on device. Block bounds loosen as
+    the mesh deforms away from the build pose — the classic refit
+    trade-off — but traversal stays correct for any deformation."""
+    tid = jnp.maximum(tris.tri_id, 0)
+    valid = (tris.tri_id >= 0)[:, None]
+    sv0 = jnp.where(valid, jnp.asarray(v0, jnp.float32)[tid], 0.0)
+    sv1 = jnp.where(valid, jnp.asarray(v1, jnp.float32)[tid], 0.0)
+    sv2 = jnp.where(valid, jnp.asarray(v2, jnp.float32)[tid], 0.0)
+    nb = tris.block_min.shape[0]
+    tri_min = jnp.minimum(jnp.minimum(sv0, sv1), sv2).reshape(nb, BLOCK, 3)
+    tri_max = jnp.maximum(jnp.maximum(sv0, sv1), sv2).reshape(nb, BLOCK, 3)
+    v3 = valid.reshape(nb, BLOCK, 1)
+    bmin = jnp.where(v3, tri_min, jnp.inf).min(1)
+    bmax = jnp.where(v3, tri_max, -jnp.inf).max(1)
+    lo = jnp.min(jnp.where(valid, sv0, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid, sv0, -jnp.inf), axis=0)
+    diag = jnp.linalg.norm(hi - lo) + 1e-3
+    return tris._replace(
+        v0=sv0, e1=sv1 - sv0, e2=sv2 - sv0,
+        block_min=bmin, block_max=bmax,
+        scene_diag=diag.astype(jnp.float32),
+    )
+
+
 def _tile_reachable(tris: BlockedTris, o: Vec3, d: Vec3, t_cap):
     """(B,) conservative mask: can ANY ray of this tile reach each block?
     Interval arithmetic over the tile's origin box and direction box."""

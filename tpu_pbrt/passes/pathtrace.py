@@ -219,12 +219,13 @@ def trace(
         is_hit = hit.mask & state.active
 
         # --- hit shading: ONE packed row-gather for all attributes
-        attrs = shade_table.fetch(
-            tracer.shade_table, jnp.maximum(hit.tri, 0),
-            state.origin, state.direction,
-        )
-        if tracer.textured:
-            attrs = shade_table.apply_textures(tracer.atlas, attrs)
+        with jax.named_scope("fetch"):
+            attrs = shade_table.fetch(
+                tracer.shade_table, jnp.maximum(hit.tri, 0),
+                state.origin, state.direction,
+            )
+            if tracer.textured:
+                attrs = shade_table.apply_textures(tracer.atlas, attrs)
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
 
@@ -317,10 +318,11 @@ def trace(
             shadow_o = vec.safe_spawn_offset(
                 attrs.position, attrs.flat_normal, wi
             )
-            occluded = tracer.any_hit(
-                shadow_o, wi, 0.0,
-                jnp.where(valid_nee, dist * (1.0 - 1e-3), -jnp.inf),
-            )
+            with jax.named_scope("shadow"):
+                occluded = tracer.any_hit(
+                    shadow_o, wi, 0.0,
+                    jnp.where(valid_nee, dist * (1.0 - 1e-3), -jnp.inf),
+                )
             w_mis = pdf_sa / jnp.maximum(pdf_sa + p_b, 1e-20)
             contrib = (
                 state.throughput * f_nee * ls.radiance
@@ -333,10 +335,11 @@ def trace(
                 nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
 
         # --- BSDF sampling (Raytracing.hlsl:323-346)
-        u4 = draw(px, py, bounce, 0)
-        l, lobe, valid = bxdf.sample(b, sv, v, u4)
-        pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
-        f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
+        with jax.named_scope("bsdf"):
+            u4 = draw(px, py, bounce, 0)
+            l, lobe, valid = bxdf.sample(b, sv, v, u4)
+            pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
+            f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
 
         ok = valid & (pdf > 0.0) & ((f.x != 0.0) | (f.y != 0.0) | (f.z != 0.0))
         throughput = state.throughput * vec.where(
@@ -407,10 +410,11 @@ def trace(
         def bounce_body(bounce, state: _PathState):
             # inactive lanes traverse with an empty interval so their walk
             # degenerates to nothing (cheap lock-step idling)
-            hit = tracer.closest_hit(
-                state.origin, state.direction, state.t_min,
-                jnp.where(state.active, state.t_max, -jnp.inf),
-            )
+            with jax.named_scope("traverse"):
+                hit = tracer.closest_hit(
+                    state.origin, state.direction, state.t_min,
+                    jnp.where(state.active, state.t_max, -jnp.inf),
+                )
             return shade(bounce, state, hit, px, py, di_valid)
         return bounce_body
 

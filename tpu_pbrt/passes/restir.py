@@ -43,13 +43,18 @@ from .gbuffer import GBuffer
 class ReSTIRSettings:
     """Defaults follow the reference (MyAppData.h:192-246)."""
     initial_light_samples: int = 8      # ReGIR/local-light candidates
-    initial_brdf_samples: int = 1
+    initial_brdf_samples: int = 1       # BRDF-ray candidates (DIInitialSampling)
     temporal: bool = True
     spatial: bool = True
     spatial_samples: int = 2            # neighbor taps
     spatial_radius: float = 30.0        # pixels
     max_history: float = 20.0           # M-clamp (x initial M)
     initial_visibility: bool = True     # DIInitialSampling.hlsl:51-57
+    # boiling filter: cull temporal reservoirs whose RIS weight exceeds a
+    # multiple of the local tile average (DITemporalResampling.hlsl:1-49,
+    # RTXDI_BoilingFilter thread-group semantics)
+    boiling_filter: bool = True
+    boiling_filter_strength: float = 0.2  # (0, 1]; higher = more aggressive
 
 
 class Reservoir(NamedTuple):
@@ -87,7 +92,8 @@ def _light_point(scene: Scene, light, u, v):
 def _target_pdf(scene: Scene, b: bxdf.BSDF, sv: bxdf.SurfaceVectors,
                 view: Vec3, position: Vec3, light, u, v):
     """p-hat: luminance of the unshadowed contribution f * Le * G
-    (RTXDIAppBridge.hlsli target-pdf callback semantics)."""
+    (RTXDIAppBridge.hlsli target-pdf callback semantics).
+    Returns (p_hat, wi, dist, cos_light)."""
     lpos, lnrm, lrad = _light_point(scene, light, u, v)
     to_l = lpos - position
     dist2 = jnp.maximum(vec.dot(to_l, to_l), 1e-12)
@@ -99,7 +105,17 @@ def _target_pdf(scene: Scene, b: bxdf.BSDF, sv: bxdf.SurfaceVectors,
     f = f_d + f_s
     g = jnp.maximum(cos_light, 0.0) / dist2
     p_hat = vec.luminance(f * lrad) * g
-    return jnp.where((light >= 0) & (cos_light > 0.0), p_hat, 0.0), wi, dist
+    return (jnp.where((light >= 0) & (cos_light > 0.0), p_hat, 0.0),
+            wi, dist, cos_light)
+
+
+def _light_area_pdf(scene: Scene, light):
+    """Area-measure pdf of drawing `light` + a uniform point on it via
+    power sampling (the light-candidate source distribution)."""
+    li = jnp.maximum(light, 0)
+    total = jnp.sum(scene.lights.power)
+    select_pdf = scene.lights.power[li] / jnp.maximum(total, 1e-20)
+    return select_pdf / jnp.maximum(scene.lights.area[li], 1e-20)
 
 
 def _merge(res: Reservoir, cand_light, cand_u, cand_v, weight, rand,
@@ -127,29 +143,90 @@ def _surface_from_gbuffer(scene: Scene, gb: GBuffer, view: Vec3):
 
 def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
                      px, py, frame, settings: ReSTIRSettings) -> Reservoir:
-    """Candidate generation: N power-sampled light candidates streamed into
-    a reservoir (DIInitialSampling.hlsl / RTXDI_SampleLightsForSurface);
-    optional initial visibility on the winner."""
+    """Candidate generation (DIInitialSampling.hlsl /
+    RTXDI_SampleLightsForSurface): N power-sampled light candidates plus
+    M BRDF-ray candidates (light discovery via the tri->light remap,
+    RTXDIAppBridge.hlsli:455-472), streamed into one reservoir with
+    balance-heuristic mixture pdfs (Talbot MIS-RIS — the candidate source
+    pdf is the pooled mixture of both strategies in area measure); optional
+    initial visibility on the winner."""
     r = gb.depth.shape[0]
     b, sv = _surface_from_gbuffer(scene, gb, view)
     res = Reservoir.empty(r)
+    rays = jnp.zeros((), jnp.float32)
 
-    for k in range(settings.initial_light_samples):
+    n_l = settings.initial_light_samples
+    n_b = settings.initial_brdf_samples
+    n_tot = max(n_l + n_b, 1)
+    weights = bxdf.lobe_weights(b, sv, view)
+
+    def mixture_pdf(p_light_area, p_brdf_area):
+        if n_b == 0:
+            return p_light_area
+        return (n_l * p_light_area + n_b * p_brdf_area) / n_tot
+
+    for k in range(n_l):
         u4 = rng.uniform4(px, py, frame, 100 + k)
         li = jnp.searchsorted(scene.lights.cdf, u4[0]).astype(jnp.int32)
         li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
-        total = jnp.sum(scene.lights.power)
-        select_pdf = scene.lights.power[li] / jnp.maximum(total, 1e-20)
-        pdf_area = select_pdf / jnp.maximum(scene.lights.area[li], 1e-20)
+        pdf_area = _light_area_pdf(scene, li)
 
-        p_hat, _, _ = _target_pdf(scene, b, sv, view, gb.position,
-                                  li, u4[1], u4[2])
-        # RIS weight in area measure: p_hat expressed w.r.t. area via G
-        w = jnp.where(pdf_area > 0, p_hat / jnp.maximum(pdf_area, 1e-20), 0.0)
-        w = jnp.where(
-            gb.valid & (scene.lights.count > 0), w, 0.0
-        )
+        p_hat, wi, dist, cos_l = _target_pdf(scene, b, sv, view, gb.position,
+                                             li, u4[1], u4[2])
+        if n_b > 0:
+            p_b_sa = bxdf.pdf_combined(b, sv, wi, view, weights)
+            p_b_area = p_b_sa * jnp.maximum(cos_l, 0.0) / jnp.maximum(
+                dist * dist, 1e-12)
+        else:
+            p_b_area = 0.0
+        p_mix = mixture_pdf(pdf_area, p_b_area)
+        w = jnp.where(p_mix > 0, p_hat / jnp.maximum(p_mix, 1e-20), 0.0)
+        w = jnp.where(gb.valid & (scene.lights.count > 0), w, 0.0)
         res = _merge(res, li, u4[1], u4[2], w, u4[3])
+
+    # --- BRDF-ray candidates: sample the BSDF, trace, and remap an
+    # emissive hit to its light (candidates that find nothing still count
+    # toward M — the mixture accounting absorbs them unbiasedly)
+    for k in range(n_b):
+        u4 = rng.uniform4(px, py, frame, 150 + k)
+        d, _, valid_dir = bxdf.sample(b, sv, view, u4)
+        origin = vec.safe_spawn_offset(gb.position, gb.flat_normal, d)
+        traced = gb.valid & valid_dir & (scene.lights.count > 0)
+        hit = tracer.closest_hit(
+            origin, d, 0.0, jnp.where(traced, jnp.inf, -jnp.inf))
+        rays = rays + jnp.sum(traced.astype(jnp.float32))
+        li = jnp.where(hit.tri >= 0,
+                       scene.lights.tri_to_light[jnp.maximum(hit.tri, 0)], -1)
+        found = (li >= 0) & traced
+
+        # hit point -> stored sqrt-warped barycentrics on the light triangle
+        lidx = jnp.maximum(li, 0)
+        hp = origin + d * hit.t
+        lv0 = vec.gather(scene.lights.v0, lidx)
+        le1 = vec.gather(scene.lights.e1, lidx)
+        le2 = vec.gather(scene.lights.e2, lidx)
+        rel = hp - lv0
+        a11 = vec.dot(le1, le1)
+        a12 = vec.dot(le1, le2)
+        a22 = vec.dot(le2, le2)
+        det = jnp.maximum(a11 * a22 - a12 * a12, 1e-20)
+        b0 = jnp.clip((a22 * vec.dot(rel, le1) - a12 * vec.dot(rel, le2))
+                      / det, 0.0, 1.0)
+        b1 = jnp.clip((a11 * vec.dot(rel, le2) - a12 * vec.dot(rel, le1))
+                      / det, 0.0, 1.0)
+        s = jnp.minimum(b0 + b1, 1.0)
+        cand_u = s * s
+        cand_v = b1 / jnp.maximum(s, 1e-8)
+
+        p_hat, wi, dist, cos_l = _target_pdf(scene, b, sv, view, gb.position,
+                                             li, cand_u, cand_v)
+        p_b_sa = bxdf.pdf_combined(b, sv, d, view, weights)
+        p_b_area = p_b_sa * jnp.maximum(cos_l, 0.0) / jnp.maximum(
+            dist * dist, 1e-12)
+        p_mix = mixture_pdf(_light_area_pdf(scene, li), p_b_area)
+        w = jnp.where(found & (p_mix > 0),
+                      p_hat / jnp.maximum(p_mix, 1e-20), 0.0)
+        res = _merge(res, li, cand_u, cand_v, w, u4[3])
 
     res = finalize(scene, b, sv, view, gb.position, res)
 
@@ -159,18 +236,19 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
         dist = vec.length(to_l)
         wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
         origin = vec.safe_spawn_offset(gb.position, gb.flat_normal, wi)
+        traced = gb.valid & (res.light >= 0)
         occluded = tracer.any_hit(
             origin, wi, 0.0,
-            jnp.where(gb.valid & (res.light >= 0), dist * (1.0 - 1e-3),
-                      -jnp.inf),
+            jnp.where(traced, dist * (1.0 - 1e-3), -jnp.inf),
         )
         res = res._replace(w=jnp.where(occluded, 0.0, res.w))
-    return res
+        rays = rays + jnp.sum(traced.astype(jnp.float32))
+    return res, rays
 
 
 def finalize(scene, b, sv, view, position, res: Reservoir) -> Reservoir:
     """Compute the unbiased contribution weight W = w_sum / (M * p_hat)."""
-    p_hat, _, _ = _target_pdf(scene, b, sv, view, position,
+    p_hat, _, _, _ = _target_pdf(scene, b, sv, view, position,
                               res.light, res.u, res.v)
     w = jnp.where(
         (p_hat > 0) & (res.m > 0),
@@ -240,14 +318,44 @@ def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     p_m = jnp.minimum(p_m, m_clamp)
 
     # re-evaluate the previous sample's target pdf at the current surface
-    p_hat_prev, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+    p_hat_prev, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
                                    p_light, p_u, p_v)
     w_prev = jnp.where(valid_hist, p_hat_prev * p_w * p_m, 0.0)
 
     u = rng.uniform4(px, py, frame, 200)
     merged = _merge(cur, p_light, p_u, p_v, w_prev, u[0],
                     cand_m=jnp.where(valid_hist, p_m, 0.0))
+    if settings.boiling_filter:
+        merged = _boiling_filter(merged, width, height,
+                                 settings.boiling_filter_strength)
     return finalize(scene, b, sv, view, gb.position, merged)
+
+
+def _boiling_filter(res: Reservoir, width, height, strength,
+                    tile: int = 16) -> Reservoir:
+    """Kill temporally-fed reservoirs whose RIS weight is a large outlier
+    vs their local tile average — the "boiling" fireflies temporal reuse
+    breeds when one lucky sample dominates a region (reference:
+    DITemporalResampling.hlsl boilingFilterStrength -> RTXDI_BoilingFilter,
+    which averages reservoir weight over the 8x16 thread group and zeroes
+    reservoirs above a strength-scaled multiple). The TPU form replaces
+    wave intrinsics with a tile mean over 16x16 pixel blocks."""
+    multiplier = 10.0 / jnp.clip(strength, 1e-2, 1.0) - 9.0  # 1 @ s=1
+    w = res.w_sum.reshape(height, width)
+    hp, wp = (-height) % tile, (-width) % tile
+    wpad = jnp.pad(w, ((0, hp), (0, wp)))
+    cnt = jnp.pad(jnp.ones_like(w), ((0, hp), (0, wp)))
+    th, tw = wpad.shape[0] // tile, wpad.shape[1] // tile
+    sums = wpad.reshape(th, tile, tw, tile).sum((1, 3))
+    cnts = cnt.reshape(th, tile, tw, tile).sum((1, 3))
+    avg = sums / jnp.maximum(cnts, 1.0)
+    avg_full = jnp.repeat(jnp.repeat(avg, tile, 0), tile, 1)[
+        :height, :width].reshape(-1)
+    boil = res.w_sum > avg_full * multiplier
+    return res._replace(
+        light=jnp.where(boil, -1, res.light),
+        w_sum=jnp.where(boil, 0.0, res.w_sum),
+    )
 
 
 def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
@@ -276,7 +384,7 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
         )
         ok = in_b & _geometry_similar(gb, nd, nn) & (n_light >= 0) & gb.valid
 
-        p_hat_n, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+        p_hat_n, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
                                     n_light, n_u, n_v)
         w_n = jnp.where(ok, p_hat_n * n_w * n_m, 0.0)
         res = _merge(res, n_light, n_u, n_v, w_n, u4[2],
@@ -310,22 +418,23 @@ def final_shading(scene: Scene, gb: GBuffer, view: Vec3, tracer,
     scale = jnp.where(live & ~occluded, g * res.w, 0.0)
     diffuse = f_d * lrad * scale
     specular = f_s * lrad * scale
-    return diffuse, specular
+    return diffuse, specular, jnp.sum(live.astype(jnp.float32))
 
 
 def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
                            state: ReSTIRState, px, py, frame, width, height,
                            settings: ReSTIRSettings = ReSTIRSettings()):
     """The full per-frame ReSTIR DI pipeline (RTXDI.ixx:207-241 order).
-    Returns ((diffuse, specular), new state)."""
-    res = initial_sampling(scene, gb, view, tracer, px, py, frame, settings)
+    Returns ((diffuse, specular), new state, rays traced)."""
+    res, rays = initial_sampling(scene, gb, view, tracer, px, py, frame,
+                                 settings)
     if settings.temporal:
         res = temporal_resampling(scene, gb, view, state, res, px, py, frame,
                                   width, height, settings)
     if settings.spatial:
         res = spatial_resampling(scene, gb, view, res, px, py, frame,
                                  width, height, settings)
-    out = final_shading(scene, gb, view, tracer, res)
+    diffuse, specular, shade_rays = final_shading(scene, gb, view, tracer, res)
     new_state = ReSTIRState(reservoir=res, depth=gb.depth,
                             normal=gb.shading_normal)
-    return out, new_state
+    return (diffuse, specular), new_state, rays + shade_rays

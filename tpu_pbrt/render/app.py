@@ -81,6 +81,7 @@ class App:
         )
         self.restir_settings = restir_mod.ReSTIRSettings(
             initial_light_samples=s.raytracing.restir_local_light_samples,
+            initial_brdf_samples=s.raytracing.restir_brdf_samples,
             temporal=s.raytracing.restir_temporal,
             spatial=s.raytracing.restir_spatial,
         )
@@ -152,21 +153,24 @@ class App:
         pixel_v = (py.astype(jnp.float32) + 0.5 + cam.jitter[1]) / rh
 
         # --- G-buffer
-        gb = gbuffer_mod.generate(tracer, scene, cam, origin, direction,
-                                  t_min, t_max, pixel_u, pixel_v, (rw, rh))
+        with jax.named_scope("gbuffer"):
+            gb = gbuffer_mod.generate(tracer, scene, cam, origin, direction,
+                                      t_min, t_max, pixel_u, pixel_v,
+                                      (rw, rh))
         rays_total = rays_total + rw * rh
         view = -direction
 
         # --- ReSTIR DI
         restir_state = history.restir
         if s.raytracing.restir_di:
-            (di_diff, di_spec), restir_state = restir_mod.render_direct_lighting(
-                scene, gb, view, tracer, history.restir, px, py, frame,
-                rw, rh, self.restir_settings)
+            with jax.named_scope("restir"):
+                ((di_diff, di_spec), restir_state,
+                 restir_rays) = restir_mod.render_direct_lighting(
+                    scene, gb, view, tracer, history.restir, px, py, frame,
+                    rw, rh, self.restir_settings)
             di = di_diff + di_spec
             di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
-            rays_total = rays_total + rw * rh * (
-                1 + self.restir_settings.initial_light_samples * 0)
+            rays_total = rays_total + restir_rays
         else:
             di = Vec3.zeros((rw * rh,))
             di_valid = jnp.zeros((rw * rh,), bool)
@@ -182,11 +186,13 @@ class App:
             upd = dataclasses.replace(
                 self.pt_settings, bounces=min(s.raytracing.bounces, 4),
                 sharc_mode="off", external_di=False)
-            keys, records, valid = pathtrace.trace_sharc_update(
-                tracer, scene, uo, ud, ut0, ut1, upx, upy, frame, upd,
-                self.sharc_settings, cam.position)
-            sharc_state = sharc_mod.resolve(history.sharc, keys, records,
-                                            valid, self.sharc_settings)
+            with jax.named_scope("sharc_update"):
+                keys, records, valid = pathtrace.trace_sharc_update(
+                    tracer, scene, uo, ud, ut0, ut1, upx, upy, frame, upd,
+                    self.sharc_settings, cam.position)
+            with jax.named_scope("sharc_resolve"):
+                sharc_state = sharc_mod.resolve(history.sharc, keys, records,
+                                                valid, self.sharc_settings)
             rays_total = rays_total + uw * uh * (upd.bounces + 1)
 
         # --- path trace (indirect + env; DI handled above when enabled)
@@ -197,14 +203,16 @@ class App:
                         gb.depth / jnp.maximum(vec.dot(direction, fwd), 1e-8),
                         jnp.inf),
             u=gb.bary_u, v=gb.bary_v, tri=gb.tri)
-        radiance, rays = pathtrace.render_sample_radiance(
-            tracer, scene, origin, direction, t_min, t_max, px, py, frame,
-            self.pt_settings, primary_hit=primary,
-            sharc_state=sharc_state if s.raytracing.sharc else None,
-            sharc_settings=self.sharc_settings if s.raytracing.sharc else None,
-            camera_pos=cam.position,
-            di_valid=di_valid,
-        )
+        with jax.named_scope("pathtrace"):
+            radiance, rays = pathtrace.render_sample_radiance(
+                tracer, scene, origin, direction, t_min, t_max, px, py,
+                frame, self.pt_settings, primary_hit=primary,
+                sharc_state=sharc_state if s.raytracing.sharc else None,
+                sharc_settings=(self.sharc_settings
+                                if s.raytracing.sharc else None),
+                camera_pos=cam.position,
+                di_valid=di_valid,
+            )
         rays_total = rays_total + rays
         signal = radiance + di
 
@@ -219,10 +227,11 @@ class App:
                 jnp.full((rh, rw, 3), 0.04))
             motion = jnp.stack([gb.motion_x.reshape(rh, rw),
                                 gb.motion_y.reshape(rh, rw)], -1)
-            img, denoiser_state = denoise_mod.denoise_frame(
-                history.denoiser, img, albedo, gb.depth.reshape(rh, rw),
-                gb.shading_normal.to_array().reshape(rh, rw, 3), motion,
-                iterations=s.post_processing.denoiser_iterations)
+            with jax.named_scope("denoise"):
+                img, denoiser_state = denoise_mod.denoise_frame(
+                    history.denoiser, img, albedo, gb.depth.reshape(rh, rw),
+                    gb.shading_normal.to_array().reshape(rh, rw, 3), motion,
+                    iterations=s.post_processing.denoiser_iterations)
         else:
             motion = jnp.stack([gb.motion_x.reshape(rh, rw),
                                 gb.motion_y.reshape(rh, rw)], -1)
@@ -230,18 +239,20 @@ class App:
         # --- TAA upscale to output resolution
         taa_state = history.taa
         if s.post_processing.upscaler != "none":
-            img, taa_state = taa_mod.resolve(
-                history.taa, img, motion, self.out_h, self.out_w)
-            if s.post_processing.sharpness > 0:
-                img = taa_mod.sharpen(img, s.post_processing.sharpness)
+            with jax.named_scope("taa"):
+                img, taa_state = taa_mod.resolve(
+                    history.taa, img, motion, self.out_h, self.out_w)
+                if s.post_processing.sharpness > 0:
+                    img = taa_mod.sharpen(img, s.post_processing.sharpness)
         elif (rw, rh) != (self.out_w, self.out_h):
             img = taa_mod._upscale_bilinear(img, self.out_h, self.out_w)
 
         # --- bloom + tonemap (App.cpp:1769-1803)
-        if s.post_processing.bloom:
-            img = bloom_mod.apply(img, s.post_processing.bloom_strength)
-        img = tonemap.apply(img, s.post_processing.tonemap_operator,
-                            s.post_processing.exposure)
+        with jax.named_scope("bloom_tonemap"):
+            if s.post_processing.bloom:
+                img = bloom_mod.apply(img, s.post_processing.bloom_strength)
+            img = tonemap.apply(img, s.post_processing.tonemap_operator,
+                                s.post_processing.exposure)
 
         history = FrameHistory(denoiser=denoiser_state, taa=taa_state,
                                restir=restir_state, sharc=sharc_state)

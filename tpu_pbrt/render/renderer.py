@@ -106,10 +106,11 @@ def _render_frame(tracer, scene: Scene, cam: CameraData, frame,
 
     pixel_u = (px.astype(jnp.float32) + 0.5 + cam.jitter[0]) / width
     pixel_v = (py.astype(jnp.float32) + 0.5 + cam.jitter[1]) / height
-    gb = gbuffer_mod.generate(
-        tracer, scene, cam, origin, direction, t_min, t_max,
-        pixel_u, pixel_v, (width, height),
-    )
+    with jax.named_scope("gbuffer"):
+        gb = gbuffer_mod.generate(
+            tracer, scene, cam, origin, direction, t_min, t_max,
+            pixel_u, pixel_v, (width, height),
+        )
     fwd = vec.normalize(
         vec.Vec3(cam.forward[0], cam.forward[1], cam.forward[2])
     )
@@ -121,10 +122,11 @@ def _render_frame(tracer, scene: Scene, cam: CameraData, frame,
         ),
         u=gb.bary_u, v=gb.bary_v, tri=gb.tri,
     )
-    radiance, ray_count = pathtrace.render_sample_radiance(
-        tracer, scene, origin, direction, t_min, t_max, px, py, frame,
-        settings, primary_hit=primary,
-    )
+    with jax.named_scope("pathtrace"):
+        radiance, ray_count = pathtrace.render_sample_radiance(
+            tracer, scene, origin, direction, t_min, t_max, px, py, frame,
+            settings, primary_hit=primary,
+        )
     ray_count = ray_count + origin.shape[0]  # the G-buffer primary rays
     out = radiance.to_array().reshape(height, width, 3)
     if with_gbuffer:
