@@ -140,6 +140,9 @@ def breakdown(config: str = "cornell"):
             float(run(cam))
         hlo_text = run.lower(cam).compile().as_text()
 
+    with open("/tmp/tpu_pbrt_hlo.txt", "w") as f:
+        f.write(hlo_text)
+
     # map HLO instruction name -> named_scope path from op metadata
     import re
 

@@ -1,0 +1,75 @@
+"""North-star quality gate (BASELINE.json): converged Cornell render vs the
+reference golden screenshot /root/reference/Screenshots/Cornell Box.png.
+
+Honesty note: the reference repo does NOT ship its scene assets
+(App.cpp:129 loads Assets/Scenes/Default.json, which is absent), and the
+golden frames a mirror sphere + metallic bunny we cannot reconstruct.
+We render the classic two-block Cornell with the same wall palette and
+camera framing, so the SSIM recorded here measures *layout + palette +
+global illumination* agreement, not per-pixel parity; the number is
+committed to PARITY.md as the regression reference.
+
+Usage: python tools/golden_ssim.py [spp] [out_prefix]
+Writes /tmp/<prefix>_ours.png, /tmp/<prefix>_ref.png, prints SSIM JSON.
+"""
+
+import json
+import sys
+
+import numpy as np
+
+
+def render_converged(width, height, frames):
+    from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+    from tpu_pbrt.passes.pathtrace import PathTraceSettings
+    from tpu_pbrt.render.renderer import Renderer
+
+    scene = make_cornell_box()
+    cam = make_cornell_camera(width, height)
+    r = Renderer(scene, width, height,
+                 PathTraceSettings(bounces=8, samples_per_pixel=1))
+    chunk = 64
+    acc = np.zeros((height, width, 3), np.float64)
+    done = 0
+    while done < frames:
+        n = min(chunk, frames - done)
+        acc += np.asarray(r.render_mean(cam, n, frame_offset=done)) * n
+        done += n
+        print(f"  {done}/{frames} frames", file=sys.stderr)
+    return (acc / frames).astype(np.float32), r
+
+
+def main():
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    prefix = sys.argv[2] if len(sys.argv) > 2 else "golden"
+
+    from tpu_pbrt.utils.image import read_png, ssim, write_png
+    from tpu_pbrt.ops import tonemap
+
+    # reference golden: 1920x1440 with 180px letterbox bars -> 16:9 content
+    ref = read_png("/root/reference/Screenshots/Cornell Box.png")
+    ref = ref[180:1260]
+    w, h = 480, 270
+    from PIL import Image
+
+    ref_small = np.asarray(
+        Image.fromarray(ref).resize((w, h), Image.LANCZOS), np.float32
+    ) / 255.0
+
+    hdr, r = render_converged(w, h, frames)
+    ours8 = r.tonemapped(hdr)          # aces + srgb8, the display transform
+    ours = np.asarray(ours8, np.float32) / 255.0
+
+    write_png(f"/tmp/{prefix}_ours.png", ours8)
+    write_png(f"/tmp/{prefix}_ref.png",
+              (ref_small * 255).astype(np.uint8))
+
+    val = ssim(ours, ref_small)
+    print(json.dumps({"ssim_vs_reference_golden": round(val, 4),
+                      "frames": frames, "res": [w, h],
+                      "note": "different foreground content "
+                              "(reference assets not in repo)"}))
+
+
+if __name__ == "__main__":
+    main()

@@ -173,6 +173,56 @@ def load_scene_desc(path: str) -> SceneDesc:
     )
 
 
+def build_dynamic_renderer(desc: SceneDesc, width: int, height: int,
+                           settings=None):
+    """Dynamic-scene path: render objects keep their object-local geometry
+    and per-frame transforms (node animation included) — use when any
+    RenderObject carries an Animation (the reference's non-static frame
+    path, App.cpp:613-618). Returns (DynamicRenderer, Camera)."""
+    from . import gltf
+    from ..render.camera import Camera
+    from ..render.dynamic import DynamicRenderer, RigidObject
+    from ..models import animation as anim_mod
+    from ..utils.texture_io import load_latlong_texture
+    from .scene import make_environment
+
+    loaded: dict[str, gltf.Model] = {}
+    for name, p in desc.models.items():
+        if p and p not in loaded:
+            loaded[p] = gltf.load(p)
+    anims: dict[str, list] = {}
+    for name, p in desc.animations.items():
+        if p and p not in anims:
+            anims[p] = gltf.load(p).animations
+
+    objects = []
+    for ro in desc.render_objects:
+        if not ro.is_visible or not ro.model:
+            continue
+        model = loaded[desc.models[ro.model]]
+        player = None
+        if ro.animation:
+            clips = anims.get(desc.animations[ro.animation], [])
+            if clips:
+                player = anim_mod.AnimationPlayer(clips)
+        objects.append(RigidObject(model=model,
+                                   transform=ro.transform.matrix(),
+                                   player=player))
+
+    env_tex = (load_latlong_texture(desc.environment_texture)
+               if desc.environment_texture else None)
+    env = make_environment(color=desc.environment_color,
+                           rotation=quat_to_matrix(desc.environment_rotation),
+                           texture=env_tex)
+    renderer = DynamicRenderer(objects, width, height, settings,
+                               environment=env)
+    camera = Camera()
+    camera.position = desc.camera_position
+    camera.rotation = desc.camera_rotation
+    camera.aspect = width / height
+    return renderer, camera
+
+
 def build_scene(desc: SceneDesc):
     """Load all referenced glTF models, flatten render objects into world
     space, and assemble the device Scene + Camera (the Scene::Load analogue,

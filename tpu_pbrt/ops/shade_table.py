@@ -165,21 +165,30 @@ ONEHOT_MAX_ROWS = 512
 
 
 def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
-    """Row fetch, specialized by table size: small tables go through a
+    """Row fetch, TRANSPOSED output (COLS, R): small tables go through a
     one-hot MXU matmul (measured ~7x faster than XLA's row gather inside a
     fused loop body on v5e: 4.3 vs 32 ms per 2M-lane bounce); the compare
     is exact and HIGHEST precision keeps f32 through the MXU. Larger
-    tables fall back to the row gather."""
+    tables fall back to the row gather.
+
+    Why transposed: the fetch result is materialized in HBM, and the
+    unpack slices ~20 attribute groups out of it. Row-major (R, 64) puts
+    the 64 columns on the minor axis, so every column slice re-reads most
+    of the 530 MB buffer (profiled: the slice fusions cost more than the
+    dot itself at 1080p). With (COLS, R) each attribute is one contiguous
+    (R,) row — a slice reads only its own 8 MB."""
     from jax import lax
 
     tp = table.shape[0]
     if tp <= ONEHOT_MAX_ROWS:
         onehot = (
-            slot[:, None] == jnp.arange(tp, dtype=jnp.int32)[None, :]
-        ).astype(jnp.float32)
-        return jnp.dot(onehot, table, preferred_element_type=jnp.float32,
-                       precision=lax.Precision.HIGHEST)
-    return table[slot]
+            slot[None, :] == jnp.arange(tp, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)                                     # (T, R)
+        return lax.dot_general(
+            table, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=lax.Precision.HIGHEST)                     # (C, R)
+    return table[slot].T
 
 
 def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
@@ -193,10 +202,10 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     through the traversal's minor-axis reductions)."""
     from . import vec
 
-    row = _fetch_rows(table, slot)
+    row = _fetch_rows(table, slot)          # (COLS, R)
 
     def v3(c):
-        return Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
+        return Vec3(row[c], row[c + 1], row[c + 2])
 
     p0 = v3(_P0)
     e1 = v3(_E1)
@@ -225,8 +234,8 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     t2 = v3(_T0 + 6)
     tangent = vec.normalize(t0 * w + t1 * u + t2 * v)
 
-    uv_u = row[:, _UV] * w + row[:, _UV + 2] * u + row[:, _UV + 4] * v
-    uv_v = row[:, _UV + 1] * w + row[:, _UV + 3] * u + row[:, _UV + 5] * v
+    uv_u = row[_UV] * w + row[_UV + 2] * u + row[_UV + 4] * v
+    uv_v = row[_UV + 1] * w + row[_UV + 3] * u + row[_UV + 5] * v
 
     # emitting-side cosine (lights emit from their winding side):
     # cos = dot(flat_winding, -ray_dir)
@@ -246,21 +255,21 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
         uv_u=uv_u,
         uv_v=uv_v,
         is_front_face=front,
-        material=row[:, _MAT].astype(jnp.int32),
-        object_id=row[:, _OBJ].astype(jnp.int32),
-        tri=row[:, _TRI].astype(jnp.int32),
+        material=row[_MAT].astype(jnp.int32),
+        object_id=row[_OBJ].astype(jnp.int32),
+        tri=row[_TRI].astype(jnp.int32),
         base_color=v3(_BASE),
         emission=v3(_EMIT),
-        metallic=row[:, _METAL],
-        roughness=row[:, _ROUGH],
-        ior=row[:, _IOR],
-        transmission=row[:, _TRANS],
-        light_pdf_area=row[:, _LPDF],
+        metallic=row[_METAL],
+        roughness=row[_ROUGH],
+        ior=row[_IOR],
+        transmission=row[_TRANS],
+        light_pdf_area=row[_LPDF],
         light_cos=light_cos,
-        tex_base=row[:, _TEX_BASE].astype(jnp.int32),
-        tex_emit=row[:, _TEX_EMIT].astype(jnp.int32),
-        tex_mr=row[:, _TEX_MR].astype(jnp.int32),
-        tex_nrm=row[:, _TEX_NRM].astype(jnp.int32),
+        tex_base=row[_TEX_BASE].astype(jnp.int32),
+        tex_emit=row[_TEX_EMIT].astype(jnp.int32),
+        tex_mr=row[_TEX_MR].astype(jnp.int32),
+        tex_nrm=row[_TEX_NRM].astype(jnp.int32),
     )
 
 
@@ -303,16 +312,50 @@ class LightFetch(NamedTuple):
 def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> LightFetch:
     """Power-CDF selection + one row fetch + uniform point."""
     li = jnp.clip(jnp.searchsorted(cdf, u0), 0, table.shape[0] - 1)
-    row = _fetch_rows(table, li.astype(jnp.int32))
+    row = _fetch_rows(table, li.astype(jnp.int32))   # (COLS, R)
 
     def v3(c):
-        return Vec3(row[:, c], row[:, c + 1], row[:, c + 2])
+        return Vec3(row[c], row[c + 1], row[c + 2])
 
     s = jnp.sqrt(bary_u)
     b0 = s * (1.0 - bary_v)
     b1 = s * bary_v
     pos = v3(_LV0) + v3(_LE1) * b0 + v3(_LE2) * b1
-    return LightFetch(pos, v3(_LN), v3(_LRAD), row[:, _LPDFA])
+    return LightFetch(pos, v3(_LN), v3(_LRAD), row[_LPDFA])
+
+
+def refresh_light_table(light_table: jnp.ndarray, light_tri: jnp.ndarray,
+                        v0, v1, v2, num_tris: int):
+    """Device-side per-frame emissive-light refresh (the reference re-runs
+    LightPreparation every ReSTIR frame, App.cpp:1095-1115): gather the
+    posed light triangles from the deformed soup, recompute
+    normal/area/power/CDF, and return (light_table, cdf, per-padded-
+    triangle emission-MIS pdf column for the shade table). Handles moving
+    AND scaling emitters (area/power change under animated scale)."""
+    li = jnp.maximum(light_tri, 0)
+    lv0, lv1, lv2 = v0[li], v1[li], v2[li]
+    le1, le2 = lv1 - lv0, lv2 - lv0
+    cr = jnp.cross(le1, le2)
+    crlen = jnp.maximum(
+        jnp.linalg.norm(cr, axis=-1, keepdims=True), 1e-20)
+    normal = cr / crlen
+    area = 0.5 * crlen[:, 0]
+    rad = light_table[:, _LRAD:_LRAD + 3]
+    lum = rad @ jnp.asarray([0.2126, 0.7152, 0.0722], jnp.float32)
+    power = lum * area * jnp.pi
+    total = jnp.maximum(power.sum(), 1e-20)
+    cdf = jnp.cumsum(power) / total
+    pdfa = power / total / jnp.maximum(area, 1e-20)
+
+    table = light_table.at[:, _LV0:_LV0 + 3].set(lv0)
+    table = table.at[:, _LE1:_LE1 + 3].set(le1)
+    table = table.at[:, _LE2:_LE2 + 3].set(le2)
+    table = table.at[:, _LN:_LN + 3].set(normal)
+    table = table.at[:, _LPDFA].set(pdfa)
+
+    tri_lpdf = jnp.zeros((num_tris,), jnp.float32).at[li].set(
+        jnp.where(light_tri >= 0, pdfa, 0.0))
+    return table, cdf, tri_lpdf
 
 
 def update_geometry(table: jnp.ndarray, p0, e1, e2,

@@ -30,7 +30,7 @@ from jax import lax
 from . import vec
 from .bvh import morton3d
 from .traverse import Hit
-from .traverse_dense import _mt_chunk
+from .traverse_dense import _mt_chunk_T
 from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
@@ -194,10 +194,13 @@ def closest_hit(tris: BlockedTris, origin: Vec3, direction: Vec3,
                 cv0 = lax.dynamic_slice(tris.v0, (base, 0), (BLOCK, 3))
                 ce1 = lax.dynamic_slice(tris.e1, (base, 0), (BLOCK, 3))
                 ce2 = lax.dynamic_slice(tris.e2, (base, 0), (BLOCK, 3))
-                t, _, _ = _mt_chunk(o, d, cv0, ce1, ce2, t0,
-                                    jnp.minimum(t1, best_t))
-                j = jnp.argmin(t, axis=-1)
-                tj = jnp.min(t, axis=-1)
+                # transposed sweep: triangles on the sublane (major) axis,
+                # rays on the lane axis — the reduce is per-row mins, not a
+                # cross-lane tree (measured 1.4-1.5x at this block size)
+                t, _, _ = _mt_chunk_T(o, d, cv0, ce1, ce2, t0,
+                                      jnp.minimum(t1, best_t))
+                j = jnp.argmin(t, axis=0)
+                tj = jnp.min(t, axis=0)
                 closer = tj < best_t
                 return (jnp.where(closer, tj, best_t),
                         jnp.where(closer, (base + j).astype(jnp.int32),
@@ -255,10 +258,10 @@ def any_hit(tris: BlockedTris, origin: Vec3, direction: Vec3,
                 ce1 = lax.dynamic_slice(tris.e1, (base, 0), (BLOCK, 3))
                 ce2 = lax.dynamic_slice(tris.e2, (base, 0), (BLOCK, 3))
                 cop = lax.dynamic_slice(tris.opacity, (base,), (BLOCK,))
-                t, _, _ = _mt_chunk(o, d, cv0, ce1, ce2, t0,
-                                    jnp.where(occ, -INF, t1))
-                blocks = jnp.isfinite(t) & (cop[None, :] >= 0.5)
-                return occ | jnp.any(blocks, axis=-1)
+                t, _, _ = _mt_chunk_T(o, d, cv0, ce1, ce2, t0,
+                                      jnp.where(occ, -INF, t1))
+                blocks = jnp.isfinite(t) & (cop[:, None] >= 0.5)
+                return occ | jnp.any(blocks, axis=0)
 
             return lax.cond(reach[bi], run, lambda c: c, occ)
 

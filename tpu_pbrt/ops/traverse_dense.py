@@ -68,6 +68,46 @@ def _mt_chunk(o, d, cv0, ce1, ce2, t_min, t_max):
     return jnp.where(hit, t, INF), u, v
 
 
+def _mt_chunk_T(o, d, cv0, ce1, ce2, t_min, t_max):
+    """Transposed Möller–Trumbore: C triangles (sublane/major axis) against
+    R rays (lane/minor axis), broadcast (C, R). Returns (t, u, v), t=inf
+    where missed.
+
+    The transposed twin of `_mt_chunk`: with RAYS on the 128-wide lane axis
+    every vector register is fully used regardless of the triangle count,
+    so C only needs padding to the 8-row f32 sublane tile (vs 128) — 3.5x
+    less wasted intersection math for a 36-tri Cornell box — and the
+    closest-hit reduce runs over the MAJOR axis, which the VPU executes as
+    C-1 elementwise mins instead of a cross-lane tree (profiled: the lane
+    reduce was the single hottest fusion of the rays-major sweep)."""
+    ox, oy, oz = o.x[None, :], o.y[None, :], o.z[None, :]
+    dx, dy, dz = d.x[None, :], d.y[None, :], d.z[None, :]
+    v0x, v0y, v0z = cv0[:, 0:1], cv0[:, 1:2], cv0[:, 2:3]
+    e1x, e1y, e1z = ce1[:, 0:1], ce1[:, 1:2], ce1[:, 2:3]
+    e2x, e2y, e2z = ce2[:, 0:1], ce2[:, 1:2], ce2[:, 2:3]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    valid = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(valid, det, 1.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = (
+        valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min[None, :]) & (t < t_max[None, :])
+    )
+    return jnp.where(hit, t, INF), u, v
+
+
 class DenseTris(NamedTuple):
     """Triangle soup padded to a multiple of the chunk size. Padded rows are
     degenerate (zero edges) and never hit."""
@@ -84,9 +124,13 @@ def prepare(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
     """`opacity` (T,) in [0,1]: 1 = opaque; alpha-MASK materials carry their
     constant base alpha, alpha-BLEND their alpha (transparent-shadow
     behavior, reference: Shaders/ShadingHelpers.hlsli:105-157 IsOpaque +
-    RaytracingHelpers.hlsli:17-44 any-hit emulation)."""
+    RaytracingHelpers.hlsli:17-44 any-hit emulation).
+
+    Padding: triangles sit on the SUBLANE axis of the transposed sweep, so
+    small scenes only pad to the 8-row f32 tile; scenes above one chunk pad
+    to a whole number of chunks."""
     t = v0.shape[0]
-    pad = (-t) % chunk
+    pad = (-t) % (8 if t <= chunk else chunk)
     z = jnp.zeros((pad, 3), v0.dtype)
     ids = jnp.concatenate([
         jnp.arange(t, dtype=jnp.int32), jnp.full((pad,), -1, jnp.int32)
@@ -105,14 +149,87 @@ def prepare(v0: jnp.ndarray, v1: jnp.ndarray, v2: jnp.ndarray,
 
 def closest_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
                 chunk: int = 128) -> Hit:
-    """Blocked dense closest hit; O(R * T) but all-vector work.
+    """Dense closest hit via the TRANSPOSED sweep; O(R * T) all-vector work.
 
     min and argmin are fused into ONE u32 min-reduce by packing the row
     index into the low mantissa bits of t (positive-float bit patterns are
     order-preserving as u32). The stolen bits only blur *tie-breaking*
-    between nearly-equal t (relative 2^-10 — far below geometric epsilon);
-    the separate min + iota-argmin reduces profiled as the hottest loop
-    fusions on v5e."""
+    between nearly-equal t (relative 2^-10 — far below geometric epsilon).
+    The reduce runs over the triangle (major) axis — measured vs the
+    rays-major form on v5e Cornell 2M rays: see README perf notes."""
+    r = origin.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    tp = tris.v0.shape[0]
+    chunk = tp if tp <= chunk else chunk
+    n_chunks = tp // chunk
+    idx_bits = tp.bit_length()
+    idx_mask = jnp.uint32((1 << idx_bits) - 1)
+    row_ids = jax.lax.broadcasted_iota(jnp.uint32, (chunk, 1), 0)
+
+    def pack(t, base):
+        bits = lax.bitcast_convert_type(t, jnp.uint32)
+        key = (bits & ~idx_mask) | (row_ids + jnp.uint32(base))
+        return jnp.where(jnp.isfinite(t), key, jnp.uint32(0xFFFFFFFF))
+
+    def body(c, best_key):
+        base = c * chunk
+        cv0 = lax.dynamic_slice(tris.v0, (base, 0), (chunk, 3))
+        ce1 = lax.dynamic_slice(tris.e1, (base, 0), (chunk, 3))
+        ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
+        best_t = lax.bitcast_convert_type(best_key & ~idx_mask, jnp.float32)
+        t, u, v = _mt_chunk_T(origin, direction, cv0, ce1, ce2, t_min,
+                              jnp.minimum(t_max, best_t))
+        key = jnp.min(pack(t, base), axis=0)
+        return jnp.minimum(best_key, key)
+
+    init = (
+        lax.bitcast_convert_type(jnp.maximum(t_max, 0.0), jnp.uint32)
+        & ~idx_mask
+    ) | idx_mask
+    if n_chunks == 1:
+        best_key = body(0, init)
+    else:
+        best_key = lax.fori_loop(0, n_chunks, body, init)
+    best_t = lax.bitcast_convert_type(best_key & ~idx_mask, jnp.float32)
+    best_i = (best_key & idx_mask).astype(jnp.int32)
+    found = (best_key & idx_mask) != idx_mask
+    zeros = jnp.zeros((r,))
+    return Hit(jnp.where(found, best_t, INF), zeros, zeros,
+               jnp.where(found, best_i, -1))
+
+
+def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
+            chunk: int = 128) -> jnp.ndarray:
+    """Dense occlusion query via the transposed sweep."""
+    r = origin.shape[0]
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    tp = tris.v0.shape[0]
+    chunk = tp if tp <= chunk else chunk
+    n_chunks = tp // chunk
+
+    def body(c, occluded):
+        base = c * chunk
+        cv0 = lax.dynamic_slice(tris.v0, (base, 0), (chunk, 3))
+        ce1 = lax.dynamic_slice(tris.e1, (base, 0), (chunk, 3))
+        ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
+        cop = lax.dynamic_slice(tris.opacity, (base,), (chunk,))
+        tmax = jnp.where(occluded, -INF, t_max)
+        t, _, _ = _mt_chunk_T(origin, direction, cv0, ce1, ce2, t_min, tmax)
+        blocks = jnp.isfinite(t) & (cop[:, None] >= 0.5)
+        return occluded | jnp.any(blocks, axis=0)
+
+    if n_chunks == 1:
+        return body(0, jnp.zeros((r,), bool))
+    return lax.fori_loop(0, n_chunks, body, jnp.zeros((r,), bool))
+
+
+def _closest_hit_rays_major(tris: DenseTris, origin: Vec3, direction: Vec3,
+                            t_min, t_max, chunk: int = 128) -> Hit:
+    """The rays-major (R, C) sweep — kept for A/B measurement; the
+    transposed form above replaced it after profiling showed the cross-lane
+    reduce dominating."""
     r = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -158,9 +275,9 @@ def closest_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
                jnp.where(found, best_i, -1))
 
 
-def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
-            chunk: int = 128) -> jnp.ndarray:
-    """Dense occlusion query: True where anything blocks [t_min, t_max]."""
+def _any_hit_rays_major(tris: DenseTris, origin: Vec3, direction: Vec3,
+                        t_min, t_max, chunk: int = 128) -> jnp.ndarray:
+    """Rays-major occlusion query — kept for A/B measurement."""
     r = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
