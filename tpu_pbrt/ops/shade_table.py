@@ -273,6 +273,112 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     )
 
 
+# compact bounce-loop column subsets: the bounce loop consumes ~27 of the
+# 64 columns (no prev-frame geometry, no object ids; tangent/uv/tex only
+# when textured). Fetching the subset halves the materialized dot output
+# and its unpack traffic (profiled: the full-width fetch cost more than
+# traversal at 1080p).
+_BOUNCE_COLS = (
+    list(range(_P0, _P0 + 9))        # p0, e1, e2
+    + list(range(_N0, _N0 + 9))      # vertex normals
+    + list(range(_EMIT, _EMIT + 3))
+    + list(range(_BASE, _BASE + 3))
+    + [_METAL, _ROUGH, _IOR, _TRANS, _LPDF, _TRI]
+)
+_BOUNCE_COLS_TEX = (
+    _BOUNCE_COLS
+    + list(range(_T0, _T0 + 9))
+    + list(range(_UV, _UV + 6))
+    + [_TEX_BASE, _TEX_EMIT, _TEX_MR, _TEX_NRM]
+)
+
+
+def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
+                 ray_dir: Vec3, atlas=None) -> ShadeAttrs:
+    """Bounce-loop fetch: one-hot fetch of the COMPACT column subset.
+
+    Same semantics as `fetch` for the attributes the integrator uses;
+    prev_position aliases position and object/uv/tex fields are dummies
+    unless textured (the G-buffer pass keeps using the full `fetch`).
+    Applies the texture maps when `atlas` is given."""
+    from . import vec
+
+    textured = atlas is not None
+    cols = _BOUNCE_COLS_TEX if textured else _BOUNCE_COLS
+    sub = table[:, jnp.asarray(cols, jnp.int32)]   # (T, C') — tiny gather
+    row = _fetch_rows(sub, slot)                   # (C', R)
+    pos_of = {c: i for i, c in enumerate(cols)}
+
+    def at(c):
+        return row[pos_of[c]]
+
+    def v3(c):
+        i = pos_of[c]
+        return Vec3(row[i], row[i + 1], row[i + 2])
+
+    p0, e1, e2 = v3(_P0), v3(_E1), v3(_E2)
+    from . import intersect
+
+    _, u, v, _ = intersect.ray_triangle_soa(
+        ray_origin, ray_dir, p0, e1, e2, -jnp.inf, jnp.inf)
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    w = 1.0 - u - v
+    position = p0 + e1 * u + e2 * v
+    flat = vec.normalize(vec.cross(e1, e2))
+    shading = vec.normalize(v3(_N0) * w + v3(_N0 + 3) * u + v3(_N0 + 6) * v)
+    light_cos = -vec.dot(flat, ray_dir)
+    flat = vec.where(vec.dot(flat, shading) < 0.0, -flat, flat)
+    front = vec.dot(flat, ray_dir) < 0.0
+    shading = vec.where(front, shading, -shading)
+
+    r = position.x.shape[0]
+    zeros = jnp.zeros((r,))
+    neg1 = jnp.full((r,), -1, jnp.int32)
+    if textured:
+        tangent = vec.normalize(
+            v3(_T0) * w + v3(_T0 + 3) * u + v3(_T0 + 6) * v)
+        uv_u = at(_UV) * w + at(_UV + 2) * u + at(_UV + 4) * v
+        uv_v = at(_UV + 1) * w + at(_UV + 3) * u + at(_UV + 5) * v
+        tex = (at(_TEX_BASE).astype(jnp.int32),
+               at(_TEX_EMIT).astype(jnp.int32),
+               at(_TEX_MR).astype(jnp.int32),
+               at(_TEX_NRM).astype(jnp.int32))
+    else:
+        tangent = Vec3(jnp.ones((r,)), zeros, zeros)
+        uv_u = uv_v = zeros
+        tex = (neg1, neg1, neg1, neg1)
+
+    attrs = ShadeAttrs(
+        position=position,
+        prev_position=position,
+        flat_normal=flat,
+        shading_normal=shading,
+        tangent=tangent,
+        uv_u=uv_u,
+        uv_v=uv_v,
+        is_front_face=front,
+        material=neg1,
+        object_id=neg1,
+        tri=at(_TRI).astype(jnp.int32),
+        base_color=v3(_BASE),
+        emission=v3(_EMIT),
+        metallic=at(_METAL),
+        roughness=at(_ROUGH),
+        ior=at(_IOR),
+        transmission=at(_TRANS),
+        light_pdf_area=at(_LPDF),
+        light_cos=light_cos,
+        tex_base=tex[0],
+        tex_emit=tex[1],
+        tex_mr=tex[2],
+        tex_nrm=tex[3],
+    )
+    if textured:
+        attrs = apply_textures(atlas, attrs)
+    return attrs
+
+
 # ---------------------------------------------------------------------------
 # packed emissive-light table for NEE (one row-gather per light sample)
 # ---------------------------------------------------------------------------
@@ -309,10 +415,28 @@ class LightFetch(NamedTuple):
     pdf_area: jnp.ndarray
 
 
+SELECT_MAX_LIGHTS = 8
+
+
 def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> LightFetch:
-    """Power-CDF selection + one row fetch + uniform point."""
-    li = jnp.clip(jnp.searchsorted(cdf, u0), 0, table.shape[0] - 1)
-    row = _fetch_rows(table, li.astype(jnp.int32))   # (COLS, R)
+    """Power-CDF selection + one row fetch + uniform point.
+
+    Tiny light sets (<= 8 rows — e.g. the Cornell panel) skip the one-hot
+    dot for a broadcast select chain: pure elementwise work XLA fuses into
+    the NEE consumer, eliminating the (16, R) HBM materialization + its
+    T(1,128) unpack fusion (profiled at ~5 ms/frame at 1080p)."""
+    nl = table.shape[0]
+    li = jnp.clip(jnp.searchsorted(cdf, u0), 0, nl - 1).astype(jnp.int32)
+    if nl <= SELECT_MAX_LIGHTS:
+        def col(c):
+            out = jnp.full(li.shape, table[0, c])
+            for l in range(1, nl):
+                out = jnp.where(li == l, table[l, c], out)
+            return out
+
+        row = [col(c) for c in range(LIGHT_COLS)]
+    else:
+        row = _fetch_rows(table, li)   # (COLS, R)
 
     def v3(c):
         return Vec3(row[c], row[c + 1], row[c + 2])

@@ -218,14 +218,13 @@ def trace(
         r = state.t_min.shape[0]
         is_hit = hit.mask & state.active
 
-        # --- hit shading: ONE packed row-gather for all attributes
+        # --- hit shading: ONE packed row-gather of the compact
+        # bounce-column subset (textures applied inside when present)
         with jax.named_scope("fetch"):
-            attrs = shade_table.fetch(
+            attrs = shade_table.fetch_bounce(
                 tracer.shade_table, jnp.maximum(hit.tri, 0),
-                state.origin, state.direction,
+                state.origin, state.direction, atlas=tracer.atlas,
             )
-            if tracer.textured:
-                attrs = shade_table.apply_textures(tracer.atlas, attrs)
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
 
@@ -528,10 +527,9 @@ def trace_sharc_update(
         hit = tracer.closest_hit(o, d, tmin,
                                  jnp.where(active, tmax, -jnp.inf))
         is_hit = hit.mask & active
-        attrs = shade_table.fetch(
-            tracer.shade_table, jnp.maximum(hit.tri, 0), o, d)
-        if tracer.textured:
-            attrs = shade_table.apply_textures(tracer.atlas, attrs)
+        attrs = shade_table.fetch_bounce(
+            tracer.shade_table, jnp.maximum(hit.tri, 0), o, d,
+            atlas=tracer.atlas)
         b = _bsdf_from_attrs(attrs)
         b = b._replace(roughness=jnp.maximum(
             b.roughness, sharc_settings.roughness_threshold))
