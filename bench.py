@@ -280,14 +280,14 @@ def main(config: str = "cornell"):
         scene = make_cornell_box()
         # Stochastic pool compaction once Russian roulette starts (live
         # fractions measured: ~44% entering bounce 4, <=8% at 5, <=5% at
-        # 6): bounces 4..8 run at 1/2, 1/4, then 1/8 pool. Unbiased
-        # (tests/test_compaction.py); costs 3% of counted rays. Measured
-        # ladder (v5e 1080p): off 40.5 / (5,6) 45.1 / (4,5,6) 50.2 /
-        # (3,4,5,6) 54.1 Mrays/s — the last kills 10% of real samples, so
-        # the default stays aligned with the reference's own RR variance
-        # tolerance (rr_start_bounce=3). Override via BENCH_FOLD="3,4,5,6".
+        # 6): the pool halves at each scheduled bounce. Unbiased
+        # (tests/test_compaction.py). Measured ladder (v5e 1080p, r2 after
+        # the transposed sweep): (4,5,6) 185.3 / (4,5,6,7) 187.9 (same
+        # counted rays) / (3,4,5,6) 218.9 but kills ~7% of real samples —
+        # default keeps every sample and the extra bounce-7 fold.
+        # Override via BENCH_FOLD="3,4,5,6".
         fold = tuple(int(x) for x in
-                     os.environ.get("BENCH_FOLD", "4,5,6").split(",") if x)
+                     os.environ.get("BENCH_FOLD", "4,5,6,7").split(",") if x)
         settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
                                      count_rays=True,
                                      compaction_schedule=fold)

@@ -1,0 +1,228 @@
+"""Multi-chip FULL frame graph: G-buffer + ReSTIR DI + SHARC + path trace
+sharded over the pixel rows, post-processing replicated.
+
+Extends the bare sharded path tracer (parallel/mesh.py) to the complete
+App pipeline (SURVEY.md §2.4 plan; reference single-GPU frame:
+Source/App.cpp:573-654). Sharding layout:
+
+  * scene / tracer / camera / SHARC table: replicated
+  * main pixel pool + ReSTIR reservoirs: sharded by ROWS of the render
+    target (P("px") on the flat pixel axis — row-contiguous, so each
+    chip's tile is a horizontal band)
+  * ReSTIR temporal/spatial reuse runs per-tile: neighbor taps clamp at
+    tile edges (the only cross-chip dependency; bias is confined to a
+    <=spatial_radius band at tile seams — v1 trade documented)
+  * SHARC update pool: sharded; the per-vertex records are all-gathered
+    over ICI before the sort+segment-reduce resolve so every chip holds
+    the identical resolved cache (the cache is read-only during query)
+  * denoise / TAA / bloom / tonemap: cross-pixel image filters run
+    replicated on the assembled image (cheap relative to tracing)
+
+The only collectives: one all_gather for SHARC records, one all_gather at
+the radiance boundary (implicit via out_specs), one psum for ray stats.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import tonemap, traverse, vec
+from ..ops.vec import Vec3
+from ..passes import bloom as bloom_mod
+from ..passes import denoise as denoise_mod
+from ..passes import gbuffer as gbuffer_mod
+from ..passes import pathtrace
+from ..passes import restir as restir_mod
+from ..passes import sharc as sharc_mod
+from ..passes import taa as taa_mod
+from ..render.camera import generate_rays
+from .mesh import PIXEL_AXIS
+
+
+def _valid_schedule(schedule, r_local):
+    schedule = tuple(schedule)
+    while schedule and r_local % (2 ** len(schedule)):
+        schedule = schedule[:-1]
+    return schedule
+
+
+def jit_app_sharded(app, mesh: Mesh):
+    """Build the jitted sharded frame step for an App.
+
+    Returns fn(tracer, scene, cam, frame, history) -> (img, rays, history)
+    with history.restir sharded over the mesh and everything else
+    replicated — same signature/semantics as App._frame."""
+    n = int(mesh.devices.size)
+    s = app.settings
+    rw, rh = app.render_w, app.render_h
+    assert rh % n == 0, f"render height {rh} not divisible by mesh size {n}"
+    rows_local = rh // n
+    r_local = rows_local * rw
+
+    pt_settings = dataclasses.replace(
+        app.pt_settings,
+        compaction_schedule=_valid_schedule(
+            app.pt_settings.compaction_schedule, r_local))
+
+    ds = app.sharc_settings.downscale
+    uw, uh = max(rw // ds, 2), max(rh // ds, 2)
+    upool = uw * uh
+    upad = (-upool) % n
+    upool_p = upool + upad
+
+    spec_state = restir_mod.ReSTIRState(
+        reservoir=restir_mod.Reservoir(*([P(PIXEL_AXIS)] * 6)),
+        depth=P(PIXEL_AXIS),
+        normal=Vec3(P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS)),
+    )
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(), P(), P(), spec_state, P()),
+        out_specs=(P(PIXEL_AXIS), P(), spec_state, P(), P(PIXEL_AXIS)),
+        check_rep=False,
+    )
+    def heavy(tracer_scene, cam, frame, restir_state, sharc_state):
+        tracer, scene = tracer_scene
+        shard = jax.lax.axis_index(PIXEL_AXIS)
+        rays_total = jnp.zeros((), jnp.float32)
+
+        # --- local pixel tile (a band of rows)
+        row0 = shard * rows_local
+        px = jnp.tile(jnp.arange(rw, dtype=jnp.uint32), rows_local)
+        py_local = jnp.repeat(jnp.arange(rows_local, dtype=jnp.uint32), rw)
+        py = py_local + row0.astype(jnp.uint32)
+        pixel_u = (px.astype(jnp.float32) + 0.5 + cam.jitter[0]) / rw
+        pixel_v = (py.astype(jnp.float32) + 0.5 + cam.jitter[1]) / rh
+        ndc_x = pixel_u * 2.0 - 1.0
+        ndc_y = 1.0 - pixel_v * 2.0
+        origin, direction, t_min, t_max = generate_rays(
+            cam, rw, rh, ndc=(ndc_x, ndc_y))
+
+        gb = gbuffer_mod.generate(tracer, scene, cam, origin, direction,
+                                  t_min, t_max, pixel_u, pixel_v, (rw, rh))
+        rays_total = rays_total + r_local
+        view = -direction
+
+        # --- ReSTIR DI (per-tile reuse)
+        if s.raytracing.restir_di:
+            ((di_diff, di_spec), restir_state,
+             restir_rays) = restir_mod.render_direct_lighting(
+                scene, gb, view, tracer, restir_state, px, py, frame,
+                rw, rows_local, app.restir_settings, py_grid=py_local)
+            di = di_diff + di_spec
+            di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
+            rays_total = rays_total + restir_rays
+        else:
+            di = Vec3.zeros((r_local,))
+            di_valid = jnp.zeros((r_local,), bool)
+
+        # --- SHARC: sharded update pool -> all_gather -> replicated resolve
+        if s.raytracing.sharc:
+            chunk = upool_p // n
+            flat0 = shard * chunk
+            uflat = flat0 + jnp.arange(chunk, dtype=jnp.uint32)
+            uvalid_px = uflat < upool
+            upx = jnp.where(uvalid_px, uflat % uw, 0).astype(jnp.uint32)
+            upy = jnp.where(uvalid_px, uflat // uw, 0).astype(jnp.uint32)
+            uu = (upx.astype(jnp.float32) + 0.5) / uw
+            uv = (upy.astype(jnp.float32) + 0.5) / uh
+            uo, ud, ut0, ut1 = generate_rays(
+                cam, uw, uh, ndc=(uu * 2.0 - 1.0, 1.0 - uv * 2.0))
+            upd = dataclasses.replace(
+                pt_settings, bounces=min(s.raytracing.bounces, 4),
+                sharc_mode="off", external_di=False,
+                compaction_schedule=())
+            keys, records, valid = pathtrace.trace_sharc_update(
+                tracer, scene, uo, ud, ut0,
+                jnp.where(uvalid_px, ut1, -jnp.inf), upx, upy, frame, upd,
+                app.sharc_settings, cam.position)
+            # ICI all_gather: every chip resolves the identical cache
+            keys = jax.lax.all_gather(keys, PIXEL_AXIS).reshape(-1)
+            valid = jax.lax.all_gather(valid, PIXEL_AXIS).reshape(-1)
+            records = Vec3(
+                jax.lax.all_gather(records.x, PIXEL_AXIS).reshape(-1),
+                jax.lax.all_gather(records.y, PIXEL_AXIS).reshape(-1),
+                jax.lax.all_gather(records.z, PIXEL_AXIS).reshape(-1),
+            )
+            sharc_state = sharc_mod.resolve(sharc_state, keys, records,
+                                            valid, app.sharc_settings)
+            rays_total = rays_total + chunk * (upd.bounces + 1)
+
+        # --- path trace the tile
+        fwd = vec.normalize(Vec3(cam.forward[0], cam.forward[1],
+                                 cam.forward[2]))
+        primary = traverse.Hit(
+            t=jnp.where(gb.valid,
+                        gb.depth / jnp.maximum(vec.dot(direction, fwd),
+                                               1e-8),
+                        jnp.inf),
+            u=gb.bary_u, v=gb.bary_v, tri=gb.tri)
+        radiance, rays = pathtrace.render_sample_radiance(
+            tracer, scene, origin, direction, t_min, t_max, px, py, frame,
+            pt_settings, primary_hit=primary,
+            sharc_state=sharc_state if s.raytracing.sharc else None,
+            sharc_settings=(app.sharc_settings
+                            if s.raytracing.sharc else None),
+            camera_pos=cam.position,
+            di_valid=di_valid,
+        )
+        rays_total = rays_total + rays
+        signal = radiance + di
+
+        img_local = signal.to_array().reshape(rows_local, rw, 3)
+        albedo_local = denoise_mod.demodulation_albedo(
+            gb.base_color.to_array().reshape(rows_local, rw, 3),
+            gb.metallic.reshape(rows_local, rw),
+            jnp.full((rows_local, rw, 3), 0.04))
+        motion_local = jnp.stack([gb.motion_x.reshape(rows_local, rw),
+                                  gb.motion_y.reshape(rows_local, rw)], -1)
+        depth_local = gb.depth.reshape(rows_local, rw)
+        normal_local = gb.shading_normal.to_array().reshape(rows_local, rw, 3)
+        aux_local = jnp.concatenate(
+            [albedo_local, motion_local, depth_local[..., None],
+             normal_local], -1)
+        return (img_local, jax.lax.psum(rays_total, PIXEL_AXIS),
+                restir_state, sharc_state, aux_local)
+
+    def step(tracer, scene, cam, frame, history):
+        img, rays, restir_state, sharc_state, aux = heavy(
+            (tracer, scene), cam, frame, history.restir, history.sharc)
+        img = img.reshape(rh, rw, 3)
+        aux = aux.reshape(rh, rw, 9)
+        albedo, motion = aux[..., 0:3], aux[..., 3:5]
+        depth, normal = aux[..., 5], aux[..., 6:9]
+
+        # --- replicated post-processing tail (image-space filters)
+        denoiser_state = history.denoiser
+        if s.post_processing.denoiser != "none":
+            img, denoiser_state = denoise_mod.denoise_frame(
+                history.denoiser, img, albedo, depth, normal, motion,
+                iterations=s.post_processing.denoiser_iterations)
+        taa_state = history.taa
+        if s.post_processing.upscaler != "none":
+            img, taa_state = taa_mod.resolve(
+                history.taa, img, motion, app.out_h, app.out_w)
+            if s.post_processing.sharpness > 0:
+                img = taa_mod.sharpen(img, s.post_processing.sharpness)
+        elif (rw, rh) != (app.out_w, app.out_h):
+            img = taa_mod._upscale_bilinear(img, app.out_h, app.out_w)
+        if s.post_processing.bloom:
+            img = bloom_mod.apply(img, s.post_processing.bloom_strength)
+        img = tonemap.apply(img, s.post_processing.tonemap_operator,
+                            s.post_processing.exposure)
+
+        from ..render.app import FrameHistory
+
+        history = FrameHistory(denoiser=denoiser_state, taa=taa_state,
+                               restir=restir_state, sharc=sharc_state)
+        return img, rays, history
+
+    return jax.jit(step)

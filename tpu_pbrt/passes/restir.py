@@ -293,11 +293,18 @@ class ReSTIRState(NamedTuple):
 def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
                         state: ReSTIRState, cur: Reservoir,
                         px, py, frame, width, height,
-                        settings: ReSTIRSettings) -> Reservoir:
-    """Motion-guided temporal reuse (DITemporalResampling.hlsl)."""
+                        settings: ReSTIRSettings,
+                        py_grid=None) -> Reservoir:
+    """Motion-guided temporal reuse (DITemporalResampling.hlsl).
+
+    `py_grid`: row index used for ADDRESSING the reservoir grid — under a
+    row-sharded mesh this is the tile-local row while `py` stays the
+    global row feeding the RNG streams (defaults to `py`)."""
+    if py_grid is None:
+        py_grid = py
     b, sv = _surface_from_gbuffer(scene, gb, view)
     prev_x = px.astype(jnp.float32) + gb.motion_x
-    prev_y = py.astype(jnp.float32) + gb.motion_y
+    prev_y = py_grid.astype(jnp.float32) + gb.motion_y
 
     prev = state.reservoir
     p_light, in_b = _reproject_nearest(prev.light, prev_x, prev_y, width, height)
@@ -360,8 +367,10 @@ def _boiling_filter(res: Reservoir, width, height, strength,
 
 def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
                        cur: Reservoir, px, py, frame, width, height,
-                       settings: ReSTIRSettings) -> Reservoir:
+                       settings: ReSTIRSettings, py_grid=None) -> Reservoir:
     """Neighbor-disc spatial reuse (DISpatialResampling.hlsl)."""
+    if py_grid is None:
+        py_grid = py
     b, sv = _surface_from_gbuffer(scene, gb, view)
     res = cur
     for k in range(settings.spatial_samples):
@@ -369,7 +378,7 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
         ang = 2.0 * jnp.pi * u4[0]
         rad = settings.spatial_radius * jnp.sqrt(u4[1])
         nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
-        ny = py.astype(jnp.float32) + jnp.sin(ang) * rad
+        ny = py_grid.astype(jnp.float32) + jnp.sin(ang) * rad
 
         n_light, in_b = _reproject_nearest(cur.light, nx, ny, width, height)
         n_u, _ = _reproject_nearest(cur.u, nx, ny, width, height)
@@ -423,17 +432,19 @@ def final_shading(scene: Scene, gb: GBuffer, view: Vec3, tracer,
 
 def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
                            state: ReSTIRState, px, py, frame, width, height,
-                           settings: ReSTIRSettings = ReSTIRSettings()):
+                           settings: ReSTIRSettings = ReSTIRSettings(),
+                           py_grid=None):
     """The full per-frame ReSTIR DI pipeline (RTXDI.ixx:207-241 order).
-    Returns ((diffuse, specular), new state, rays traced)."""
+    Returns ((diffuse, specular), new state, rays traced). `py_grid`: see
+    temporal_resampling — tile-local rows under a sharded mesh."""
     res, rays = initial_sampling(scene, gb, view, tracer, px, py, frame,
                                  settings)
     if settings.temporal:
         res = temporal_resampling(scene, gb, view, state, res, px, py, frame,
-                                  width, height, settings)
+                                  width, height, settings, py_grid=py_grid)
     if settings.spatial:
         res = spatial_resampling(scene, gb, view, res, px, py, frame,
-                                 width, height, settings)
+                                 width, height, settings, py_grid=py_grid)
     diffuse, specular, shade_rays = final_shading(scene, gb, view, tracer, res)
     new_state = ReSTIRState(reservoir=res, depth=gb.depth,
                             normal=gb.shading_normal)

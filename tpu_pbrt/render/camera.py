@@ -134,24 +134,31 @@ class Camera:
 def generate_rays(cam: CameraData, width: int, height: int,
                   aperture_u: jnp.ndarray | None = None,
                   jitter: jnp.ndarray | None = None,
-                  previous: bool = False):
+                  previous: bool = False,
+                  ndc: tuple | None = None):
     """Primary rays for every pixel, flattened row-major, SoA.
 
     Pinhole when aperture_radius == 0, thin lens otherwise
     (reference: Shaders/Camera.hlsli:32-54). Returns
-    (origin: Vec3, direction: Vec3, t_min, t_max) of (W*H,) components."""
-    gx, gy = jnp.meshgrid(
-        jnp.arange(width, dtype=jnp.float32),
-        jnp.arange(height, dtype=jnp.float32),
-        indexing="xy",
-    )
-    px = gx.ravel()
-    py = gy.ravel()
+    (origin: Vec3, direction: Vec3, t_min, t_max) of (W*H,) components.
+    `ndc=(ndc_x, ndc_y)` overrides the per-pixel grid — used by the
+    sharded path to generate only a tile's rays."""
+    if ndc is not None:
+        ndc_x, ndc_y = ndc
+        px = ndc_x  # only used for pool size below
+    else:
+        gx, gy = jnp.meshgrid(
+            jnp.arange(width, dtype=jnp.float32),
+            jnp.arange(height, dtype=jnp.float32),
+            indexing="xy",
+        )
+        px = gx.ravel()
+        py = gy.ravel()
 
-    jit = cam.jitter if jitter is None else jitter
-    # UV -> NDC (Shaders/Math.hlsli:7-15)
-    ndc_x = (px + 0.5 + jit[0]) / width * 2.0 - 1.0
-    ndc_y = 1.0 - (py + 0.5 + jit[1]) / height * 2.0
+        jit = cam.jitter if jitter is None else jitter
+        # UV -> NDC (Shaders/Math.hlsli:7-15)
+        ndc_x = (px + 0.5 + jit[0]) / width * 2.0 - 1.0
+        ndc_y = 1.0 - (py + 0.5 + jit[1]) / height * 2.0
 
     pos, right, up, fwd = (
         (cam.prev_position, cam.prev_right, cam.prev_up, cam.prev_forward)
