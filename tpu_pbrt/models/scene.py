@@ -47,11 +47,26 @@ def environment_radiance(env: EnvironmentLight, direction: Vec3) -> Vec3:
         uu = (1.0 + jnp.arctan2(d.x, d.z) / jnp.pi) * 0.5
         vv = jnp.arccos(jnp.clip(d.y, -1.0, 1.0)) / jnp.pi
         h, w = env.texture.shape[:2]
-        x = jnp.clip((uu * w).astype(jnp.int32), 0, w - 1)
-        y = jnp.clip((vv * h).astype(jnp.int32), 0, h - 1)
-        flat = y * w + x
+        # bilinear with u-wrap / v-clamp (the reference samples with a
+        # hardware linear sampler, ShadingHelpers.hlsli:11-30)
+        fx = uu * w - 0.5
+        fy = vv * h - 0.5
+        x0 = jnp.floor(fx).astype(jnp.int32)
+        y0 = jnp.floor(fy).astype(jnp.int32)
+        tx = fx - x0
+        ty = fy - y0
+        x1 = jnp.mod(x0 + 1, w)
+        x0 = jnp.mod(x0, w)
+        y1 = jnp.clip(y0 + 1, 0, h - 1)
+        y0 = jnp.clip(y0, 0, h - 1)
         tex = env.texture.reshape(-1, 3)
-        return vec.gather(tex, flat)
+
+        def tap(y, x):
+            return vec.gather(tex, y * w + x)
+
+        top = tap(y0, x0) * (1.0 - tx) + tap(y0, x1) * tx
+        bot = tap(y1, x0) * (1.0 - tx) + tap(y1, x1) * tx
+        return top * (1.0 - ty) + bot * ty
     # procedural sky: srgb->linear(lerp(1, skyblue, (y+1)/2))
     tsky = (direction.y + 1.0) * 0.5
     sky = Vec3(
@@ -91,11 +106,47 @@ class Scene(NamedTuple):
     lights: EmissiveLights
 
 
-def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> EmissiveLights:
+def _average_emissive_texture(textures, texture_srgb, tex_idx, uv, ind, tris,
+                              samples: int = 4):
+    """(len(tris), 3) mean emissive-texture radiance over each triangle —
+    the reference integrates the emissive map with SampleGrad over the UV
+    edges when building triangle lights (LightPreparation.hlsl:88-127).
+    Host numpy: a barycentric grid of `samples`^2 nearest taps per
+    triangle, sRGB-decoded per the texture flag."""
+    out = np.ones((len(tris), 3), np.float32)
+    if not textures:
+        return out
+    # barycentric sample grid (uniform over the triangle)
+    g = (np.arange(samples, dtype=np.float32) + 0.5) / samples
+    a, b = np.meshgrid(g, g, indexing="ij")
+    keep = a + b <= 1.0
+    a, b = a[keep], b[keep]
+    for k, t in enumerate(tris):
+        ti = int(tex_idx[t])
+        if ti < 0:
+            continue
+        img = np.asarray(textures[ti], np.float32) / 255.0
+        if texture_srgb[ti]:
+            img = np.where(img <= 0.04045, img / 12.92,
+                           ((img + 0.055) / 1.055) ** 2.4)
+        h, w = img.shape[:2]
+        uv0, uv1, uv2 = uv[ind[t, 0]], uv[ind[t, 1]], uv[ind[t, 2]]
+        us = uv0[0] + (uv1[0] - uv0[0]) * a + (uv2[0] - uv0[0]) * b
+        vs = uv0[1] + (uv1[1] - uv0[1]) * a + (uv2[1] - uv0[1]) * b
+        x = np.clip((np.mod(us, 1.0) * w).astype(np.int64), 0, w - 1)
+        y = np.clip((np.mod(vs, 1.0) * h).astype(np.int64), 0, h - 1)
+        out[k] = img[y, x, :3].mean(0)
+    return out
+
+
+def collect_emissive_lights(geometry: Geometry, materials: MaterialTable,
+                            textures=None, texture_srgb=None) -> EmissiveLights:
     """Host-side light collection (the CPU count + GPU fill of
     LightPreparation.ixx:52-125 collapses to one vectorized pass). Pure
     numpy: eager device ops are pathologically slow over the axon tunnel,
-    so scene build stays on the host and transfers once."""
+    so scene build stays on the host and transfers once. When `textures`
+    is given, textured emitters integrate their emissive map into
+    radiance/power (LightPreparation.hlsl:88-127)."""
     pos = np.asarray(geometry.positions)  # no-op when numpy-backed
     ind = np.asarray(geometry.indices)
     v0, v1, v2 = pos[ind[:, 0]], pos[ind[:, 1]], pos[ind[:, 2]]
@@ -124,6 +175,12 @@ def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> Emi
     normal = cr / crlen
     area = 0.5 * crlen[:, 0]
     rad = emissive[idx]
+    if textures:
+        tex_idx = np.asarray(materials.texture_index)[
+            np.asarray(geometry.tri_material), 1]  # emissive slot
+        rad = rad * _average_emissive_texture(
+            textures, texture_srgb, tex_idx, np.asarray(geometry.uv0),
+            ind, idx)
     power = (rad @ np.asarray([0.2126, 0.7152, 0.0722], np.float32)) * area * np.pi
     cdf = np.cumsum(power) / max(float(power.sum()), 1e-20)
     tri_to_light = np.full((num_tris,), -1, np.int32)
@@ -142,11 +199,13 @@ def collect_emissive_lights(geometry: Geometry, materials: MaterialTable) -> Emi
 
 
 def make_scene(geometry: Geometry, materials: MaterialTable,
-               environment: EnvironmentLight | None = None) -> Scene:
+               environment: EnvironmentLight | None = None,
+               textures=None, texture_srgb=None) -> Scene:
     import jax
 
     env = environment if environment is not None else make_environment()
     scene = Scene(geometry, materials, env,
-                  collect_emissive_lights(geometry, materials))
+                  collect_emissive_lights(geometry, materials,
+                                          textures, texture_srgb))
     # one bulk host->device transfer for the whole scene
     return jax.device_put(scene)

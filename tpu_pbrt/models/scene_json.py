@@ -302,7 +302,8 @@ def build_scene(desc: SceneDesc):
         rotation=quat_to_matrix(desc.environment_rotation),
         texture=env_tex,
     )
-    scene = make_scene(geometry, table, env)
+    scene = make_scene(geometry, table, env,
+                       textures=textures, texture_srgb=texture_srgb)
 
     camera = Camera()
     camera.position = desc.camera_position
