@@ -31,9 +31,10 @@ def _state(active, vals):
         radiance=Vec3.zeros((r,)),
         first_lobe=jnp.full((r,), -1, jnp.int32),
         first_hit_t=jnp.full((r,), jnp.inf),
-        ray_count=jnp.zeros(()),
+        ray_count=jnp.zeros((r,)),
         prev_bsdf_pdf=jnp.zeros((r,)),
         rough_accum=jnp.zeros((r,)),
+        path_t=jnp.zeros((r,)),
     )
 
 

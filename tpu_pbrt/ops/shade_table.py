@@ -49,6 +49,9 @@ _TEX_BASE = 57   # texture indices (-1 = none): base color
 _TEX_EMIT = 58   # emissive
 _TEX_MR = 59     # metallic-roughness (glTF: B=metal, G=rough)
 _TEX_NRM = 60    # normal map
+_UVDEN = 61      # sqrt(uv_area / world_area): UVs per world unit (mip LOD)
+_ALPHA_CUT = 62  # alpha cutoff (ALPHA_MASK materials)
+_ALPHA_CONST = 63  # constant base-color alpha factor
 COLS = 64     # padded for lane alignment
 
 
@@ -120,6 +123,17 @@ def build(geometry, materials, lights) -> np.ndarray:
     out[:, _TEX_EMIT] = ti[mat, 1]
     out[:, _TEX_MR] = ti[mat, 4]
     out[:, _TEX_NRM] = ti[mat, 6]
+    # UV density for ray-cone mip selection: how many UV units one world
+    # unit spans on this triangle (0 when UVs are degenerate -> level 0)
+    duv1 = uv[i1] - uv[i0]
+    duv2 = uv[i2] - uv[i0]
+    uv_area = 0.5 * np.abs(duv1[:, 0] * duv2[:, 1] - duv1[:, 1] * duv2[:, 0])
+    e1w = pos[i1] - pos[i0]
+    e2w = pos[i2] - pos[i0]
+    world_area = 0.5 * np.linalg.norm(np.cross(e1w, e2w), axis=-1)
+    out[:, _UVDEN] = np.sqrt(uv_area / np.maximum(world_area, 1e-20))
+    out[:, _ALPHA_CUT] = np.asarray(materials.alpha_cutoff, np.float32)[mat]
+    out[:, _ALPHA_CONST] = np.asarray(materials.base_color, np.float32)[mat, 3]
     return out
 
 
@@ -159,6 +173,7 @@ class ShadeAttrs(NamedTuple):
     tex_emit: jnp.ndarray
     tex_mr: jnp.ndarray
     tex_nrm: jnp.ndarray
+    uv_density: jnp.ndarray      # UV units per world unit (mip LOD)
 
 
 ONEHOT_MAX_ROWS = 512
@@ -270,6 +285,7 @@ def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
         tex_emit=row[_TEX_EMIT].astype(jnp.int32),
         tex_mr=row[_TEX_MR].astype(jnp.int32),
         tex_nrm=row[_TEX_NRM].astype(jnp.int32),
+        uv_density=row[_UVDEN],
     )
 
 
@@ -289,18 +305,19 @@ _BOUNCE_COLS_TEX = (
     _BOUNCE_COLS
     + list(range(_T0, _T0 + 9))
     + list(range(_UV, _UV + 6))
-    + [_TEX_BASE, _TEX_EMIT, _TEX_MR, _TEX_NRM]
+    + [_TEX_BASE, _TEX_EMIT, _TEX_MR, _TEX_NRM, _UVDEN]
 )
 
 
 def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
-                 ray_dir: Vec3, atlas=None) -> ShadeAttrs:
+                 ray_dir: Vec3, atlas=None, footprint=None) -> ShadeAttrs:
     """Bounce-loop fetch: one-hot fetch of the COMPACT column subset.
 
     Same semantics as `fetch` for the attributes the integrator uses;
     prev_position aliases position and object/uv/tex fields are dummies
     unless textured (the G-buffer pass keeps using the full `fetch`).
-    Applies the texture maps when `atlas` is given."""
+    Applies the texture maps when `atlas` is given; `footprint` (per-lane
+    world-space ray-cone width at the hit) selects mip levels."""
     from . import vec
 
     textured = atlas is not None
@@ -344,10 +361,12 @@ def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
                at(_TEX_EMIT).astype(jnp.int32),
                at(_TEX_MR).astype(jnp.int32),
                at(_TEX_NRM).astype(jnp.int32))
+        uvden = at(_UVDEN)
     else:
         tangent = Vec3(jnp.ones((r,)), zeros, zeros)
         uv_u = uv_v = zeros
         tex = (neg1, neg1, neg1, neg1)
+        uvden = zeros
 
     attrs = ShadeAttrs(
         position=position,
@@ -373,10 +392,57 @@ def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
         tex_emit=tex[1],
         tex_mr=tex[2],
         tex_nrm=tex[3],
+        uv_density=uvden,
     )
     if textured:
-        attrs = apply_textures(atlas, attrs)
+        attrs = apply_textures(atlas, attrs, footprint=footprint)
     return attrs
+
+
+_ALPHA_COLS = (
+    list(range(_P0, _P0 + 9))        # p0, e1, e2 (barycentric recompute)
+    + list(range(_UV, _UV + 6))
+    + [_TEX_BASE, _ALPHA_MODE, _ALPHA_CUT, _ALPHA_CONST]
+)
+
+
+def hit_transparent(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
+                    ray_dir: Vec3, atlas) -> jnp.ndarray:
+    """(R,) bool — True where the hit triangle is an ALPHA_MASK surface
+    whose base-color alpha at the hit UV falls below the cutoff (the
+    any-hit alpha test the reference emulates by re-intersecting,
+    reference: Shaders/RaytracingHelpers.hlsli:17-44 +
+    ShadingHelpers.hlsli IsOpaque). Minimal column fetch + ONE nearest
+    texture tap; caller masks by hit validity."""
+    from . import intersect, texture as tex_mod
+
+    cols = _ALPHA_COLS
+    sub = table[:, jnp.asarray(cols, jnp.int32)]
+    row = _fetch_rows(sub, slot)
+    pos_of = {c: i for i, c in enumerate(cols)}
+
+    def v3(c):
+        i = pos_of[c]
+        return Vec3(row[i], row[i + 1], row[i + 2])
+
+    p0, e1, e2 = v3(_P0), v3(_E1), v3(_E2)
+    _, u, v, _ = intersect.ray_triangle_soa(
+        ray_origin, ray_dir, p0, e1, e2, -jnp.inf, jnp.inf)
+    u = jnp.clip(u, 0.0, 1.0)
+    v = jnp.clip(v, 0.0, 1.0)
+    w = 1.0 - u - v
+
+    def at(c):
+        return row[pos_of[c]]
+
+    uv_u = at(_UV) * w + at(_UV + 2) * u + at(_UV + 4) * v
+    uv_v = at(_UV + 1) * w + at(_UV + 3) * u + at(_UV + 5) * v
+    tex = at(_TEX_BASE).astype(jnp.int32)
+    _, tex_a = tex_mod.sample_nearest(atlas, tex, uv_u, uv_v)
+    alpha = at(_ALPHA_CONST) * jnp.where(tex >= 0, tex_a, 1.0)
+    from ..models.material import ALPHA_MASK
+
+    return (at(_ALPHA_MODE) == ALPHA_MASK) & (alpha < at(_ALPHA_CUT))
 
 
 # ---------------------------------------------------------------------------
@@ -505,32 +571,48 @@ def update_geometry(table: jnp.ndarray, p0, e1, e2,
     return table
 
 
-def apply_textures(atlas, attrs: ShadeAttrs) -> ShadeAttrs:
+def apply_textures(atlas, attrs: ShadeAttrs, footprint=None) -> ShadeAttrs:
     """Modulate the fetched material by its texture maps
     (reference: Shaders/ShadingHelpers.hlsli:159-235 EvaluateMaterial —
     base-color/emissive multiply, metallic-roughness B/G channels, normal
-    perturbation through the TBN)."""
+    perturbation through the TBN). `footprint` — world-space ray-cone
+    width at the hit — selects mip levels (ray-cone replacement for the
+    reference's screen-space SampleGrad); None keeps level-0 bilinear."""
     from . import texture as tex_mod
     from . import vec
 
     u, v = attrs.uv_u, attrs.uv_v
 
-    base_rgb, base_a = tex_mod.sample_bilinear(atlas, attrs.tex_base, u, v)
+    if footprint is not None:
+        # texels covered = footprint(world) * uv_density * map_resolution;
+        # per-map resolution folds in as an additive log2 term
+        uv_span = jnp.maximum(footprint * attrs.uv_density, 1e-20)
+        log2_span = jnp.log2(uv_span)
+
+        def sample(tex_index):
+            w = atlas.desc[jnp.maximum(tex_index, 0)][:, 1]
+            lod = jnp.maximum(log2_span + jnp.log2(w), 0.0)
+            return tex_mod.sample_lod(atlas, tex_index, u, v, lod)
+    else:
+        def sample(tex_index):
+            return tex_mod.sample_bilinear(atlas, tex_index, u, v)
+
+    base_rgb, base_a = sample(attrs.tex_base)
     has = attrs.tex_base >= 0
     base_color = vec.where(has, attrs.base_color * base_rgb,
                            attrs.base_color)
 
-    emit_rgb, _ = tex_mod.sample_bilinear(atlas, attrs.tex_emit, u, v)
+    emit_rgb, _ = sample(attrs.tex_emit)
     emission = vec.where(attrs.tex_emit >= 0, attrs.emission * emit_rgb,
                          attrs.emission)
 
-    mr_rgb, _ = tex_mod.sample_bilinear(atlas, attrs.tex_mr, u, v)
+    mr_rgb, _ = sample(attrs.tex_mr)
     has_mr = attrs.tex_mr >= 0
     metallic = jnp.where(has_mr, attrs.metallic * mr_rgb.z, attrs.metallic)
     roughness = jnp.where(has_mr, attrs.roughness * mr_rgb.y,
                           attrs.roughness)
 
-    nrm_rgb, _ = tex_mod.sample_bilinear(atlas, attrs.tex_nrm, u, v)
+    nrm_rgb, _ = sample(attrs.tex_nrm)
     has_n = attrs.tex_nrm >= 0
     # tangent-space normal decode + TBN rotate (Math.hlsli:17-21 TBN)
     n_ts = vec.normalize(Vec3(nrm_rgb.x * 2.0 - 1.0, nrm_rgb.y * 2.0 - 1.0,

@@ -27,19 +27,28 @@ from . import traverse, traverse_blocked, traverse_dense
 DENSE_MAX_TRIS = 2048
 
 
+# re-intersection passes for textured alpha cutouts: up to K-1 transparent
+# layers pierced per ray per bounce (the reference loops unbounded,
+# Shaders/RaytracingHelpers.hlsli:17-44; a static cap keeps the trace jittable)
+ALPHA_TEST_MAX_ITERS = 4
+
+
 @jax.tree_util.register_pytree_node_class
 class Tracer:
     """Acceleration structure + packed shade/light tables (one-row-gather
-    shading, see ops/shade_table.py)."""
+    shading, see ops/shade_table.py). `alpha_test` (static) turns on the
+    textured-alpha re-intersection loop for scenes with ALPHA_MASK
+    materials that carry a base-color texture."""
 
     def __init__(self, kind: str, accel, shade_table=None, light_table=None,
-                 light_cdf=None, atlas=None):
+                 light_cdf=None, atlas=None, alpha_test: bool = False):
         self.kind = kind
         self.accel = accel
         self.shade_table = shade_table
         self.light_table = light_table
         self.light_cdf = light_cdf
         self.atlas = atlas
+        self.alpha_test = alpha_test
 
     @property
     def textured(self) -> bool:
@@ -47,13 +56,17 @@ class Tracer:
 
     def tree_flatten(self):
         return (self.accel, self.shade_table, self.light_table,
-                self.light_cdf, self.atlas), self.kind
+                self.light_cdf, self.atlas), (self.kind, self.alpha_test)
 
     @classmethod
-    def tree_unflatten(cls, kind, children):
-        return cls(kind, *children)
+    def tree_unflatten(cls, aux, children):
+        if isinstance(aux, tuple):
+            kind, alpha_test = aux
+        else:  # legacy aux format
+            kind, alpha_test = aux, False
+        return cls(kind, *children, alpha_test=alpha_test)
 
-    def closest_hit(self, origin, direction, t_min, t_max) -> traverse.Hit:
+    def _closest_raw(self, origin, direction, t_min, t_max) -> traverse.Hit:
         if self.kind == "dense":
             return traverse_dense.closest_hit(
                 self.accel, origin, direction, t_min, t_max
@@ -64,7 +77,34 @@ class Tracer:
             )
         return traverse.closest_hit(self.accel, origin, direction, t_min, t_max)
 
+    def closest_hit(self, origin, direction, t_min, t_max) -> traverse.Hit:
+        hit = self._closest_raw(origin, direction, t_min, t_max)
+        if not self.alpha_test:
+            return hit
+        # alpha-cutout emulation: where the winning hit fails its alpha
+        # test, advance past it and re-trace (only pierced lanes pay —
+        # the others traverse an empty interval)
+        for _ in range(ALPHA_TEST_MAX_ITERS - 1):
+            pierced = hit.mask & shade_mod.hit_transparent(
+                self.shade_table, jnp.maximum(hit.tri, 0),
+                origin, direction, self.atlas)
+            tmin2 = hit.t * (1.0 + 1e-4) + 1e-5
+            rehit = self._closest_raw(
+                origin, direction, tmin2,
+                jnp.where(pierced, t_max, -jnp.inf))
+            hit = traverse.Hit(
+                t=jnp.where(pierced, rehit.t, hit.t),
+                u=jnp.where(pierced, rehit.u, hit.u),
+                v=jnp.where(pierced, rehit.v, hit.v),
+                tri=jnp.where(pierced, rehit.tri, hit.tri),
+            )
+        return hit
+
     def any_hit(self, origin, direction, t_min, t_max) -> jnp.ndarray:
+        if self.alpha_test:
+            # exact cutout shadows: nearest OPAQUE hit within the interval
+            # (the baked per-triangle opacity can't see texture alpha)
+            return self.closest_hit(origin, direction, t_min, t_max).mask
         if self.kind == "dense":
             return traverse_dense.any_hit(
                 self.accel, origin, direction, t_min, t_max
@@ -128,9 +168,14 @@ def build_for_scene(scene, kind: str | None = None, textures=None,
         from . import texture as tex_mod
 
         atlas = tex_mod.build_atlas(textures, texture_srgb)
+    # textured alpha cutouts present? (constant-alpha MASK is already baked
+    # into the traversal opacity above)
+    tex_idx = np.asarray(scene.materials.texture_index, np.int32)[mat, 0]
+    alpha_test = atlas is not None and bool(
+        np.any((alpha_mode == 2) & (tex_idx >= 0)))
     return Tracer(kind, accel, jnp.asarray(table), jnp.asarray(light_table),
                   jnp.asarray(np.asarray(scene.lights.cdf, np.float32)),
-                  atlas)
+                  atlas, alpha_test=alpha_test)
 
 
 def refit(tracer: Tracer, v0, v1, v2) -> Tracer:
@@ -145,4 +190,5 @@ def refit(tracer: Tracer, v0, v1, v2) -> Tracer:
     else:
         accel = bvh_mod.refit(tracer.accel, v0, v1, v2)
     return Tracer(tracer.kind, accel, tracer.shade_table,
-                  tracer.light_table, tracer.light_cdf, tracer.atlas)
+                  tracer.light_table, tracer.light_cdf, tracer.atlas,
+                  alpha_test=tracer.alpha_test)

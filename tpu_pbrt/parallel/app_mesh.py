@@ -107,7 +107,8 @@ def jit_app_sharded(app, mesh: Mesh):
             cam, rw, rh, ndc=(ndc_x, ndc_y))
 
         gb = gbuffer_mod.generate(tracer, scene, cam, origin, direction,
-                                  t_min, t_max, pixel_u, pixel_v, (rw, rh))
+                                  t_min, t_max, pixel_u, pixel_v, (rw, rh),
+                                  cone_spread=app.pt_settings.cone_spread)
         rays_total = rays_total + r_local
         view = -direction
 

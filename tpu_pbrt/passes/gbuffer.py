@@ -74,15 +74,19 @@ def project_to_uv(cam: CameraData, world_pos: Vec3, previous: bool = False):
 def generate(tracer, scene: Scene, cam: CameraData,
              origin: Vec3, direction: Vec3,
              t_min, t_max, pixel_u: jnp.ndarray, pixel_v: jnp.ndarray,
-             dims: tuple[int, int]) -> GBuffer:
+             dims: tuple[int, int], cone_spread: float = 0.0) -> GBuffer:
     """Trace primary rays and fill the G-buffer. pixel_u/v is the jittered
-    UV each ray was generated from (for motion-vector deltas)."""
+    UV each ray was generated from (for motion-vector deltas).
+    cone_spread > 0 enables mip-aware texture fetches (one pixel's ray-cone
+    angle; the screen-space-derivative analogue of GBufferGeneration.hlsl's
+    hardware Sample)."""
     hit = tracer.closest_hit(origin, direction, t_min, t_max)
     attrs = shade_table.fetch(
         tracer.shade_table, jnp.maximum(hit.tri, 0), origin, direction
     )
     if tracer.textured:
-        attrs = shade_table.apply_textures(tracer.atlas, attrs)
+        fp = cone_spread * jnp.maximum(hit.t, 0.0) if cone_spread > 0 else None
+        attrs = shade_table.apply_textures(tracer.atlas, attrs, footprint=fp)
     env = environment_radiance(scene.environment, direction)
     emission = vec.where(hit.mask, attrs.emission, env)
 

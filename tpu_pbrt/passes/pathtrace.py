@@ -75,6 +75,11 @@ class PathTraceSettings:
     # strictly increasing, in [1, bounces]; the pool size must be
     # divisible by 2**len(schedule). Default off.
     compaction_schedule: tuple = ()
+    # Ray-cone angle (radians) of one pixel — enables mip-aware texture
+    # sampling (footprint = cone_spread * path length at each hit;
+    # replaces the reference's hardware SampleGrad mip selection). 0 = off
+    # (level-0 bilinear). Renderer/App fill this from the camera.
+    cone_spread: float = 0.0
 
 
 class _PathState(NamedTuple):
@@ -88,11 +93,15 @@ class _PathState(NamedTuple):
     # first-bounce info for denoiser demux (Raytracing.hlsl:235-239)
     first_lobe: jnp.ndarray   # (R,) i32, -1 until set
     first_hit_t: jnp.ndarray  # (R,)
-    ray_count: jnp.ndarray    # () f32 — rays actually traced
+    # per-LANE rays-traced counter: folds pairwise-sum (no cross-pool
+    # reduction per bounce — ONE reduce at frame end yields the total)
+    ray_count: jnp.ndarray    # (R,) f32
     # MIS bookkeeping for BSDF-sampled emission vs NEE
     prev_bsdf_pdf: jnp.ndarray  # (R,) solid-angle pdf of the ray's direction
     # SHARC query: accumulated roughness along the path (Raytracing.hlsl:366)
     rough_accum: jnp.ndarray    # (R,)
+    # accumulated path length up to the CURRENT ray's origin (ray-cone mips)
+    path_t: jnp.ndarray         # (R,)
 
 
 def _bsdf_from_attrs(attrs: shade_table.ShadeAttrs) -> bxdf.BSDF:
@@ -148,13 +157,18 @@ def _fold_half(state: _PathState, px, py, idx, di_valid,
                         sample_offset * 64 + 3 + bounce * 8)[0] < 0.5
     take_hi = (a_hi & ~a_lo) | (both & coin)
 
+    # the per-lane ray counter folds by PAIR SUM (total preserved with no
+    # cross-pool reduction), not by survivor selection
+    rc_fold = state.ray_count[:h] + state.ray_count[h:]
+
     def sel(a):
         if a.ndim >= 1 and a.shape[0] == r:
             return jnp.where(take_hi, a[h:], a[:h])
-        return a  # per-pool scalars (ray_count) pass through
+        return a  # per-pool scalars pass through
 
     state = jax.tree.map(sel, state)
     state = state._replace(
+        ray_count=rc_fold,
         throughput=state.throughput * jnp.where(both, 2.0, 1.0))
     return (state, sel(jnp.asarray(px)), sel(jnp.asarray(py)), sel(idx),
             None if di_valid is None else sel(jnp.asarray(di_valid)))
@@ -203,9 +217,10 @@ def trace(
         radiance=Vec3.zeros((r,)),
         first_lobe=jnp.full((r,), -1, jnp.int32),
         first_hit_t=jnp.full((r,), jnp.inf),
-        ray_count=jnp.zeros((), jnp.float32),
+        ray_count=jnp.zeros((r,), jnp.float32),
         prev_bsdf_pdf=jnp.zeros((r,)),
         rough_accum=jnp.zeros((r,)),
+        path_t=jnp.zeros((r,)),
     )
 
     zero3 = Vec3.splat(0.0)
@@ -221,9 +236,14 @@ def trace(
         # --- hit shading: ONE packed row-gather of the compact
         # bounce-column subset (textures applied inside when present)
         with jax.named_scope("fetch"):
+            fp = None
+            if settings.cone_spread > 0.0:
+                fp = settings.cone_spread * (
+                    state.path_t + jnp.maximum(hit.t, 0.0))
             attrs = shade_table.fetch_bounce(
                 tracer.shade_table, jnp.maximum(hit.tri, 0),
                 state.origin, state.direction, atlas=tracer.atlas,
+                footprint=fp,
             )
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
@@ -287,7 +307,7 @@ def trace(
 
         # --- next-event estimation: one power-sampled light, shadow ray,
         # balance-heuristic MIS against the BSDF strategy
-        nee_rays = jnp.zeros((), jnp.float32)
+        nee_rays = jnp.zeros((r,), jnp.float32)
         if settings.next_event_estimation:
             u3 = draw(px, py, bounce, 2)
             ls = shade_table.fetch_light(
@@ -331,7 +351,7 @@ def trace(
                 valid_nee & ~occluded, contrib, zero3
             )
             if settings.count_rays:
-                nee_rays = jnp.sum(valid_nee.astype(jnp.float32))
+                nee_rays = valid_nee.astype(jnp.float32)
 
         # --- BSDF sampling (Raytracing.hlsl:323-346)
         with jax.named_scope("bsdf"):
@@ -377,12 +397,12 @@ def trace(
             next_pdf = pdf
 
         if settings.count_rays:
+            # per-lane, elementwise (no cross-pool reduction per bounce)
             new_count = (state.ray_count + nee_rays
-                         + jnp.sum(state.active.astype(jnp.float32)))
+                         + state.active.astype(jnp.float32))
         else:
-            # static upper bound: every lane traces + one NEE shadow ray
-            new_count = state.ray_count + (
-                r * (2 if settings.next_event_estimation else 1))
+            # static bound accounted for in Python at the end of `trace`
+            new_count = state.ray_count
         return _PathState(
             active=active,
             origin=vec.where(is_hit, new_origin, state.origin),
@@ -401,6 +421,7 @@ def trace(
                     lobe == bxdf.LOBE_DIFFUSE, 1.0, b.roughness),
                 state.rough_accum,
             ),
+            path_t=jnp.where(is_hit, state.path_t + hit.t, state.path_t),
         )
 
     def make_body(px, py, di_valid):
@@ -425,7 +446,8 @@ def trace(
         state = shade(0, state, primary_hit, px, py, di_valid)
         # the primary was traced by the G-buffer pass, not here — keep the
         # ray counter honest (only NEE shadow rays at bounce 0 count)
-        state = state._replace(ray_count=state.ray_count - r)
+        if settings.count_rays:
+            state = state._replace(ray_count=state.ray_count - 1.0)
         start = 1
 
     bounce_body = make_body(px, py, di_valid)
@@ -454,13 +476,28 @@ def trace(
             state, px, py, idx, di_valid, frame, sample_offset, end)
         bounce_body = make_body(px, py, di_valid)
 
+    # total rays: ONE cross-pool reduction per frame (exact mode), or the
+    # static bound from the fold schedule (pool size per traced bounce)
+    if settings.count_rays:
+        total_rays = jnp.sum(state.ray_count)
+    else:
+        per = 2 if settings.next_event_estimation else 1
+        pools = 0
+        pool, b0 = r, 0
+        for end in list(schedule) + [settings.bounces + 1]:
+            pools += (end - b0) * pool
+            pool, b0 = pool // 2, end
+        total_rays = jnp.asarray(
+            float(pools * per - (r if primary_hit is not None else 0)),
+            jnp.float32)
+
     # non-finite guard (Raytracing.hlsl:377)
     rad = vec.where(vec.all_finite(state.radiance), state.radiance,
                     Vec3.splat(0.0))
     if bank is None:
-        return rad, state.first_lobe, state.first_hit_t, state.ray_count
+        return rad, state.first_lobe, state.first_hit_t, total_rays
     rad = _bank_add(bank, idx, rad)
-    return rad, first_lobe, first_hit_t, state.ray_count
+    return rad, first_lobe, first_hit_t, total_rays
 
 
 def render_sample_radiance(

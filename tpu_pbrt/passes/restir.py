@@ -142,14 +142,22 @@ def _surface_from_gbuffer(scene: Scene, gb: GBuffer, view: Vec3):
 
 
 def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
-                     px, py, frame, settings: ReSTIRSettings) -> Reservoir:
+                     px, py, frame, settings: ReSTIRSettings,
+                     regir=None) -> Reservoir:
     """Candidate generation (DIInitialSampling.hlsl /
     RTXDI_SampleLightsForSurface): N power-sampled light candidates plus
     M BRDF-ray candidates (light discovery via the tri->light remap,
     RTXDIAppBridge.hlsli:455-472), streamed into one reservoir with
     balance-heuristic mixture pdfs (Talbot MIS-RIS — the candidate source
     pdf is the pooled mixture of both strategies in area measure); optional
-    initial visibility on the winner."""
+    initial visibility on the winner.
+
+    `regir`: optional (ReGIRGrid, ReGIRSettings) — light candidates then
+    come from the surface's presampled world-space cell (chained RIS: the
+    slot W is the candidate's inverse selection pdf, RTXDI invSourcePdf
+    semantics), falling back to the global power CDF outside the grid."""
+    from . import regir as regir_mod
+
     r = gb.depth.shape[0]
     b, sv = _surface_from_gbuffer(scene, gb, view)
     res = Reservoir.empty(r)
@@ -165,11 +173,27 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
             return p_light_area
         return (n_l * p_light_area + n_b * p_brdf_area) / n_tot
 
+    if regir is not None:
+        grid, rs = regir
+        cell, inside = regir_mod.cell_of(grid, rs, gb.position)
+        inside = inside & gb.valid
+
     for k in range(n_l):
         u4 = rng.uniform4(px, py, frame, 100 + k)
         li = jnp.searchsorted(scene.lights.cdf, u4[0]).astype(jnp.int32)
         li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
         pdf_area = _light_area_pdf(scene, li)
+        if regir is not None:
+            li_g, w_slot = regir_mod.sample(grid, rs, cell, inside, u4[0])
+            use_g = li_g >= 0
+            li = jnp.where(use_g, li_g, li)
+            # chained RIS: slot W is the inverse light-selection pdf;
+            # uniform area point on the light divides by its area
+            pdf_area = jnp.where(
+                use_g,
+                1.0 / jnp.maximum(
+                    w_slot * scene.lights.area[jnp.maximum(li, 0)], 1e-20),
+                pdf_area)
 
         p_hat, wi, dist, cos_l = _target_pdf(scene, b, sv, view, gb.position,
                                              li, u4[1], u4[2])
@@ -433,12 +457,13 @@ def final_shading(scene: Scene, gb: GBuffer, view: Vec3, tracer,
 def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
                            state: ReSTIRState, px, py, frame, width, height,
                            settings: ReSTIRSettings = ReSTIRSettings(),
-                           py_grid=None):
+                           py_grid=None, regir=None):
     """The full per-frame ReSTIR DI pipeline (RTXDI.ixx:207-241 order).
     Returns ((diffuse, specular), new state, rays traced). `py_grid`: see
-    temporal_resampling — tile-local rows under a sharded mesh."""
+    temporal_resampling — tile-local rows under a sharded mesh. `regir`:
+    optional (ReGIRGrid, ReGIRSettings), see initial_sampling."""
     res, rays = initial_sampling(scene, gb, view, tracer, px, py, frame,
-                                 settings)
+                                 settings, regir=regir)
     if settings.temporal:
         res = temporal_resampling(scene, gb, view, state, res, px, py, frame,
                                   width, height, settings, py_grid=py_grid)

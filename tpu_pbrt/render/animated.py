@@ -169,7 +169,7 @@ def _animated_frame(tracer, scene, cam, frame, palette, prev_palette,
         v0, v1, v2, opacity=tracer.accel.opacity[:v0.shape[0]])
     new_tracer = tracer_mod.Tracer(
         tracer.kind, accel, table, tracer.light_table, tracer.light_cdf,
-        tracer.atlas,
+        tracer.atlas, alpha_test=tracer.alpha_test,
     )
     img, rays = _render_frame(new_tracer, scene, cam, frame,
                               width=width, height=height, settings=settings)

@@ -36,11 +36,16 @@ from ..passes import bloom as bloom_mod
 from ..passes import denoise as denoise_mod
 from ..passes import gbuffer as gbuffer_mod
 from ..passes import pathtrace
+from ..passes import regir as regir_mod
 from ..passes import restir as restir_mod
 from ..passes import sharc as sharc_mod
 from ..passes import taa as taa_mod
 from ..utils import config as config_mod
 from .camera import Camera, CameraData, generate_rays
+
+
+# module-level so deployments with memory/time budget can raise it
+SHARC_CAPACITY_CAP = 20
 
 
 class FrameHistory(NamedTuple):
@@ -73,8 +78,21 @@ class App:
         tex, tex_srgb = (self.textures if self.textures else (None, None))
         self.tracer = tracer_mod.build_for_scene(
             self.scene, textures=tex, texture_srgb=tex_srgb)
+        # SHARC resolve is a sort over (capacity + update-pool) keys per
+        # frame; above 2^SHARC_CAPACITY_CAP the sort dominates the frame on
+        # v5e, so larger requests are clamped — loudly, not silently
+        # (reference default is 2^22, Source/SHARC.ixx:48-57).
+        if s.raytracing.sharc_capacity_log2 > SHARC_CAPACITY_CAP:
+            import warnings
+
+            warnings.warn(
+                f"sharc_capacity_log2={s.raytracing.sharc_capacity_log2} "
+                f"clamped to {SHARC_CAPACITY_CAP} (per-frame sort cost; "
+                f"raise tpu_pbrt.render.app.SHARC_CAPACITY_CAP to override)",
+                stacklevel=2)
         self.sharc_settings = sharc_mod.SHARCSettings(
-            capacity_log2=min(s.raytracing.sharc_capacity_log2, 18),
+            capacity_log2=min(s.raytracing.sharc_capacity_log2,
+                              SHARC_CAPACITY_CAP),
             scene_scale=s.raytracing.sharc_scene_scale,
             downscale=s.raytracing.sharc_downscale,
             roughness_threshold=s.raytracing.sharc_roughness_threshold,
@@ -85,6 +103,12 @@ class App:
             temporal=s.raytracing.restir_temporal,
             spatial=s.raytracing.restir_spatial,
         )
+        self.regir_settings = (regir_mod.ReGIRSettings(
+            cells_per_axis=s.raytracing.regir_cells_per_axis,
+            lights_per_cell=s.raytracing.regir_lights_per_cell,
+            build_candidates=s.raytracing.regir_build_candidates,
+            cell_size=s.raytracing.regir_cell_size,
+        ) if s.raytracing.regir else None)
         self.pt_settings = pathtrace.PathTraceSettings(
             bounces=s.raytracing.bounces,
             samples_per_pixel=s.raytracing.samples_per_pixel,
@@ -98,6 +122,8 @@ class App:
             sharc_mode="query" if s.raytracing.sharc else "off",
             compaction_schedule=self._valid_schedule(
                 s.raytracing.compaction_schedule),
+            cone_spread=(self.camera.pixel_cone_spread(self.render_h)
+                         if self.tracer.textured else 0.0),
         )
         self.history = self.reset_history()
         self.frame_index = 0
@@ -156,18 +182,25 @@ class App:
         with jax.named_scope("gbuffer"):
             gb = gbuffer_mod.generate(tracer, scene, cam, origin, direction,
                                       t_min, t_max, pixel_u, pixel_v,
-                                      (rw, rh))
+                                      (rw, rh),
+                                      cone_spread=self.pt_settings.cone_spread)
         rays_total = rays_total + rw * rh
         view = -direction
 
         # --- ReSTIR DI
         restir_state = history.restir
         if s.raytracing.restir_di:
+            regir = None
+            if self.regir_settings is not None:
+                with jax.named_scope("regir"):
+                    regir = (regir_mod.build(scene, cam.position, frame,
+                                             self.regir_settings),
+                             self.regir_settings)
             with jax.named_scope("restir"):
                 ((di_diff, di_spec), restir_state,
                  restir_rays) = restir_mod.render_direct_lighting(
                     scene, gb, view, tracer, history.restir, px, py, frame,
-                    rw, rh, self.restir_settings)
+                    rw, rh, self.restir_settings, regir=regir)
             di = di_diff + di_spec
             di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
             rays_total = rays_total + restir_rays

@@ -83,6 +83,12 @@ class Camera:
         t = np.tan(np.radians(self.vertical_fov_deg) / 2)
         return right * t * self.aspect, up * t, fwd
 
+    def pixel_cone_spread(self, height: int) -> float:
+        """Ray-cone angle (radians) subtended by one pixel vertically —
+        feeds mip LOD selection (the SampleGrad-derivative analogue)."""
+        t = np.tan(np.radians(self.vertical_fov_deg) / 2)
+        return float(2.0 * t / max(height, 1))
+
     def snapshot_previous(self):
         """Save current frame state as 'previous' (App.cpp:540-546)."""
         r, u, f = self.directions()

@@ -198,7 +198,8 @@ def _dynamic_frame(tracer, scene, cam, frame, palette, prev_palette,
 
     new_tracer = tracer_mod.refit(
         tracer_mod.Tracer(tracer.kind, tracer.accel, table, light_table,
-                          light_cdf, tracer.atlas),
+                          light_cdf, tracer.atlas,
+                          alpha_test=tracer.alpha_test),
         v0, v1, v2)
     return _render_frame(new_tracer, scene, cam, frame,
                          width=width, height=height, settings=settings,

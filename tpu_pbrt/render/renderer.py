@@ -110,6 +110,7 @@ def _render_frame(tracer, scene: Scene, cam: CameraData, frame,
         gb = gbuffer_mod.generate(
             tracer, scene, cam, origin, direction, t_min, t_max,
             pixel_u, pixel_v, (width, height),
+            cone_spread=settings.cone_spread,
         )
     fwd = vec.normalize(
         vec.Vec3(cam.forward[0], cam.forward[1], cam.forward[2])

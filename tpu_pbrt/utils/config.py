@@ -40,6 +40,14 @@ class RaytracingSettings:
     restir_brdf_samples: int = 1
     restir_temporal: bool = True
     restir_spatial: bool = True
+    # ReGIR world-space presampled light grid (RTXDI ReGIR block;
+    # reference: Shaders/ReGIRPresampling.hlsl). Off by default — it pays
+    # for itself in many-light scenes; cell size in world units.
+    regir: bool = False
+    regir_cells_per_axis: int = 16
+    regir_lights_per_cell: int = 16
+    regir_build_candidates: int = 4
+    regir_cell_size: float = 1.0
     # SHARC (RTXGI block)
     sharc: bool = True
     sharc_downscale: int = 4
@@ -62,6 +70,13 @@ class RaytracingSettings:
         self.restir_local_light_samples = _clamp(
             int(self.restir_local_light_samples), 1, 32)
         self.restir_brdf_samples = _clamp(int(self.restir_brdf_samples), 0, 8)
+        self.regir_cells_per_axis = _clamp(int(self.regir_cells_per_axis),
+                                           2, 64)
+        self.regir_lights_per_cell = _clamp(int(self.regir_lights_per_cell),
+                                            1, 512)
+        self.regir_build_candidates = _clamp(
+            int(self.regir_build_candidates), 1, 32)
+        self.regir_cell_size = _clamp(float(self.regir_cell_size), 1e-3, 1e4)
         self.sharc_downscale = _clamp(int(self.sharc_downscale), 1, 8)
         self.sharc_scene_scale = _clamp(float(self.sharc_scene_scale), 1.0, 1e3)
         self.sharc_roughness_threshold = _clamp(
