@@ -68,6 +68,155 @@ def bench_app(width=1920, height=1080, quiet=False):
             rays_per_frame)
 
 
+def bench_animated(width=1920, height=1080):
+    """BASELINE config #4: per-frame skinning + accel refit + render for a
+    5k-tri skinned tube (blocked backend). Palettes computed in-jit (a
+    two-joint bend driven by the frame index) so frames batch in one fori.
+    Returns (fps, mrays_per_sec, rays_per_frame)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpu_pbrt.models.cornell import make_cornell_camera
+    from tpu_pbrt.models.material import make_table
+    from tpu_pbrt.models.mesh import build_geometry
+    from tpu_pbrt.models.scene import make_environment, make_scene
+    from tpu_pbrt.passes.pathtrace import PathTraceSettings
+    from tpu_pbrt.render.animated import _animated_frame
+    from tpu_pbrt.ops import tracer as tracer_mod
+
+    # skinned tube: 64 x 40 segments = 5120 tris (blocked tracer scale)
+    nu, nv = 64, 41
+    ang = np.linspace(0, 2 * np.pi, nu, endpoint=False)
+    ys = np.linspace(0.0, 3.0, nv)
+    aa, yy = np.meshgrid(ang, ys, indexing="ij")
+    pos = np.stack([np.cos(aa) * 0.5, yy, np.sin(aa) * 0.5 - 2.78],
+                   -1).reshape(-1, 3).astype(np.float32)
+    nrm = np.stack([np.cos(aa), np.zeros_like(aa), np.sin(aa)],
+                   -1).reshape(-1, 3).astype(np.float32)
+    idx = []
+    for i in range(nu):
+        for j in range(nv - 1):
+            a = i * nv + j
+            b = ((i + 1) % nu) * nv + j
+            idx += [[a, b, a + 1], [b, b + 1, a + 1]]
+    indices = np.asarray(idx, np.int32)
+    geom = build_geometry([{
+        "positions": pos, "normals": nrm, "indices": indices, "material": 0,
+    }])
+    scene = make_scene(geom, make_table([{
+        "base_color": (0.7, 0.5, 0.3, 1.0), "roughness": 0.4,
+    }]), make_environment())
+    trc = tracer_mod.build_for_scene(scene)
+    assert trc.kind == "blocked", trc.kind
+
+    # two joints: root (identity) + bend joint weighted by height
+    wmat = np.zeros((pos.shape[0], 2), np.float32)
+    wmat[:, 1] = np.clip(pos[:, 1] / 3.0, 0.0, 1.0)
+    wmat[:, 0] = 1.0 - wmat[:, 1]
+
+    settings = PathTraceSettings(bounces=4, samples_per_pixel=1,
+                                 count_rays=True)
+    cam = make_cornell_camera(width, height).data()
+    i0 = jnp.asarray(indices[:, 0])
+    i1 = jnp.asarray(indices[:, 1])
+    i2 = jnp.asarray(indices[:, 2])
+    wj = jnp.asarray(wmat)
+    posj = jnp.asarray(pos)
+    nrmj = jnp.asarray(nrm)
+    tanj = jnp.zeros((pos.shape[0], 4))
+
+    def palette(frame):
+        """(2, 12) row-major 3x4: identity root + Z-rotation bend."""
+        th = 0.6 * jnp.sin(frame.astype(jnp.float32) * 0.2)
+        c, s = jnp.cos(th), jnp.sin(th)
+        z = jnp.zeros(())
+        one = jnp.ones(())
+        root = jnp.stack([one, z, z, z, z, one, z, z, z, z, one, z])
+        bend = jnp.stack([c, -s, z, z, s, c, z, z, z, z, one, z])
+        return jnp.stack([root, bend])
+
+    def frames(n):
+        def run(c):
+            def body(i, carry):
+                acc, rays = carry
+                f = i.astype(jnp.uint32)
+                img, rc, _ = _animated_frame(
+                    trc, scene, c, f, palette(i), palette(i - 1),
+                    wj, posj, nrmj, tanj, i0, i1, i2,
+                    width=width, height=height, settings=settings)
+                return acc + img[::64, ::64].sum(), rays + rc
+            return lax.fori_loop(0, n, body, (0.0, 0.0))
+        return jax.jit(run)
+
+    f_lo, f_hi = frames(1), frames(4)
+    float(f_lo(cam)[0]); float(f_hi(cam)[0])
+    best = float("inf")
+    rays_lo = rays_hi = 0.0
+    t_lo = t_hi = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter(); _, r = f_lo(cam); rays_lo = float(r)
+        t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter(); _, r = f_hi(cam); rays_hi = float(r)
+        t_hi = min(t_hi, time.perf_counter() - t0)
+    per_frame = (t_hi - t_lo) / 3
+    rpf = (rays_hi - rays_lo) / 3
+    return 1.0 / per_frame, rpf / per_frame / 1e6, rpf
+
+
+def bench_manylight(width=1920, height=1080):
+    """BASELINE config #5: many-light interior (64 emitters) through the
+    FULL frame graph with ReGIR presampling + ReSTIR DI + SHARC at 1 SPP.
+    Returns (fps, mrays_per_sec, rays_per_frame)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from tpu_pbrt.models.manylight import make_many_light_room
+    from tpu_pbrt.render.app import App
+    from tpu_pbrt.render.camera import Camera
+    from tpu_pbrt.utils.config import GraphicsSettings
+
+    s = GraphicsSettings()
+    s.width, s.height = width, height
+    s.raytracing.compaction_schedule = (4, 5, 6)
+    s.raytracing.regir = True
+    s.raytracing.regir_cell_size = 1.5
+    s.check()
+    scene = make_many_light_room(n_side=8)
+    cam = Camera(position=np.asarray([0.0, 3.0, 9.0], np.float32))
+    cam.look(180.0, 15.0)
+    app = App(scene, cam, s)
+    cam_data = cam.data()
+    hist0 = app.history
+
+    def frames(n):
+        def run(c, hist):
+            def body(i, carry):
+                acc, rays, h = carry
+                img, rc, h = app._frame(app.tracer, scene, c,
+                                        i.astype(jnp.uint32), h)
+                return acc + img[::64, ::64].sum(), rays + rc, h
+            return lax.fori_loop(0, n, body,
+                                 (jnp.zeros(()), jnp.zeros(()), hist))
+        return jax.jit(run)
+
+    f_lo, f_hi = frames(1), frames(4)
+    float(f_lo(cam_data, hist0)[0]); float(f_hi(cam_data, hist0)[0])
+    t_lo = t_hi = float("inf")
+    rays_lo = rays_hi = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter(); _, r, _ = f_lo(cam_data, hist0)
+        rays_lo = float(r); t_lo = min(t_lo, time.perf_counter() - t0)
+        t0 = time.perf_counter(); _, r, _ = f_hi(cam_data, hist0)
+        rays_hi = float(r); t_hi = min(t_hi, time.perf_counter() - t0)
+    per_frame = (t_hi - t_lo) / 3
+    rpf = (rays_hi - rays_lo) / 3
+    return 1.0 / per_frame, rpf / per_frame / 1e6, rpf
+
+
 def breakdown(config: str = "cornell"):
     """Per-pass wall-time breakdown via jax.profiler: runs the config once
     under a trace and aggregates device-op durations by named_scope prefix
@@ -213,11 +362,20 @@ def main(config: str = "cornell"):
     from tpu_pbrt.passes.pathtrace import PathTraceSettings
     from tpu_pbrt.render.renderer import _render_frame
 
-    if config == "app":
-        fps, mrays, rpf = bench_app()
+    if config in ("app", "animated", "manylight"):
+        fn = {"app": bench_app, "animated": bench_animated,
+              "manylight": bench_manylight}[config]
+        labels = {
+            "app": ("1080p fps, 1 SPP, full frame graph "
+                    "(ReSTIR DI + SHARC + denoise + TAA + bloom)"),
+            "animated": ("1080p fps: per-frame skinning + blocked refit "
+                         "+ 4-bounce PT (5k-tri skinned tube)"),
+            "manylight": ("1080p fps, 64-light interior: ReGIR + ReSTIR "
+                          "DI + SHARC full frame graph"),
+        }
+        fps, mrays, rpf = fn()
         print(json.dumps({
-            "metric": ("1080p fps, 1 SPP, full frame graph "
-                       "(ReSTIR DI + SHARC + denoise + TAA + bloom)"),
+            "metric": labels[config],
             "value": round(fps, 2),
             "unit": "fps",
             "vs_baseline": round(mrays / 500.0, 4),

@@ -30,7 +30,7 @@ from jax import lax
 from . import vec
 from .bvh import morton3d
 from .traverse import Hit
-from .traverse_dense import _mt_chunk_T
+from .traverse_dense import _mt_any_chunk_T, _mt_chunk_T
 from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
@@ -258,9 +258,9 @@ def any_hit(tris: BlockedTris, origin: Vec3, direction: Vec3,
                 ce1 = lax.dynamic_slice(tris.e1, (base, 0), (BLOCK, 3))
                 ce2 = lax.dynamic_slice(tris.e2, (base, 0), (BLOCK, 3))
                 cop = lax.dynamic_slice(tris.opacity, (base,), (BLOCK,))
-                t, _, _ = _mt_chunk_T(o, d, cv0, ce1, ce2, t0,
+                hit = _mt_any_chunk_T(o, d, cv0, ce1, ce2, t0,
                                       jnp.where(occ, -INF, t1))
-                blocks = jnp.isfinite(t) & (cop[:, None] >= 0.5)
+                blocks = hit & (cop[:, None] >= 0.5)
                 return occ | jnp.any(blocks, axis=0)
 
             return lax.cond(reach[bi], run, lambda c: c, occ)

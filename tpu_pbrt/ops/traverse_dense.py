@@ -108,6 +108,39 @@ def _mt_chunk_T(o, d, cv0, ce1, ce2, t_min, t_max):
     return jnp.where(hit, t, INF), u, v
 
 
+def _mt_any_chunk_T(o, d, cv0, ce1, ce2, t_min, t_max):
+    """Division-free transposed Möller–Trumbore occlusion test -> (C, R)
+    bool. Everything is compared in the det-scaled domain (multiply the
+    barycentric/t inequalities through by |det| instead of dividing each
+    pair by det — the VPU reciprocal is the most expensive op in the
+    sweep and occlusion needs no t/u/v values)."""
+    ox, oy, oz = o.x[None, :], o.y[None, :], o.z[None, :]
+    dx, dy, dz = d.x[None, :], d.y[None, :], d.z[None, :]
+    v0x, v0y, v0z = cv0[:, 0:1], cv0[:, 1:2], cv0[:, 2:3]
+    e1x, e1y, e1z = ce1[:, 0:1], ce1[:, 1:2], ce1[:, 2:3]
+    e2x, e2y, e2z = ce2[:, 0:1], ce2[:, 1:2], ce2[:, 2:3]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    s = jnp.where(det >= 0.0, 1.0, -1.0)
+    adet = det * s
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    un = (tvx * pvx + tvy * pvy + tvz * pvz) * s
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    vn = (dx * qvx + dy * qvy + dz * qvz) * s
+    tn = (e2x * qvx + e2y * qvy + e2z * qvz) * s
+    return (
+        (adet > 1e-12) & (un >= 0.0) & (vn >= 0.0) & (un + vn <= adet)
+        & (tn > t_min[None, :] * adet) & (tn < t_max[None, :] * adet)
+    )
+
+
 class DenseTris(NamedTuple):
     """Triangle soup padded to a multiple of the chunk size. Padded rows are
     degenerate (zero edges) and never hit."""
@@ -216,8 +249,8 @@ def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
         ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
         cop = lax.dynamic_slice(tris.opacity, (base,), (chunk,))
         tmax = jnp.where(occluded, -INF, t_max)
-        t, _, _ = _mt_chunk_T(origin, direction, cv0, ce1, ce2, t_min, tmax)
-        blocks = jnp.isfinite(t) & (cop[:, None] >= 0.5)
+        hit = _mt_any_chunk_T(origin, direction, cv0, ce1, ce2, t_min, tmax)
+        blocks = hit & (cop[:, None] >= 0.5)
         return occluded | jnp.any(blocks, axis=0)
 
     if n_chunks == 1:

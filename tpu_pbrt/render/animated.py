@@ -25,7 +25,7 @@ from ..models.gltf import Model
 from ..models.scene import Scene
 from ..ops import shade_table as shade_mod
 from ..ops import tracer as tracer_mod
-from ..ops import traverse_dense
+
 from ..passes import pathtrace, skinning
 from .camera import Camera
 from .renderer import _render_frame
@@ -165,12 +165,11 @@ def _animated_frame(tracer, scene, cam, frame, palette, prev_palette,
         padz(n0), padz(n1), padz(n2),
         padz(pv0), padz(pv1 - pv0), padz(pv2 - pv0),
     )
-    accel = traverse_dense.prepare(
-        v0, v1, v2, opacity=tracer.accel.opacity[:v0.shape[0]])
-    new_tracer = tracer_mod.Tracer(
-        tracer.kind, accel, table, tracer.light_table, tracer.light_cdf,
-        tracer.atlas, alpha_test=tracer.alpha_test,
-    )
+    new_tracer = tracer_mod.refit(
+        tracer_mod.Tracer(tracer.kind, tracer.accel, table,
+                          tracer.light_table, tracer.light_cdf,
+                          tracer.atlas, alpha_test=tracer.alpha_test),
+        v0, v1, v2)
     img, rays = _render_frame(new_tracer, scene, cam, frame,
                               width=width, height=height, settings=settings)
     return img, rays, new_tracer

@@ -166,6 +166,46 @@ class App:
         return np.asarray(tonemap.to_srgb8(out))
 
     # ------------------------------------------------------------------
+    def _debug_view(self, which: str, gb, cam: CameraData, rw, rh):
+        """(out_h, out_w, 3) hashed-id coloring of SHARC voxels or ReGIR
+        cells at the primary hit, dimmed by a simple n.v shade so geometry
+        stays readable (the reference lerps the debug color over the
+        shaded result the same way)."""
+        from ..ops import rng as rng_mod
+
+        if which == "sharc_voxels":
+            key = sharc_mod.voxel_key(gb.position, gb.geometric_normal,
+                                      cam.position, self.sharc_settings)
+        else:  # regir_cells
+            rs = self.regir_settings or regir_mod.ReGIRSettings()
+            grid = regir_mod.ReGIRGrid(
+                light=jnp.zeros((1,), jnp.int32),
+                w=jnp.zeros((1,)),
+                center=jnp.asarray(cam.position, jnp.float32))
+            cell, inside = regir_mod.cell_of(grid, rs, gb.position)
+            key = cell.astype(jnp.uint32)
+        h1, h2, h3, _ = rng_mod.pcg4d(
+            key, key >> jnp.uint32(8), key >> jnp.uint32(16),
+            jnp.zeros_like(key))
+        scale = jnp.float32(1.0 / 0xFFFFFFFF)
+        fwd = vec.normalize(Vec3(cam.forward[0], cam.forward[1],
+                                 cam.forward[2]))
+        ndotv = jnp.abs(vec.dot(gb.shading_normal, fwd))
+        shade = jnp.where(gb.valid, 0.35 + 0.65 * ndotv, 0.0)
+        r_ = h1.astype(jnp.float32) * scale
+        g_ = h2.astype(jnp.float32) * scale
+        b_ = h3.astype(jnp.float32) * scale
+        if which == "regir_cells":
+            # out-of-grid surfaces (power-CDF fallback zone) render gray
+            r_ = jnp.where(inside, r_, 0.4)
+            g_ = jnp.where(inside, g_, 0.4)
+            b_ = jnp.where(inside, b_, 0.4)
+        img = jnp.stack([r_ * shade, g_ * shade, b_ * shade],
+                        -1).reshape(rh, rw, 3)
+        if (rw, rh) != (self.out_w, self.out_h):
+            img = taa_mod._upscale_bilinear(img, self.out_h, self.out_w)
+        return img
+
     def _frame(self, tracer, scene, cam: CameraData, frame,
                history: FrameHistory):
         s = self.settings
@@ -186,6 +226,13 @@ class App:
                                       cone_spread=self.pt_settings.cone_spread)
         rays_total = rays_total + rw * rh
         view = -direction
+
+        # --- debug visualizations replace the shaded output
+        # (reference: SHARC voxel coloring Raytracing.hlsl:279-284, ReGIR
+        # cell visualization DIFinalShading.hlsl:69-75)
+        if s.raytracing.debug_view != "none":
+            img = self._debug_view(s.raytracing.debug_view, gb, cam, rw, rh)
+            return img, rays_total, history
 
         # --- ReSTIR DI
         restir_state = history.restir

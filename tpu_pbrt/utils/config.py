@@ -54,6 +54,10 @@ class RaytracingSettings:
     sharc_scene_scale: float = 50.0
     sharc_roughness_threshold: float = 0.4
     sharc_capacity_log2: int = 22
+    # Debug visualization overriding the frame output (the reference's
+    # SHARC voxel coloring, Raytracing.hlsl:279-284, and ReGIR cell viz,
+    # DIFinalShading.hlsl:69-75): "none" | "sharc_voxels" | "regir_cells"
+    debug_view: str = "none"
     # Stochastic pool compaction (TPU-only concept, no reference analogue):
     # bounce indices at which the ray pool is folded in half — unbiased
     # population control, see passes/pathtrace.py. Best placed after the
@@ -82,6 +86,8 @@ class RaytracingSettings:
         self.sharc_roughness_threshold = _clamp(
             float(self.sharc_roughness_threshold), 0.0, 1.0)
         self.sharc_capacity_log2 = _clamp(int(self.sharc_capacity_log2), 10, 26)
+        if self.debug_view not in ("none", "sharc_voxels", "regir_cells"):
+            self.debug_view = "none"
         return self
 
 
