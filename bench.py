@@ -396,8 +396,13 @@ def main(config: str = "cornell"):
                                      count_rays=True,
                                      compaction_schedule=(4, 5, 6))
         label = "Cornell metal/glass 1080p, 4 SPP, 8 bounces"
-    elif config == "sphere":
-        # BASELINE config #3 stand-in: 25k-tri mesh via the blocked tracer
+    elif config in ("sphere", "sphere-textured"):
+        # BASELINE config #3 stand-in: 25k-tri mesh via the blocked tracer.
+        # "sphere-textured" adds a mip-mapped base-color map — measured
+        # 0.33 Mrays/s vs 4.1 untextured on v5e: past ONEHOT_MAX_ROWS the
+        # shade-table fetch falls back to row gathers and the atlas adds
+        # ~40 texel gathers per bounce (the big-scene gather wall; see
+        # README roadmap)
         import numpy as _np
         from tpu_pbrt.models.material import make_table
         from tpu_pbrt.models.mesh import build_geometry
@@ -417,17 +422,40 @@ def main(config: str = "cornell"):
                 c = (i + 1) * nu + j
                 e = (i + 1) * nu + (j + 1) % nu
                 idx += [[a, b, c], [b, e, c]]
+        textured = config == "sphere-textured"
+        # equirect UVs so the base-color texture wraps the sphere
+        uvs = _np.stack([pp.reshape(-1) / (2 * _np.pi),
+                         tt.reshape(-1) / _np.pi], -1).astype(_np.float32)
         geometry = build_geometry([{
             "positions": pos.astype(_np.float32),
             "normals": pos.astype(_np.float32),
+            "uv0": uvs,
             "indices": _np.asarray(idx, _np.int32), "material": 0,
         }])
-        mats = make_table([{"base_color": (0.7, 0.5, 0.3, 1.0),
-                            "roughness": 0.4, "metallic": 0.8}])
-        scene = make_scene(geometry, mats, make_environment())
-        settings = PathTraceSettings(bounces=4, samples_per_pixel=1,
-                                     count_rays=True)
-        label = "25k-tri sphere 1080p, 1 SPP, 4 bounces (blocked tracer)"
+        mats = make_table([{
+            "base_color": (0.9, 0.8, 0.7, 1.0),
+            "roughness": 0.4, "metallic": 0.8,
+            "texture_index": ([0, -1, -1, -1, -1, -1, -1] if textured
+                              else [-1] * 7)}])
+        if textured:
+            # mip-mapped checker (config #3: textured mesh + mipmaps)
+            yy, xx = _np.meshgrid(_np.arange(256), _np.arange(256),
+                                  indexing="ij")
+            checker = ((xx // 16 + yy // 16) % 2).astype(_np.uint8) * 180 + 60
+            tex = _np.stack([checker, checker, checker,
+                             _np.full_like(checker, 255)], -1)
+            textures, tex_srgb = [tex], [False]
+        else:
+            textures, tex_srgb = None, None
+        scene = make_scene(geometry, mats, make_environment(),
+                           textures=textures, texture_srgb=tex_srgb)
+        settings = PathTraceSettings(
+            bounces=4, samples_per_pixel=1, count_rays=True,
+            cone_spread=(2.0 * float(_np.tan(_np.radians(45.0) / 2)) / height
+                         if textured else 0.0))
+        label = (f"25k-tri {'textured ' if textured else ''}sphere 1080p, "
+                 "1 SPP, 4 bounces (blocked tracer"
+                 + (" + mip-mapped base color)" if textured else ")"))
     elif config == "cornell-nofold":
         # default config without stochastic pool compaction (A/B reference)
         scene = make_cornell_box()
@@ -450,7 +478,9 @@ def main(config: str = "cornell"):
                                      count_rays=True,
                                      compaction_schedule=fold)
         label = "Cornell 1080p, 1 SPP, 8 bounces"
-    trc = tracer_mod.build_for_scene(scene)
+    trc = tracer_mod.build_for_scene(
+        scene, textures=locals().get("textures"),
+        texture_srgb=locals().get("tex_srgb"))
     cam = make_cornell_camera(width, height).data()
 
     # Frames are batched inside one jit (a fori over the frame index) so

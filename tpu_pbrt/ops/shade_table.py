@@ -484,15 +484,11 @@ class LightFetch(NamedTuple):
 SELECT_MAX_LIGHTS = 8
 
 
-def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> LightFetch:
-    """Power-CDF selection + one row fetch + uniform point.
-
-    Tiny light sets (<= 8 rows — e.g. the Cornell panel) skip the one-hot
-    dot for a broadcast select chain: pure elementwise work XLA fuses into
-    the NEE consumer, eliminating the (16, R) HBM materialization + its
-    T(1,128) unpack fusion (profiled at ~5 ms/frame at 1080p)."""
+def _light_rows(table: jnp.ndarray, li: jnp.ndarray):
+    """Row accessor for a light index vector: broadcast select chain for
+    tiny light sets (pure elementwise, fuses into the consumer), one-hot
+    MXU fetch otherwise — never a per-lane gather."""
     nl = table.shape[0]
-    li = jnp.clip(jnp.searchsorted(cdf, u0), 0, nl - 1).astype(jnp.int32)
     if nl <= SELECT_MAX_LIGHTS:
         def col(c):
             out = jnp.full(li.shape, table[0, c])
@@ -500,9 +496,16 @@ def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> Lig
                 out = jnp.where(li == l, table[l, c], out)
             return out
 
-        row = [col(c) for c in range(LIGHT_COLS)]
-    else:
-        row = _fetch_rows(table, li)   # (COLS, R)
+        return [col(c) for c in range(LIGHT_COLS)]
+    return _fetch_rows(table, li)   # (COLS, R)
+
+
+def fetch_light_by_index(table: jnp.ndarray, li: jnp.ndarray,
+                         bary_u, bary_v) -> LightFetch:
+    """Row fetch of explicit light indices + sqrt-warped point
+    reconstruction (the ReSTIR reservoir-sample accessor — replaces five
+    per-lane gathers per call with one fused fetch)."""
+    row = _light_rows(table, jnp.maximum(li, 0))
 
     def v3(c):
         return Vec3(row[c], row[c + 1], row[c + 2])
@@ -512,6 +515,18 @@ def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> Lig
     b1 = s * bary_v
     pos = v3(_LV0) + v3(_LE1) * b0 + v3(_LE2) * b1
     return LightFetch(pos, v3(_LN), v3(_LRAD), row[_LPDFA])
+
+
+def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> LightFetch:
+    """Power-CDF selection + one row fetch + uniform point.
+
+    Tiny light sets (<= 8 rows — e.g. the Cornell panel) skip the one-hot
+    dot for a broadcast select chain: pure elementwise work XLA fuses into
+    the NEE consumer, eliminating the (16, R) HBM materialization + its
+    T(1,128) unpack fusion (profiled at ~5 ms/frame at 1080p)."""
+    nl = table.shape[0]
+    li = jnp.clip(jnp.searchsorted(cdf, u0), 0, nl - 1).astype(jnp.int32)
+    return fetch_light_by_index(table, li, bary_u, bary_v)
 
 
 def refresh_light_table(light_table: jnp.ndarray, light_tri: jnp.ndarray,

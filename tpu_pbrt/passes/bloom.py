@@ -3,12 +3,25 @@ tent upsample + weighted merge.
 
 Mirror of the reference bloom (reference: Shaders/Bloom.hlsl:33-116,
 Source/Bloom.ixx:85-131 — 5 mip levels, Karis average on mip 0 to kill
-fireflies, tent radius 5e-3, final merge input*(1-s)+blur*s). Image-space
-stencils map directly to TPU vector ops.
+fireflies, tent radius 5e-3, final merge input*(1-s)+blur*s).
+
+TPU form: the original coordinate-grid bilinear taps lowered to ELEMENT
+gathers (~110 of them across the pyramid — profiled at ~0.9 s/frame at
+1080p, 21% of the whole App graph). Every tap here is re-expressed
+gather-free:
+
+  * downsample taps sit at exact half-texel offsets of the 2x grid, so
+    each is the mean of a 2x2 block at constant integer offsets —
+    pad + strided slices, pure vector ops;
+  * upsampling separates into a bilinear RESIZE (separable row/column
+    takes with static index vectors — two coarse row-gathers instead of
+    h*w element gathers) followed by the 9 tent taps as constant
+    fractional SHIFTS (pad + slice blends with scalar weights).
 """
 
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
 
 from ..ops import math as pmath
@@ -17,44 +30,24 @@ NUM_MIPS = 5
 DEFAULT_STRENGTH = 0.05  # reference default (MyAppData.h:305-330)
 
 
-def _sample_bilinear(img, u, v):
-    """Bilinear at normalized coords; u/v are (h', w') grids."""
-    h, w = img.shape[:2]
-    x = jnp.clip(u * w - 0.5, 0.0, w - 1.001)
-    y = jnp.clip(v * h - 0.5, 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    return (
-        img[y0, x0] * (1 - fx) * (1 - fy)
-        + img[y0, x0 + 1] * fx * (1 - fy)
-        + img[y0 + 1, x0] * (1 - fx) * fy
-        + img[y0 + 1, x0 + 1] * fx * fy
-    )
-
-
-def _grid(h, w):
-    v, u = jnp.meshgrid(
-        (jnp.arange(h, dtype=jnp.float32) + 0.5) / h,
-        (jnp.arange(w, dtype=jnp.float32) + 0.5) / w,
-        indexing="ij",
-    )
-    return u, v
-
-
 def _downsample13(img: jnp.ndarray, karis: bool) -> jnp.ndarray:
     """13-tap (4 corner quads + center cross) downsample to half res
-    (Bloom.hlsl downsample kernel; Karis weighting on the first mip)."""
+    (Bloom.hlsl downsample kernel; Karis weighting on the first mip).
+    Each tap = the 2x2 mean at a constant texel offset (strided slices)."""
     h, w = img.shape[:2]
     oh, ow = max(h // 2, 1), max(w // 2, 1)
-    u, v = _grid(oh, ow)
-    du, dv = 1.0 / w, 1.0 / h
+    # pad so offsets in [-2, +3] index validly (edge = coordinate clamp)
+    p = jnp.pad(img, ((2, 4), (2, 4), (0, 0)), mode="edge")
 
     def tap(ou, ov):
-        return _sample_bilinear(img, u + ou * du, v + ov * dv)
+        ys, xs = 2 + ov, 2 + ou
+        return 0.25 * (
+            p[ys:ys + 2 * oh:2, xs:xs + 2 * ow:2]
+            + p[ys + 1:ys + 1 + 2 * oh:2, xs:xs + 2 * ow:2]
+            + p[ys:ys + 2 * oh:2, xs + 1:xs + 1 + 2 * ow:2]
+            + p[ys + 1:ys + 1 + 2 * oh:2, xs + 1:xs + 1 + 2 * ow:2]
+        )
 
-    # quads (each a bilinear tap at half-texel offsets) + center weights
     a = tap(-2, -2); b = tap(0, -2); c = tap(2, -2)
     d = tap(-2, 0); e = tap(0, 0); f = tap(2, 0)
     g = tap(-2, 2); hh = tap(0, 2); i = tap(2, 2)
@@ -79,12 +72,53 @@ def _downsample13(img: jnp.ndarray, karis: bool) -> jnp.ndarray:
     return center + corners + edges + inner
 
 
-def _upsample_tent(img: jnp.ndarray, oh: int, ow: int, radius: float) -> jnp.ndarray:
-    """9-tap tent-filter upsample (Bloom.hlsl upsample kernel)."""
-    u, v = _grid(oh, ow)
+def _resize_bilinear(img: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
+    """Separable bilinear resize with STATIC index vectors (two row/column
+    takes — no per-element gathers)."""
+    h, w = img.shape[:2]
+    ys = (np.arange(oh, dtype=np.float32) + 0.5) / oh * h - 0.5
+    xs = (np.arange(ow, dtype=np.float32) + 0.5) / ow * w - 0.5
+    ys = np.clip(ys, 0.0, h - 1.001)
+    xs = np.clip(xs, 0.0, w - 1.001)
+    y0 = ys.astype(np.int32)
+    x0 = xs.astype(np.int32)
+    fy = jnp.asarray((ys - y0)[:, None, None])
+    fx = jnp.asarray((xs - x0)[None, :, None])
+    rows = (jnp.take(img, y0, axis=0) * (1 - fy)
+            + jnp.take(img, np.minimum(y0 + 1, h - 1), axis=0) * fy)
+    return (jnp.take(rows, x0, axis=1) * (1 - fx)
+            + jnp.take(rows, np.minimum(x0 + 1, w - 1), axis=1) * fx)
+
+
+def _shift(img: jnp.ndarray, dy: float, dx: float) -> jnp.ndarray:
+    """Bilinear sample of `img` at a constant fractional pixel offset —
+    four edge-padded slices blended with scalar weights."""
+    h, w = img.shape[:2]
+    iy, ix = int(np.floor(dy)), int(np.floor(dx))
+    fy, fx = dy - iy, dx - ix
+    my, mx = max(abs(iy) + 1, 1), max(abs(ix) + 1, 1)
+    p = jnp.pad(img, ((my, my + 1), (mx, mx + 1), (0, 0)), mode="edge")
+
+    def sl(oy, ox):
+        return p[my + oy:my + oy + h, mx + ox:mx + ox + w]
+
+    return (sl(iy, ix) * (1 - fy) * (1 - fx)
+            + sl(iy, ix + 1) * (1 - fy) * fx
+            + sl(iy + 1, ix) * fy * (1 - fx)
+            + sl(iy + 1, ix + 1) * fy * fx)
+
+
+def _upsample_tent(img: jnp.ndarray, oh: int, ow: int,
+                   radius: float) -> jnp.ndarray:
+    """9-tap tent-filter upsample (Bloom.hlsl upsample kernel): resize to
+    the target, then tent taps as constant pixel shifts (radius is in
+    normalized units, as in the reference)."""
+    up = _resize_bilinear(img, oh, ow)
+    ry = radius * oh
+    rx = radius * ow
 
     def tap(ou, ov, wgt):
-        return _sample_bilinear(img, u + ou * radius, v + ov * radius) * wgt
+        return _shift(up, ov * ry, ou * rx) * wgt
 
     return (
         tap(-1, -1, 1 / 16) + tap(0, -1, 2 / 16) + tap(1, -1, 1 / 16)
@@ -106,6 +140,7 @@ def apply(img: jnp.ndarray, strength: float = DEFAULT_STRENGTH,
     blur = levels[-1]
     for i in range(mips - 1, 0, -1):
         target = levels[i]
-        blur = target + _upsample_tent(blur, target.shape[0], target.shape[1], radius)
+        blur = target + _upsample_tent(blur, target.shape[0],
+                                       target.shape[1], radius)
     blur = _upsample_tent(blur, img.shape[0], img.shape[1], radius)
     return img * (1.0 - strength) + blur * strength

@@ -19,8 +19,12 @@ TPU re-design (SURVEY.md §7 step 9): the GPU's atomic CAS probing becomes
     with the persistent sorted table under an exponential-moving-average
     with sample-count cap (the reference's accumulation-frames logic) and
     stale-entry eviction;
-  * query: vectorized binary search (`searchsorted`) over the sorted key
-    table — 1-D gathers only, the TPU-fast lookup form.
+  * query: a DIRECT-MAPPED hash view built during resolve — one key
+    gather + compare + one radiance gather per lookup. (The earlier
+    `searchsorted` form cost ~20 dependent gathers per 2M-lane query —
+    profiled as the single largest slice of the App frame; a lossy
+    direct map only costs occasional cache misses, which are unbiased:
+    the path tracer just keeps tracing.)
 
 The table is double-buffered per frame exactly like the reference's
 voxel-buffer swap (Raytracing.ixx:147).
@@ -55,11 +59,14 @@ class SHARCSettings:
 
 
 class SHARCState(NamedTuple):
-    """Persistent sorted voxel table (double-buffered by the frame loop)."""
+    """Persistent sorted voxel table (double-buffered by the frame loop)
+    plus the direct-mapped query view rebuilt by every resolve."""
     keys: jnp.ndarray      # (C,) u32 sorted, EMPTY_KEY padding at the end
     radiance: jnp.ndarray  # (C, 3) accumulated mean radiance
     count: jnp.ndarray     # (C,) accumulated sample count
     stale: jnp.ndarray     # (C,) frames since last touch
+    qkeys: jnp.ndarray     # (C,) u32 direct map: slot = key & (C-1)
+    qrad: jnp.ndarray      # (C, 3) radiance per direct-map slot
 
 
 def init_state(settings: SHARCSettings) -> SHARCState:
@@ -69,6 +76,8 @@ def init_state(settings: SHARCSettings) -> SHARCState:
         radiance=jnp.zeros((c, 3)),
         count=jnp.zeros((c,)),
         stale=jnp.zeros((c,)),
+        qkeys=jnp.full((c,), EMPTY_KEY, _U32),
+        qrad=jnp.zeros((c, 3)),
     )
 
 
@@ -120,29 +129,44 @@ def resolve(state: SHARCState, new_keys: jnp.ndarray, new_radiance: Vec3,
     c = state.keys.shape[0]
 
     nk = jnp.where(new_valid, new_keys, EMPTY_KEY)
-    # aggregate the new records by key
-    order = jnp.argsort(nk)
-    sk = nk[order]
-    sr = jnp.stack(
-        [new_radiance.x[order], new_radiance.y[order], new_radiance.z[order]],
-        axis=-1,
-    )
-    sv = new_valid[order].astype(jnp.float32)
-    sr = sr * sv[:, None]
+    # aggregate the new records by key — multi-operand sort (measured
+    # ~25x cheaper than argsort + per-array gathers on v5e)
+    sk, srx, sry, srz, sv = lax.sort(
+        (nk, new_radiance.x, new_radiance.y, new_radiance.z,
+         new_valid.astype(jnp.float32)), dimension=0, num_keys=1)
+    sr = jnp.stack([srx, sry, srz], axis=-1) * sv[:, None]
     # segment boundaries
     first = jnp.concatenate(
         [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
     )
-    seg = jnp.cumsum(first.astype(jnp.int32)) - 1
     nseg = sk.shape[0]
-    agg_rad = jnp.zeros((nseg, 3)).at[seg].add(sr)
-    agg_cnt = jnp.zeros((nseg,)).at[seg].add(sv)
-    agg_key = jnp.where(
-        first, sk, EMPTY_KEY
-    )
-    # compact: the first row of each segment carries its aggregate
-    agg_rad = jnp.where(first[:, None], agg_rad[seg], 0.0)
-    agg_cnt = jnp.where(first, agg_cnt[seg], 0.0)
+
+    # scatter-free, EXACT segment totals: Hillis-Steele segmented
+    # suffix sums over the sorted runs — ceil(log2(n)) doubling steps of
+    # shift+compare+add, all elementwise (TPU scatters serialize; a
+    # cumsum-difference form would catastrophically cancel on f32 over
+    # ~1M records). After the steps, every row holds the sum of its
+    # segment from itself to the segment end; FIRST rows hold the total.
+    def seg_suffix_sums(vals):
+        n = sk.shape[0]
+        keys = sk
+        d = 1
+        vals = list(vals)
+        while d < n:
+            same = jnp.concatenate(
+                [keys[d:] == keys[:-d], jnp.zeros((d,), bool)])
+            for i, v in enumerate(vals):
+                shifted = jnp.concatenate([v[d:], jnp.zeros((d,), v.dtype)])
+                vals[i] = v + jnp.where(same, shifted, 0)
+            d *= 2
+        return vals
+
+    t_cnt, t_r0, t_r1, t_r2 = seg_suffix_sums(
+        [sv, sr[:, 0], sr[:, 1], sr[:, 2]])
+    agg_cnt = jnp.where(first, t_cnt, 0.0)
+    agg_rad = jnp.where(first[:, None],
+                        jnp.stack([t_r0, t_r1, t_r2], axis=-1), 0.0)
+    agg_key = jnp.where(first, sk, EMPTY_KEY)
 
     # age existing entries; evict stale (SHARC MaxStaleFrames)
     stale = state.stale + 1.0
@@ -159,48 +183,66 @@ def resolve(state: SHARCState, new_keys: jnp.ndarray, new_radiance: Vec3,
         [jnp.zeros((c,)), (agg_cnt > 0).astype(jnp.float32)]
     )
 
-    order2 = jnp.argsort(all_keys)
-    k2 = all_keys[order2]
-    r2 = all_rad[order2]
-    n2 = all_cnt[order2]
-    s2 = all_stale[order2]
-    fresh2 = all_new[order2]
+    k2, r2x, r2y, r2z, n2, s2, fresh2 = lax.sort(
+        (all_keys, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2],
+         all_cnt, all_stale, all_new), dimension=0, num_keys=1)
+    r2 = jnp.stack([r2x, r2y, r2z], axis=-1)
 
     first2 = jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
-    seg2 = jnp.cumsum(first2.astype(jnp.int32)) - 1
-    m = k2.shape[0]
-    rad_sum = jnp.zeros((m, 3)).at[seg2].add(r2)
-    cnt_sum = jnp.zeros((m,)).at[seg2].add(n2)
-    stale_min = jnp.full((m,), jnp.inf).at[seg2].min(
-        jnp.where(fresh2 > 0, 0.0, s2))
+    # each key appears AT MOST TWICE here (one old entry + one new
+    # aggregate), so the segment combine is a pairwise shift — no
+    # scatters, no scans
+    nxt_same = jnp.concatenate([k2[1:] == k2[:-1], jnp.zeros((1,), bool)])
 
-    out_key = jnp.where(first2 & (k2 != EMPTY_KEY), k2, EMPTY_KEY)
-    cnt = cnt_sum[seg2]
+    def plus_next(v):
+        nv = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])])
+        return v + jnp.where(nxt_same, nv, jnp.zeros_like(nv))
+
+    cnt = plus_next(n2)
+    rad_sum = jnp.stack([plus_next(r2[:, 0]), plus_next(r2[:, 1]),
+                         plus_next(r2[:, 2])], axis=-1)
+    s2p = jnp.where(fresh2 > 0, 0.0, s2)
+    s2p_nxt = jnp.concatenate([s2p[1:], jnp.full((1,), jnp.inf)])
+    stale_out = jnp.minimum(s2p, jnp.where(nxt_same, s2p_nxt, jnp.inf))
+
     # accumulation cap: EMA with max effective count (SHARC
     # AccumulationFrames — old samples decay once the cap is reached)
     capped = jnp.minimum(cnt, settings.accumulation_frames)
-    mean_rad = rad_sum[seg2] / jnp.maximum(cnt, 1e-8)[:, None]
+    mean_rad = rad_sum / jnp.maximum(cnt, 1e-8)[:, None]
     valid_row = first2 & (k2 != EMPTY_KEY)
 
     # keep the first `c` rows after pushing EMPTY keys to the end (sorting
     # by key already did that; truncate)
+    keys_out = jnp.where(valid_row, k2, EMPTY_KEY)[:c]
+    rad_out = jnp.where(valid_row[:, None], mean_rad, 0.0)[:c]
+    cnt_out = jnp.where(valid_row, capped, 0.0)[:c]
+
+    # direct-mapped query view: slot = key & (C-1); colliding keys keep an
+    # arbitrary winner (a lossy CACHE view — misses are unbiased)
+    live = (keys_out != EMPTY_KEY) & (cnt_out > 0.0)
+    slot = jnp.where(live, (keys_out & _U32(c - 1)).astype(jnp.int32), c)
+    qkeys = jnp.full((c,), EMPTY_KEY, _U32).at[slot].set(
+        keys_out, mode="drop")
+    qrad = jnp.zeros((c, 3)).at[slot].set(rad_out, mode="drop")
+
     return SHARCState(
-        keys=jnp.where(valid_row, out_key, EMPTY_KEY)[:c],
-        radiance=jnp.where(valid_row[:, None], mean_rad, 0.0)[:c],
-        count=jnp.where(valid_row, capped, 0.0)[:c],
-        stale=jnp.where(valid_row, stale_min[seg2], 0.0)[:c],
+        keys=keys_out,
+        radiance=rad_out,
+        count=cnt_out,
+        stale=jnp.where(valid_row, stale_out, 0.0)[:c],
+        qkeys=qkeys,
+        qrad=qrad,
     )
 
 
 def query(state: SHARCState, keys: jnp.ndarray):
-    """Vectorized lookup: (radiance: Vec3, found mask). Binary search over
-    the sorted key table (1-D gathers only)."""
-    idx = jnp.searchsorted(state.keys, keys)
-    idx = jnp.clip(idx, 0, state.keys.shape[0] - 1)
-    found = (state.keys[idx] == keys) & (keys != EMPTY_KEY) & (
-        state.count[idx] > 0.0
-    )
-    rad = vec.gather(state.radiance, idx)
+    """Vectorized lookup: (radiance: Vec3, found mask). One probe of the
+    direct-mapped view — a key gather + compare + a radiance gather
+    (the searchsorted form cost ~20 dependent gathers per query)."""
+    c = state.qkeys.shape[0]
+    slot = (keys & _U32(c - 1)).astype(jnp.int32)
+    found = (state.qkeys[slot] == keys) & (keys != EMPTY_KEY)
+    rad = vec.gather(state.qrad, slot)
     return vec.where(found, rad, Vec3.splat(jnp.zeros_like(rad.x))), found
 
 
