@@ -91,11 +91,20 @@ def temporal_accumulate(
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     prev_xy = jnp.stack([gx + motion[..., 0], gy + motion[..., 1]], axis=-1)
 
-    prev_color = _bilinear_sample(state.color, prev_xy)
-    prev_moments = _bilinear_sample(state.moments, prev_xy)
-    prev_depth = _nearest_sample(state.depth[..., None], prev_xy)[..., 0]
-    prev_normal = _nearest_sample(state.normal, prev_xy)
-    prev_len = _nearest_sample(state.history_len[..., None], prev_xy)[..., 0]
+    # ONE packed bilinear reprojection (color+moments) + ONE packed
+    # nearest reprojection (depth+normal+history length): 5 history
+    # fields sampled separately cost ~20 per-lane gathers per frame
+    packed_b = jnp.concatenate([state.color, state.moments], axis=-1)
+    smp_b = _bilinear_sample(packed_b, prev_xy)
+    prev_color = smp_b[..., 0:3]
+    prev_moments = smp_b[..., 3:5]
+    packed_n = jnp.concatenate(
+        [state.depth[..., None], state.normal,
+         state.history_len[..., None]], axis=-1)
+    smp_n = _nearest_sample(packed_n, prev_xy)
+    prev_depth = smp_n[..., 0]
+    prev_normal = smp_n[..., 1:4]
+    prev_len = smp_n[..., 4]
 
     in_bounds = (
         (prev_xy[..., 0] >= 0) & (prev_xy[..., 0] <= w - 1)

@@ -28,13 +28,12 @@ def init_state(height: int, width: int) -> TAAState:
 
 
 def _upscale_bilinear(img: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
-    h, w = img.shape[:2]
-    gy, gx = jnp.meshgrid(
-        (jnp.arange(oh, dtype=jnp.float32) + 0.5) * h / oh - 0.5,
-        (jnp.arange(ow, dtype=jnp.float32) + 0.5) * w / ow - 0.5,
-        indexing="ij",
-    )
-    return _bilinear_sample(img, jnp.stack([gx, gy], axis=-1))
+    """Separable bilinear resize with STATIC index vectors — two coarse
+    row/column takes instead of per-element gathers (the coordinate-grid
+    form profiled as a top TAA cost at 1080p)."""
+    from .bloom import _resize_bilinear
+
+    return _resize_bilinear(img, oh, ow)
 
 
 def resolve(
