@@ -65,8 +65,8 @@ class SHARCState(NamedTuple):
     radiance: jnp.ndarray  # (C, 3) accumulated mean radiance
     count: jnp.ndarray     # (C,) accumulated sample count
     stale: jnp.ndarray     # (C,) frames since last touch
-    qkeys: jnp.ndarray     # (C,) u32 direct map: slot = key & (C-1)
-    qrad: jnp.ndarray      # (C, 3) radiance per direct-map slot
+    qdata: jnp.ndarray     # (C, 4) direct map (slot = key & (C-1)):
+                           #   col 0 = key bits (bitcast f32), 1..3 = radiance
 
 
 def init_state(settings: SHARCSettings) -> SHARCState:
@@ -76,8 +76,10 @@ def init_state(settings: SHARCSettings) -> SHARCState:
         radiance=jnp.zeros((c, 3)),
         count=jnp.zeros((c,)),
         stale=jnp.zeros((c,)),
-        qkeys=jnp.full((c,), EMPTY_KEY, _U32),
-        qrad=jnp.zeros((c, 3)),
+        qdata=jnp.concatenate(
+            [lax.bitcast_convert_type(
+                jnp.full((c,), EMPTY_KEY, _U32), jnp.float32)[:, None],
+             jnp.zeros((c, 3))], axis=-1),
     )
 
 
@@ -218,31 +220,39 @@ def resolve(state: SHARCState, new_keys: jnp.ndarray, new_radiance: Vec3,
     cnt_out = jnp.where(valid_row, capped, 0.0)[:c]
 
     # direct-mapped query view: slot = key & (C-1); colliding keys keep an
-    # arbitrary winner (a lossy CACHE view — misses are unbiased)
+    # arbitrary winner (a lossy CACHE view — misses are unbiased). Key
+    # bits and radiance pack into ONE (C, 4) array so a query costs a
+    # single row gather.
     live = (keys_out != EMPTY_KEY) & (cnt_out > 0.0)
     slot = jnp.where(live, (keys_out & _U32(c - 1)).astype(jnp.int32), c)
-    qkeys = jnp.full((c,), EMPTY_KEY, _U32).at[slot].set(
-        keys_out, mode="drop")
-    qrad = jnp.zeros((c, 3)).at[slot].set(rad_out, mode="drop")
+    empty_bits = lax.bitcast_convert_type(
+        jnp.full((c,), EMPTY_KEY, _U32), jnp.float32)
+    rows = jnp.concatenate(
+        [lax.bitcast_convert_type(keys_out, jnp.float32)[:, None], rad_out],
+        axis=-1)
+    qdata = jnp.concatenate(
+        [empty_bits[:, None], jnp.zeros((c, 3))], axis=-1
+    ).at[slot].set(rows, mode="drop")
 
     return SHARCState(
         keys=keys_out,
         radiance=rad_out,
         count=cnt_out,
         stale=jnp.where(valid_row, stale_out, 0.0)[:c],
-        qkeys=qkeys,
-        qrad=qrad,
+        qdata=qdata,
     )
 
 
 def query(state: SHARCState, keys: jnp.ndarray):
-    """Vectorized lookup: (radiance: Vec3, found mask). One probe of the
-    direct-mapped view — a key gather + compare + a radiance gather
-    (the searchsorted form cost ~20 dependent gathers per query)."""
-    c = state.qkeys.shape[0]
+    """Vectorized lookup: (radiance: Vec3, found mask). ONE row gather of
+    the packed direct-mapped view + a key compare (the searchsorted form
+    cost ~20 dependent gathers per query)."""
+    c = state.qdata.shape[0]
     slot = (keys & _U32(c - 1)).astype(jnp.int32)
-    found = (state.qkeys[slot] == keys) & (keys != EMPTY_KEY)
-    rad = vec.gather(state.qrad, slot)
+    rows = state.qdata[slot]                       # (R, 4) one row gather
+    stored = lax.bitcast_convert_type(rows[:, 0], _U32)
+    found = (stored == keys) & (keys != EMPTY_KEY)
+    rad = Vec3(rows[:, 1], rows[:, 2], rows[:, 3])
     return vec.where(found, rad, Vec3.splat(jnp.zeros_like(rad.x))), found
 
 
