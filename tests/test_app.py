@@ -80,6 +80,38 @@ class TestFullPipeline:
         img, _ = app.tick()
         assert np.isfinite(np.asarray(img)).all()
 
+    def test_auto_history_reset_on_teleport(self, default_app):
+        """A camera cut must clear the temporal history automatically
+        (reference: m_resetHistory, App.cpp:677-689) — no ghost trail."""
+        app = default_app
+        app.history = app.reset_history()
+        for _ in range(4):
+            app.tick()
+        assert float(np.max(np.asarray(app.history.denoiser.history_len))) > 1
+        # teleport: move by more than TELEPORT_FRACTION * scene diagonal
+        app.camera.position = app.camera.position + np.asarray(
+            [0.6 * app._scene_diag, 0.0, 0.0], np.float32)
+        app.tick()
+        # history was rebuilt from scratch this frame: max length is 1
+        assert float(np.max(np.asarray(
+            app.history.denoiser.history_len))) <= 1.0
+        assert np.asarray(app.history.restir.reservoir.m).max() >= 0
+        # move the camera back so later tests in the module see the
+        # original framing (fixture is module-scoped)
+        app.camera.position = app.camera.position - np.asarray(
+            [0.6 * app._scene_diag, 0.0, 0.0], np.float32)
+        app.tick()
+
+    def test_auto_history_reset_on_settings_change(self):
+        app = make_app(pp={"tonemap_operator": "none", "bloom": False})
+        for _ in range(3):
+            app.tick()
+        assert float(np.max(np.asarray(app.history.denoiser.history_len))) > 1
+        app.settings.post_processing.exposure = 2.0
+        app.tick()
+        assert float(np.max(np.asarray(
+            app.history.denoiser.history_len))) <= 1.0
+
     def test_di_composition_matches_reference_estimator(self, default_app):
         """ReSTIR-composited direct+indirect should sit near the plain
         NEE path tracer's converged mean (both unbiased-ish for this

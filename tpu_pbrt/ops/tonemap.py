@@ -15,6 +15,16 @@ OPERATOR_NONE = "none"
 OPERATOR_SATURATE = "saturate"
 OPERATOR_REINHARD = "reinhard"
 OPERATOR_ACES = "aces"
+OPERATOR_ST2084 = "st2084"
+
+# Rec.709 -> Rec.2020 color-primary rotation (HDR10 wide-gamut container;
+# reference: Source/MyAppData.h:316-320 HDR color-primary rotation applied
+# on the ST2084 path, App.cpp:1782-1794). Row-vector convention: c' = M @ c.
+_REC709_TO_REC2020 = (
+    (0.6274040, 0.3292820, 0.0433136),
+    (0.0690970, 0.9195400, 0.0113612),
+    (0.0163916, 0.0880132, 0.8955950),
+)
 
 
 def saturate(x: jnp.ndarray) -> jnp.ndarray:
@@ -44,7 +54,16 @@ def st2084_pq(nits: jnp.ndarray, paper_white_nits: float = 200.0) -> jnp.ndarray
     return ((c1 + c2 * yp) / (1.0 + c3 * yp)) ** m2
 
 
-def apply(x: jnp.ndarray, operator: str = OPERATOR_ACES, exposure: float = 1.0) -> jnp.ndarray:
+def rec709_to_rec2020(rgb: jnp.ndarray) -> jnp.ndarray:
+    """Rotate linear Rec.709 primaries into the Rec.2020 container
+    (the HDR10 gamut step the reference applies before PQ encoding)."""
+    m = jnp.asarray(_REC709_TO_REC2020, rgb.dtype)
+    return jnp.einsum("...c,oc->...o", rgb, m)
+
+
+def apply(x: jnp.ndarray, operator: str = OPERATOR_ACES,
+          exposure: float = 1.0,
+          paper_white_nits: float = 200.0) -> jnp.ndarray:
     if operator == OPERATOR_NONE:
         return x
     if operator == OPERATOR_SATURATE:
@@ -53,6 +72,10 @@ def apply(x: jnp.ndarray, operator: str = OPERATOR_ACES, exposure: float = 1.0) 
         return reinhard(x, exposure)
     if operator == OPERATOR_ACES:
         return aces_filmic(x, exposure)
+    if operator == OPERATOR_ST2084:
+        # HDR10 signal chain: exposure -> Rec2020 gamut -> PQ encode
+        wide = rec709_to_rec2020(jnp.maximum(x * exposure, 0.0))
+        return st2084_pq(wide, paper_white_nits)
     raise ValueError(f"unknown tonemap operator: {operator}")
 
 

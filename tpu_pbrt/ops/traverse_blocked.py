@@ -127,8 +127,12 @@ def refit(tris: BlockedTris, v0, v1, v2) -> BlockedTris:
     v3 = valid.reshape(nb, BLOCK, 1)
     bmin = jnp.where(v3, tri_min, jnp.inf).min(1)
     bmax = jnp.where(v3, tri_max, -jnp.inf).max(1)
-    lo = jnp.min(jnp.where(valid, sv0, jnp.inf), axis=0)
-    hi = jnp.max(jnp.where(valid, sv0, -jnp.inf), axis=0)
+    # bounds over ALL THREE vertex arrays — a deformation whose extent
+    # lives in v1/v2 must still grow the t_cap block-reach diagonal
+    lo = jnp.min(jnp.where(valid, jnp.minimum(jnp.minimum(sv0, sv1), sv2),
+                           jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid, jnp.maximum(jnp.maximum(sv0, sv1), sv2),
+                           -jnp.inf), axis=0)
     diag = jnp.linalg.norm(hi - lo) + 1e-3
     return tris._replace(
         v0=sv0, e1=sv1 - sv0, e2=sv2 - sv0,

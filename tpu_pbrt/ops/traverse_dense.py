@@ -267,6 +267,7 @@ def _closest_hit_rays_major(tris: DenseTris, origin: Vec3, direction: Vec3,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     tp = tris.v0.shape[0]
+    chunk = tp if tp <= chunk else chunk
     n_chunks = tp // chunk
     # one spare code above tp-1 is reserved as the 'no hit' sentinel
     idx_bits = tp.bit_length()
@@ -315,6 +316,7 @@ def _any_hit_rays_major(tris: DenseTris, origin: Vec3, direction: Vec3,
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
     tp = tris.v0.shape[0]
+    chunk = tp if tp <= chunk else chunk
     n_chunks = tp // chunk
 
     def body(c, occluded):

@@ -145,11 +145,18 @@ def temporal_accumulate(
 
 
 def _shift2d(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
-    """Shift with edge clamp (replicate border)."""
+    """Shift with edge clamp (replicate border) — pad + static slice.
+
+    The obvious `img[ys][:, xs]` index form lowers to per-element GATHERS
+    (the axis-1 take walks the 128-wide lane dimension); profiled at
+    ~14 ms per fused à-trous tap group at 1080p. Pad+slice is a pure
+    vector-memory op XLA fuses for free."""
     h, w = img.shape[:2]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    yb, ya = max(-dy, 0), max(dy, 0)   # pad (before, after) on rows
+    xb, xa = max(-dx, 0), max(dx, 0)
+    pad = ((yb, ya), (xb, xa)) + ((0, 0),) * (img.ndim - 2)
+    p = jnp.pad(img, pad, mode="edge")
+    return p[ya:ya + h, xa:xa + w]
 
 
 # 5-tap B3-spline kernel weights for the à-trous wavelet

@@ -187,7 +187,13 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
 
     for k in range(n_l):
         u4 = rng.uniform4(px, py, frame, 100 + k)
-        li = jnp.searchsorted(scene.lights.cdf, u4[0]).astype(jnp.int32)
+        # the power-CDF fallback draw must be INDEPENDENT of the ReGIR
+        # slot pick: conditioning the fallback on u4[0] landing in an
+        # empty slot's subinterval would bias the CDF draw for lanes in
+        # partially filled cells — use a separate stream
+        u_cdf = (rng.uniform4(px, py, frame, 130 + k)[0]
+                 if regir is not None else u4[0])
+        li = jnp.searchsorted(scene.lights.cdf, u_cdf).astype(jnp.int32)
         li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
         pdf_area = _light_area_pdf(scene, li)
         if regir is not None:

@@ -128,6 +128,39 @@ class App:
         self.history = self.reset_history()
         self.frame_index = 0
         self._step = jax.jit(self._frame)
+        # discontinuity detection (reference: m_resetHistory,
+        # App.cpp:677-689 — camera cuts / settings changes clear every
+        # temporal buffer): remember the pose and a settings fingerprint
+        pos = np.asarray(self.scene.geometry.positions)
+        self._scene_diag = float(
+            np.linalg.norm(pos.max(0) - pos.min(0))) if pos.size else 1.0
+        self._last_pose = None
+        self._settings_fp = repr(config_mod._to_dict(self.settings))
+
+    # a teleport moves more than this fraction of the scene diagonal in one
+    # tick, or swings the view by more than ~30 degrees
+    TELEPORT_FRACTION = 0.15
+    CUT_COS_ANGLE = 0.866
+
+    def _check_discontinuity(self) -> bool:
+        """True when the camera jumped or the settings changed since the
+        last tick — the temporal history is then invalid and must reset
+        (the reference's m_resetHistory triggers, App.cpp:677-689)."""
+        fp = repr(config_mod._to_dict(self.settings))
+        if fp != self._settings_fp:
+            self._settings_fp = fp
+            return True
+        r, u, f = self.camera.directions()
+        fn = np.asarray(f, np.float64)
+        fn = fn / max(np.linalg.norm(fn), 1e-12)
+        pose = (np.asarray(self.camera.position, np.float64).copy(), fn)
+        last, self._last_pose = self._last_pose, pose
+        if last is None:
+            return False
+        jump = np.linalg.norm(pose[0] - last[0])
+        turn = float(np.dot(pose[1], last[1]))
+        return (jump > self.TELEPORT_FRACTION * self._scene_diag
+                or turn < self.CUT_COS_ANGLE)
 
     def _valid_schedule(self, schedule) -> tuple:
         """Trim compaction folds the internal-resolution pool can't honor
@@ -151,6 +184,8 @@ class App:
     def tick(self, dt: float = 1 / 60):
         """Render one frame; returns (display linear (out_h, out_w, 3),
         rays traced)."""
+        if self._check_discontinuity():
+            self.history = self.reset_history()
         jit = (camera_jitter(self.frame_index, 64)
                if self.settings.camera_jitter else np.zeros(2, np.float32))
         cam = self.camera.data(jitter=jit)
@@ -332,7 +367,8 @@ class App:
             if s.post_processing.bloom:
                 img = bloom_mod.apply(img, s.post_processing.bloom_strength)
             img = tonemap.apply(img, s.post_processing.tonemap_operator,
-                                s.post_processing.exposure)
+                                s.post_processing.exposure,
+                                s.post_processing.hdr_paper_white_nits)
 
         history = FrameHistory(denoiser=denoiser_state, taa=taa_state,
                                restir=restir_state, sharc=sharc_state)

@@ -31,9 +31,9 @@ class RaytracingSettings:
     bounces: int = 8
     samples_per_pixel: int = 1
     russian_roulette: bool = True
-    # SER has no TPU meaning; its analogue (wavefront ray sorting) is a
-    # renderer toggle kept under the same name family
-    ray_sorting: bool = True
+    # (the reference's SER toggle has no settings-level analogue here: its
+    # TPU equivalent is the stochastic pool compaction below — a measured
+    # sort-based ray reordering was rejected at ~105 ms/2M lanes)
     # ReSTIR DI (RTXDI block)
     restir_di: bool = True
     restir_local_light_samples: int = 8
@@ -103,9 +103,9 @@ class PostProcessingSettings:
     sharpness: float = 0.0
     bloom: bool = True
     bloom_strength: float = 0.05
-    tonemap_operator: str = "aces"      # none|saturate|reinhard|aces
+    tonemap_operator: str = "aces"  # none|saturate|reinhard|aces|st2084
     exposure: float = 1.0
-    hdr_paper_white_nits: float = 200.0
+    hdr_paper_white_nits: float = 200.0  # st2084 (HDR10) operator only
 
     def check(self):
         if self.denoiser not in ("none", "temporal_atrous"):
@@ -117,7 +117,8 @@ class PostProcessingSettings:
             float(self.super_resolution_scale), 0.25, 1.0)
         self.sharpness = _clamp(float(self.sharpness), 0.0, 1.0)
         self.bloom_strength = _clamp(float(self.bloom_strength), 0.0, 1.0)
-        if self.tonemap_operator not in ("none", "saturate", "reinhard", "aces"):
+        if self.tonemap_operator not in ("none", "saturate", "reinhard",
+                                         "aces", "st2084"):
             self.tonemap_operator = "aces"
         self.exposure = _clamp(float(self.exposure), 1e-3, 1e3)
         self.hdr_paper_white_nits = _clamp(
