@@ -146,7 +146,9 @@ def jit_app_sharded(app, mesh: Mesh):
                 jnp.where(uvalid_px, ut1, -jnp.inf), upx, upy, frame, upd,
                 app.sharc_settings, cam.position)
             # ICI all_gather: every chip resolves the identical cache
-            keys = jax.lax.all_gather(keys, PIXEL_AXIS).reshape(-1)
+            keys = sharc_mod.VoxelKey(
+                lo=jax.lax.all_gather(keys.lo, PIXEL_AXIS).reshape(-1),
+                hi=jax.lax.all_gather(keys.hi, PIXEL_AXIS).reshape(-1))
             valid = jax.lax.all_gather(valid, PIXEL_AXIS).reshape(-1)
             records = Vec3(
                 jax.lax.all_gather(records.x, PIXEL_AXIS).reshape(-1),

@@ -72,10 +72,61 @@ def _downsample13(img: jnp.ndarray, karis: bool) -> jnp.ndarray:
     return center + corners + edges + inner
 
 
+def _upsample2x(img: jnp.ndarray, rows: bool = True,
+                cols: bool = True) -> jnp.ndarray:
+    """Exact 2x bilinear upsample, fully gather-free: each output pair is a
+    constant (0.25, 0.75) blend of neighbors (half-texel grid alignment,
+    identical to the bilinear resize at ratio exactly 2), realized as
+    shift + stack + reshape. A `take` along the 128-wide lane axis lowers
+    to per-element gathers (~12.5 ms each at 1080p — profiled as the top
+    bloom/TAA cost); this form is pure vector memory ops."""
+    from .denoise import _shift2d
+
+    if rows:
+        prev = _shift2d(img, -1, 0)
+        nxt = _shift2d(img, 1, 0)
+        even = 0.25 * prev + 0.75 * img
+        odd = 0.75 * img + 0.25 * nxt
+        img = jnp.stack([even, odd], axis=1).reshape(
+            (img.shape[0] * 2,) + img.shape[1:])
+    if cols:
+        prev = _shift2d(img, 0, -1)
+        nxt = _shift2d(img, 0, 1)
+        even = 0.25 * prev + 0.75 * img
+        odd = 0.75 * img + 0.25 * nxt
+        img = jnp.stack([even, odd], axis=2).reshape(
+            img.shape[:1] + (img.shape[1] * 2,) + img.shape[2:])
+    return img
+
+
+def _near_doubling(target: int, size: int) -> bool:
+    """Can `size` reach `target` by 2x doublings plus a <=1 texel fixup?"""
+    if target < size:
+        return False
+    while size < target - 1:
+        size *= 2
+    return abs(target - size) <= 1
+
+
 def _resize_bilinear(img: jnp.ndarray, oh: int, ow: int) -> jnp.ndarray:
-    """Separable bilinear resize with STATIC index vectors (two row/column
-    takes — no per-element gathers)."""
+    """Bilinear resize. Production ratios (TAA upscale at SR 0.5/0.25 and
+    every bloom pyramid level) take the gather-free exact-2x doubling
+    path (with a <=1 row/col edge fixup for odd levels); anything else
+    falls back to the separable take-based form."""
     h, w = img.shape[:2]
+    if (oh, ow) == (h, w):
+        return img
+    if _near_doubling(oh, h) and _near_doubling(ow, w):
+        out = img
+        while out.shape[0] < oh - 1 or out.shape[1] < ow - 1:
+            out = _upsample2x(out, rows=out.shape[0] < oh - 1,
+                              cols=out.shape[1] < ow - 1)
+        out = out[:oh, :ow]
+        ph, pw = oh - out.shape[0], ow - out.shape[1]
+        if ph or pw:
+            out = jnp.pad(out, ((0, ph), (0, pw)) + ((0, 0),) * (out.ndim - 2),
+                          mode="edge")
+        return out
     ys = (np.arange(oh, dtype=np.float32) + 0.5) / oh * h - 0.5
     xs = (np.arange(ow, dtype=np.float32) + 0.5) / ow * w - 0.5
     ys = np.clip(ys, 0.0, h - 1.001)

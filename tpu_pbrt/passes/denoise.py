@@ -47,22 +47,42 @@ def init_state(height: int, width: int) -> DenoiserState:
 
 
 def _bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear gather; img (H, W, C), xy (H, W, 2) in pixel coordinates."""
+    """Bilinear reprojection as ONE row gather (img (H, W, C), xy (H, W, 2)
+    pixel coords). The naive 4-tap advanced-index form costs four separate
+    per-lane gathers (~68 ms at 1080p x 3ch, measured); here each texel
+    precomputes its 2x2 patch row (shift+concat, pure vector ops, cast to
+    f16 to halve the gathered bytes) so the reprojection is a single
+    (H*W, 4C) row gather + an elementwise blend in f32."""
+    out, _ = _patch_sample(img, xy)
+    return out
+
+
+def _patch_sample(img: jnp.ndarray, xy: jnp.ndarray):
+    """Returns (bilinear blend, nearest tap) of `img` at `xy` from one
+    patch-row gather. `nearest` selects the patch tap with the largest
+    bilinear weight (exactly the round() texel)."""
     h, w = img.shape[:2]
+    c = img.shape[2]
+    patch = jnp.concatenate(
+        [img, _shift2d(img, 0, 1), _shift2d(img, 1, 0), _shift2d(img, 1, 1)],
+        axis=-1).astype(jnp.float16).reshape(h * w, 4 * c)
     x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
     y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    p00 = img[y0, x0]
-    p01 = img[y0, x0 + 1]
-    p10 = img[y0 + 1, x0]
-    p11 = img[y0 + 1, x0 + 1]
-    return (
-        p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
-        + p10 * (1 - fx) * fy + p11 * fx * fy
-    )
+    rows = patch[(y0 * w + x0).reshape(-1)].astype(jnp.float32)
+    fx = (x - x0).reshape(-1, 1)
+    fy = (y - y0).reshape(-1, 1)
+    p00 = rows[:, 0 * c:1 * c]
+    p01 = rows[:, 1 * c:2 * c]
+    p10 = rows[:, 2 * c:3 * c]
+    p11 = rows[:, 3 * c:4 * c]
+    blend = (p00 * (1 - fx) * (1 - fy) + p01 * fx * (1 - fy)
+             + p10 * (1 - fx) * fy + p11 * fx * fy)
+    nearest = jnp.where(
+        fy > 0.5, jnp.where(fx > 0.5, p11, p10),
+        jnp.where(fx > 0.5, p01, p00))
+    return (blend.reshape(h, w, c), nearest.reshape(h, w, c))
 
 
 def _nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -91,20 +111,23 @@ def temporal_accumulate(
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
     prev_xy = jnp.stack([gx + motion[..., 0], gy + motion[..., 1]], axis=-1)
 
-    # ONE packed bilinear reprojection (color+moments) + ONE packed
-    # nearest reprojection (depth+normal+history length): 5 history
-    # fields sampled separately cost ~20 per-lane gathers per frame
-    packed_b = jnp.concatenate([state.color, state.moments], axis=-1)
-    smp_b = _bilinear_sample(packed_b, prev_xy)
+    # ALL history fields ride ONE patch-row gather (f16 rows): bilinear
+    # blend for color/moments, nearest tap for depth/normal/length.
+    # Separate per-field sampling cost ~20 per-lane gathers per frame;
+    # even the round-2 two-gather packing paid the ~15 ms per-gather
+    # base cost twice. Infinity-carrying depth is clamped to a finite
+    # sentinel so the f16 cast keeps the disocclusion test semantics.
+    packed = jnp.concatenate(
+        [state.color, state.moments,
+         jnp.minimum(state.depth, 6e4)[..., None], state.normal,
+         state.history_len[..., None]], axis=-1)
+    packed = jnp.clip(packed, -6e4, 6e4)
+    smp_b, smp_n = _patch_sample(packed, prev_xy)
     prev_color = smp_b[..., 0:3]
     prev_moments = smp_b[..., 3:5]
-    packed_n = jnp.concatenate(
-        [state.depth[..., None], state.normal,
-         state.history_len[..., None]], axis=-1)
-    smp_n = _nearest_sample(packed_n, prev_xy)
-    prev_depth = smp_n[..., 0]
-    prev_normal = smp_n[..., 1:4]
-    prev_len = smp_n[..., 4]
+    prev_depth = smp_n[..., 5]
+    prev_normal = smp_n[..., 6:9]
+    prev_len = smp_n[..., 9]
 
     in_bounds = (
         (prev_xy[..., 0] >= 0) & (prev_xy[..., 0] <= w - 1)

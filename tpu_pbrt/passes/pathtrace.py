@@ -625,7 +625,9 @@ def trace_sharc_update(
         tmax = jnp.full((r,), jnp.inf)
 
     nb = len(keys)
-    key_arr = jnp.stack(keys)                       # (B+1, R)
+    key_arr = sharc_mod.VoxelKey(
+        lo=jnp.stack([k.lo for k in keys]),         # (B+1, R)
+        hi=jnp.stack([k.hi for k in keys]))
     valid_arr = jnp.stack(valids)
     contrib_arr = Vec3(
         jnp.stack([c.x for c in contribs]),
@@ -649,7 +651,8 @@ def trace_sharc_update(
         1.0 / jnp.maximum(thr_arr.z, 1e-6),
     )
     records = s * inv
-    return (key_arr.reshape(-1), Vec3(records.x.reshape(-1),
-                                      records.y.reshape(-1),
-                                      records.z.reshape(-1)),
+    return (sharc_mod.VoxelKey(lo=key_arr.lo.reshape(-1),
+                               hi=key_arr.hi.reshape(-1)),
+            Vec3(records.x.reshape(-1), records.y.reshape(-1),
+                 records.z.reshape(-1)),
             valid_arr.reshape(-1))

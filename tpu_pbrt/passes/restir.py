@@ -306,26 +306,45 @@ def _reproject_nearest(field, prev_x, prev_y, width, height):
     )
 
 
+def _oct_encode_soa(n: Vec3):
+    """SoA octahedral encode (unit normal -> 2 floats)."""
+    s = jnp.maximum(jnp.abs(n.x) + jnp.abs(n.y) + jnp.abs(n.z), 1e-12)
+    nx, ny, nz = n.x / s, n.y / s, n.z / s
+    wx = (1.0 - jnp.abs(ny)) * jnp.where(nx >= 0.0, 1.0, -1.0)
+    wy = (1.0 - jnp.abs(nx)) * jnp.where(ny >= 0.0, 1.0, -1.0)
+    return (jnp.where(nz >= 0.0, nx, wx), jnp.where(nz >= 0.0, ny, wy))
+
+
+def _oct_decode_soa(ex, ey) -> Vec3:
+    z = 1.0 - jnp.abs(ex) - jnp.abs(ey)
+    t = jnp.maximum(-z, 0.0)
+    x = ex + jnp.where(ex >= 0.0, -t, t)
+    y = ey + jnp.where(ey >= 0.0, -t, t)
+    return vec.normalize(Vec3(x, y, z))
+
+
 def _pack_taps(res: Reservoir, depth, normal: Vec3):
-    """(R, 9) packed reservoir + geometry rows so one neighbor tap costs
-    ONE row gather instead of nine (R,) gathers (~7 ms each on v5e; a
-    packed row gather of this width measured ~4.7 ms total)."""
+    """(R, 8) packed reservoir + geometry rows so one neighbor tap costs
+    ONE row gather instead of nine (R,) gathers (~15 ms each at a 2M-lane
+    pool). Row-gather cost steps at 32 bytes/row on v5e (8 f32 = 31 ms vs
+    9 f32 = 46 ms at 2M) — the normal is oct-encoded to stay at 8 wide."""
+    ex, ey = _oct_encode_soa(normal)
     return jnp.stack(
         [res.light.astype(jnp.float32), res.u, res.v, res.w, res.m,
-         depth, normal.x, normal.y, normal.z], axis=-1)
+         depth, ex, ey], axis=-1)
 
 
 def _tap_rows(packed, x, y, width, height):
     """Gather packed rows at nearest pixels; returns (fields dict, mask)."""
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, width - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, height - 1)
-    rows = packed[yi * width + xi]              # (R, 9) one row gather
+    rows = packed[yi * width + xi]              # (R, 8) one row gather
     in_b = ((x >= 0) & (x <= width - 1) & (y >= 0) & (y <= height - 1))
     return {
         "light": rows[:, 0].astype(jnp.int32),
         "u": rows[:, 1], "v": rows[:, 2], "w": rows[:, 3], "m": rows[:, 4],
         "depth": rows[:, 5],
-        "normal": Vec3(rows[:, 6], rows[:, 7], rows[:, 8]),
+        "normal": _oct_decode_soa(rows[:, 6], rows[:, 7]),
     }, in_b
 
 

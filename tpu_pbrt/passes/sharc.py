@@ -1,4 +1,5 @@
-"""SHARC-style hash-grid radiance cache, reformulated sort-free-of-atomics.
+"""SHARC-style hash-grid radiance cache — direct-mapped, 64-bit keys,
+sort-only resolve (no atomics, no scatters).
 
 Capability mirror of the reference's RTXGI SHARC integration
 (reference: Source/SHARC.ixx:23-102 — 2^22-entry u64 hash grid with
@@ -8,26 +9,36 @@ radiance into voxels + SHARC_QUERY pass terminating paths into cached
 radiance when the voxel footprint test passes; camera-centered logarithmic
 voxel levels via HashGridGetLevel).
 
-TPU re-design (SURVEY.md §7 step 9): the GPU's atomic CAS probing becomes
-**key sort + segment reduce**:
+TPU re-design (round 3, after profiling the round-2 form):
 
-  * update: the downscaled update trace records (voxel key, incident
-    radiance) per path vertex; suffix accumulation over the bounce axis
-    converts per-vertex throughput/emission records into per-vertex
-    *incident radiance* estimates, exactly what SharcUpdateHit accumulates;
-  * resolve: new records are sorted by key and segment-summed, then merged
-    with the persistent sorted table under an exponential-moving-average
-    with sample-count cap (the reference's accumulation-frames logic) and
-    stale-entry eviction;
-  * query: a DIRECT-MAPPED hash view built during resolve — one key
-    gather + compare + one radiance gather per lookup. (The earlier
-    `searchsorted` form cost ~20 dependent gathers per 2M-lane query —
-    profiled as the single largest slice of the App frame; a lossy
-    direct map only costs occasional cache misses, which are unbiased:
-    the path tracer just keeps tracing.)
+  * **64-bit keys** (reference parity: u64 entries, SHARC.ixx:48-57): the
+    voxel identity hashes into TWO independent 32-bit words. A cache hit
+    requires both to match, so distinct voxels alias only at ~2^-64 pair
+    rate — the round-2 single-u32 scheme let colliding voxels silently
+    share radiance (light leaks).
+  * **the table IS the direct map**: slot i of the state arrays holds the
+    entry whose key maps there (slot = key_lo & (C-1)). The round-2 design
+    kept a key-sorted canonical table and rebuilt a direct-mapped query
+    view with a (C, 4) scatter — profiled at ~41 ms/frame at C = 2^20,
+    the single largest SHARC cost. Slot order makes the query view a pure
+    elementwise repack.
+  * **resolve is three multi-operand sorts + elementwise combines** (a
+    1.15M-lane 8-operand `lax.sort` measures 2.4 ms on v5e, ~20x cheaper
+    than an equivalent scatter):
+      1. sort new records by (key_lo, key_hi), segmented suffix-sum the
+         per-voxel sums (Hillis-Steele doubling — exact, scatter-free);
+      2. sort [table rows (slot = row index), record aggregates
+         (slot = key_lo & (C-1))] by (slot, is_new, -count): each slot's
+         run is [table row, best new aggregate, lesser aggregates...];
+      3. combine each table row with its following aggregate branchlessly
+         (EMA accumulate on a 64-bit key match; count-based eviction on a
+         slot collision), mark everything else dead, and sort once more by
+         slot to compact back to the C slot-ordered rows.
+  * query stays ONE 16-byte row gather: qdata rows pack [key_lo, key_hi,
+    rg as two f16, b as f16] into (C, 4) u32.
 
-The table is double-buffered per frame exactly like the reference's
-voxel-buffer swap (Raytracing.ixx:147).
+Double-buffering: the functional state swap in the frame loop mirrors the
+reference's voxel-buffer swap (Raytracing.ixx:147).
 """
 
 from __future__ import annotations
@@ -58,28 +69,35 @@ class SHARCSettings:
     log_base: float = 2.0
 
 
+class VoxelKey(NamedTuple):
+    """64-bit voxel identity as two independent 32-bit hash words
+    (the reference's u64 hash entries, SHARC.ixx:48-57). `lo` also
+    addresses the direct map (slot = lo & (C-1)); a hit compares both."""
+    lo: jnp.ndarray   # (R,) u32, EMPTY_KEY reserved for "no voxel"
+    hi: jnp.ndarray   # (R,) u32
+
+
 class SHARCState(NamedTuple):
-    """Persistent sorted voxel table (double-buffered by the frame loop)
-    plus the direct-mapped query view rebuilt by every resolve."""
-    keys: jnp.ndarray      # (C,) u32 sorted, EMPTY_KEY padding at the end
+    """Slot-ordered direct-mapped voxel table: row i holds the entry whose
+    key_lo & (C-1) == i (or EMPTY_KEY). qdata is the packed query view."""
+    key_lo: jnp.ndarray    # (C,) u32
+    key_hi: jnp.ndarray    # (C,) u32
     radiance: jnp.ndarray  # (C, 3) accumulated mean radiance
-    count: jnp.ndarray     # (C,) accumulated sample count
+    count: jnp.ndarray     # (C,) accumulated sample count (capped)
     stale: jnp.ndarray     # (C,) frames since last touch
-    qdata: jnp.ndarray     # (C, 4) direct map (slot = key & (C-1)):
-                           #   col 0 = key bits (bitcast f32), 1..3 = radiance
+    qdata: jnp.ndarray     # (C, 4) u32 [key_lo, key_hi, rg f16x2, b f16]
 
 
 def init_state(settings: SHARCSettings) -> SHARCState:
     c = 1 << settings.capacity_log2
+    empt = jnp.full((c,), EMPTY_KEY, _U32)
     return SHARCState(
-        keys=jnp.full((c,), EMPTY_KEY, _U32),
+        key_lo=empt, key_hi=empt,
         radiance=jnp.zeros((c, 3)),
         count=jnp.zeros((c,)),
         stale=jnp.zeros((c,)),
-        qdata=jnp.concatenate(
-            [lax.bitcast_convert_type(
-                jnp.full((c,), EMPTY_KEY, _U32), jnp.float32)[:, None],
-             jnp.zeros((c, 3))], axis=-1),
+        qdata=jnp.stack([empt, empt, jnp.zeros((c,), _U32),
+                         jnp.zeros((c,), _U32)], axis=-1),
     )
 
 
@@ -99,9 +117,10 @@ def voxel_size(level, settings: SHARCSettings):
 
 
 def voxel_key(position: Vec3, normal: Vec3, camera_pos,
-              settings: SHARCSettings):
+              settings: SHARCSettings) -> VoxelKey:
     """Quantize position (+ a 3-bit normal bucket like SHARC's hash of the
-    surface orientation) into a u32 key. EMPTY_KEY is reserved."""
+    surface orientation) into a 64-bit key: two independent 32-bit hashes
+    of the same (ix, iy, iz, level, bucket) identity."""
     lvl = grid_level(position, camera_pos, settings)
     size = voxel_size(lvl, settings)
     ix = jnp.floor(position.x / size).astype(jnp.int32)
@@ -116,143 +135,194 @@ def voxel_key(position: Vec3, normal: Vec3, camera_pos,
     sgn = jnp.where(
         jnp.where(dom == 0, normal.x, jnp.where(dom == 1, normal.y,
                                                 normal.z)) >= 0, 0, 1)
-    h = (ix.astype(_U32) * _U32(0x9E3779B1)
-         ^ iy.astype(_U32) * _U32(0x85EBCA77)
-         ^ iz.astype(_U32) * _U32(0xC2B2AE3D)
-         ^ lvl.astype(_U32) * _U32(0x27D4EB2F)
-         ^ (dom.astype(_U32) * 2 + sgn.astype(_U32)) * _U32(0x165667B1))
-    return jnp.where(h == EMPTY_KEY, _U32(0), h)
+    bucket = (dom.astype(_U32) * 2 + sgn.astype(_U32))
+    uix, uiy, uiz = ix.astype(_U32), iy.astype(_U32), iz.astype(_U32)
+    ulv = lvl.astype(_U32)
+    lo = (uix * _U32(0x9E3779B1)
+          ^ uiy * _U32(0x85EBCA77)
+          ^ uiz * _U32(0xC2B2AE3D)
+          ^ ulv * _U32(0x27D4EB2F)
+          ^ bucket * _U32(0x165667B1))
+    # second word: same identity, different odd multipliers + final mix so
+    # the two words are (empirically) independent hash functions
+    hi = (uix * _U32(0x7FEB352D)
+          ^ uiy * _U32(0x846CA68B)
+          ^ uiz * _U32(0x9E485565)
+          ^ ulv * _U32(0xAE3CC725)
+          ^ bucket * _U32(0x735A2D97))
+    hi = hi ^ (hi >> _U32(16))
+    hi = hi * _U32(0x2C1B3C6D)
+    lo = jnp.where(lo == EMPTY_KEY, _U32(0), lo)
+    return VoxelKey(lo=lo, hi=hi)
 
 
-def resolve(state: SHARCState, new_keys: jnp.ndarray, new_radiance: Vec3,
+def _f16_bits(x: jnp.ndarray) -> jnp.ndarray:
+    """f32 -> f16 bit pattern as u32 (low 16 bits)."""
+    h = jnp.clip(x, -6e4, 6e4).astype(jnp.float16)
+    return lax.bitcast_convert_type(h, jnp.uint16).astype(_U32)
+
+
+def _f16_unbits(bits: jnp.ndarray) -> jnp.ndarray:
+    """u32 (low 16 bits hold an f16 pattern) -> f32."""
+    return lax.bitcast_convert_type(
+        bits.astype(jnp.uint16), jnp.float16).astype(jnp.float32)
+
+
+def _pack_qdata(key_lo, key_hi, radiance, live) -> jnp.ndarray:
+    """(C, 4) u32 query rows: [key_lo, key_hi, r|g<<16, b] — 16 bytes, one
+    row gather per lookup. Dead rows carry EMPTY keys."""
+    klo = jnp.where(live, key_lo, EMPTY_KEY)
+    khi = jnp.where(live, key_hi, EMPTY_KEY)
+    rg = _f16_bits(radiance[:, 0]) | (_f16_bits(radiance[:, 1]) << _U32(16))
+    b = _f16_bits(radiance[:, 2])
+    return jnp.stack([klo, khi, rg, b], axis=-1)
+
+
+def resolve(state: SHARCState, new_keys: VoxelKey, new_radiance: Vec3,
             new_valid: jnp.ndarray, settings: SHARCSettings) -> SHARCState:
-    """Merge new (key, radiance) records into the table: sort + segment
-    reduce (the SHARC.hlsl resolve/compaction pair, TPU form)."""
-    c = state.keys.shape[0]
+    """Merge new (key, radiance) records into the direct-mapped table.
+    Sort-only (see module docstring); the SHARC.hlsl resolve/compaction
+    pair in TPU form."""
+    c = state.key_lo.shape[0]
+    cmask = _U32(c - 1)
 
-    nk = jnp.where(new_valid, new_keys, EMPTY_KEY)
-    # aggregate the new records by key — multi-operand sort (measured
-    # ~25x cheaper than argsort + per-array gathers on v5e)
-    sk, srx, sry, srz, sv = lax.sort(
-        (nk, new_radiance.x, new_radiance.y, new_radiance.z,
-         new_valid.astype(jnp.float32)), dimension=0, num_keys=1)
-    sr = jnp.stack([srx, sry, srz], axis=-1) * sv[:, None]
-    # segment boundaries
+    nk_lo = jnp.where(new_valid, new_keys.lo, EMPTY_KEY)
+    nk_hi = jnp.where(new_valid, new_keys.hi, EMPTY_KEY)
+
+    # --- 1. aggregate the new records by 64-bit key: multi-operand sort
+    # (measured ~25x cheaper than argsort + per-array gathers on v5e)
+    sk_lo, sk_hi, srx, sry, srz, sv = lax.sort(
+        (nk_lo, nk_hi, new_radiance.x, new_radiance.y, new_radiance.z,
+         new_valid.astype(jnp.float32)), dimension=0, num_keys=2)
+    srx = srx * sv
+    sry = sry * sv
+    srz = srz * sv
+    same_key = lambda a_lo, a_hi, b_lo, b_hi: (a_lo == b_lo) & (a_hi == b_hi)
     first = jnp.concatenate(
-        [jnp.ones((1,), bool), sk[1:] != sk[:-1]]
-    )
-    nseg = sk.shape[0]
+        [jnp.ones((1,), bool),
+         ~same_key(sk_lo[1:], sk_hi[1:], sk_lo[:-1], sk_hi[:-1])])
+    p = sk_lo.shape[0]
 
-    # scatter-free, EXACT segment totals: Hillis-Steele segmented
-    # suffix sums over the sorted runs — ceil(log2(n)) doubling steps of
+    # scatter-free, EXACT segment totals: Hillis-Steele segmented suffix
+    # sums over the sorted runs — ceil(log2(n)) doubling steps of
     # shift+compare+add, all elementwise (TPU scatters serialize; a
     # cumsum-difference form would catastrophically cancel on f32 over
     # ~1M records). After the steps, every row holds the sum of its
     # segment from itself to the segment end; FIRST rows hold the total.
     def seg_suffix_sums(vals):
-        n = sk.shape[0]
-        keys = sk
         d = 1
         vals = list(vals)
-        while d < n:
+        while d < p:
             same = jnp.concatenate(
-                [keys[d:] == keys[:-d], jnp.zeros((d,), bool)])
+                [same_key(sk_lo[d:], sk_hi[d:], sk_lo[:-d], sk_hi[:-d]),
+                 jnp.zeros((d,), bool)])
             for i, v in enumerate(vals):
                 shifted = jnp.concatenate([v[d:], jnp.zeros((d,), v.dtype)])
                 vals[i] = v + jnp.where(same, shifted, 0)
             d *= 2
         return vals
 
-    t_cnt, t_r0, t_r1, t_r2 = seg_suffix_sums(
-        [sv, sr[:, 0], sr[:, 1], sr[:, 2]])
-    agg_cnt = jnp.where(first, t_cnt, 0.0)
-    agg_rad = jnp.where(first[:, None],
-                        jnp.stack([t_r0, t_r1, t_r2], axis=-1), 0.0)
-    agg_key = jnp.where(first, sk, EMPTY_KEY)
+    t_cnt, t_r0, t_r1, t_r2 = seg_suffix_sums([sv, srx, sry, srz])
+    agg_live = first & (sk_lo != EMPTY_KEY) & (t_cnt > 0)
+    agg_cnt = jnp.where(agg_live, t_cnt, 0.0)
+    agg_slot = jnp.where(agg_live, (sk_lo & cmask).astype(jnp.int32), c)
 
-    # age existing entries; evict stale (SHARC MaxStaleFrames)
+    # --- 2. age + evict existing entries (SHARC MaxStaleFrames), then
+    # sort table rows and aggregates together by (slot, is_new, -count):
+    # every slot 0..C-1 appears exactly once as a table row (possibly
+    # EMPTY), so each slot's run is [table, best aggregate, rest...]
     stale = state.stale + 1.0
-    keep = (state.keys != EMPTY_KEY) & (stale <= settings.max_stale_frames)
-    old_keys = jnp.where(keep, state.keys, EMPTY_KEY)
+    keep = ((state.key_lo != EMPTY_KEY) & (state.count > 0)
+            & (stale <= settings.max_stale_frames))
+    tbl_lo = jnp.where(keep, state.key_lo, EMPTY_KEY)
+    tbl_hi = jnp.where(keep, state.key_hi, EMPTY_KEY)
+    tbl_cnt = state.count * keep
+    tbl_sum = state.radiance * tbl_cnt[:, None]
+    tbl_stale = jnp.where(keep, stale, 0.0)
 
-    # merge: concat old + new aggregates, sort, then combine runs (an old
-    # entry and a new aggregate with the same key land adjacent)
-    all_keys = jnp.concatenate([old_keys, agg_key])
-    all_rad = jnp.concatenate([state.radiance * state.count[:, None], agg_rad])
-    all_cnt = jnp.concatenate([state.count * keep, agg_cnt])
-    all_stale = jnp.concatenate([stale, jnp.zeros((nseg,))])
-    all_new = jnp.concatenate(
-        [jnp.zeros((c,)), (agg_cnt > 0).astype(jnp.float32)]
-    )
+    slot_k = jnp.concatenate([jnp.arange(c, dtype=jnp.int32), agg_slot])
+    isnew_k = jnp.concatenate([jnp.zeros((c,), jnp.int32),
+                               jnp.ones((p,), jnp.int32)])
+    negcnt_k = jnp.concatenate([jnp.zeros((c,)), -agg_cnt])
+    m_lo = jnp.concatenate([tbl_lo, sk_lo])
+    m_hi = jnp.concatenate([tbl_hi, sk_hi])
+    m_sx = jnp.concatenate([tbl_sum[:, 0], jnp.where(agg_live, t_r0, 0.0)])
+    m_sy = jnp.concatenate([tbl_sum[:, 1], jnp.where(agg_live, t_r1, 0.0)])
+    m_sz = jnp.concatenate([tbl_sum[:, 2], jnp.where(agg_live, t_r2, 0.0)])
+    m_cnt = jnp.concatenate([tbl_cnt, agg_cnt])
+    m_stl = jnp.concatenate([tbl_stale, jnp.zeros((p,))])
 
-    k2, r2x, r2y, r2z, n2, s2, fresh2 = lax.sort(
-        (all_keys, all_rad[:, 0], all_rad[:, 1], all_rad[:, 2],
-         all_cnt, all_stale, all_new), dimension=0, num_keys=1)
-    r2 = jnp.stack([r2x, r2y, r2z], axis=-1)
+    (s_slot, s_new, _, s_lo, s_hi, s_sx, s_sy, s_sz, s_cnt,
+     s_stl) = lax.sort(
+        (slot_k, isnew_k, negcnt_k, m_lo, m_hi, m_sx, m_sy, m_sz, m_cnt,
+         m_stl), dimension=0, num_keys=3)
 
-    first2 = jnp.concatenate([jnp.ones((1,), bool), k2[1:] != k2[:-1]])
-    # each key appears AT MOST TWICE here (one old entry + one new
-    # aggregate), so the segment combine is a pairwise shift — no
-    # scatters, no scans
-    nxt_same = jnp.concatenate([k2[1:] == k2[:-1], jnp.zeros((1,), bool)])
+    # --- 3. combine each table row (is_new == 0) with the aggregate that
+    # follows it (same slot, is_new == 1). Lesser aggregates for the slot
+    # and all aggregate rows die; survivors keep slot order.
+    n = c + p
+    nxt = lambda v, fill: jnp.concatenate([v[1:], jnp.full((1,), fill,
+                                                           v.dtype)])
+    a_is = (nxt(s_slot, c) == s_slot) & (nxt(s_new, 1) == 1) & (s_new == 0)
+    a_lo, a_hi = nxt(s_lo, EMPTY_KEY), nxt(s_hi, EMPTY_KEY)
+    a_sx, a_sy, a_sz = nxt(s_sx, 0.0), nxt(s_sy, 0.0), nxt(s_sz, 0.0)
+    a_cnt = nxt(s_cnt, 0.0)
 
-    def plus_next(v):
-        nv = jnp.concatenate([v[1:], jnp.zeros_like(v[:1])])
-        return v + jnp.where(nxt_same, nv, jnp.zeros_like(nv))
+    t_live = (s_lo != EMPTY_KEY) & (s_new == 0)
+    has_a = a_is & (a_cnt > 0)
+    match = has_a & t_live & (a_lo == s_lo) & (a_hi == s_hi)
+    # eviction on a slot collision: the busier voxel wins (count-capped
+    # history vs this frame's sample count — hysteresis favors established
+    # entries, but a hot new voxel still displaces a cold one)
+    adopt = has_a & (~t_live | (~match & (a_cnt > s_cnt)))
 
-    cnt = plus_next(n2)
-    rad_sum = jnp.stack([plus_next(r2[:, 0]), plus_next(r2[:, 1]),
-                         plus_next(r2[:, 2])], axis=-1)
-    s2p = jnp.where(fresh2 > 0, 0.0, s2)
-    s2p_nxt = jnp.concatenate([s2p[1:], jnp.full((1,), jnp.inf)])
-    stale_out = jnp.minimum(s2p, jnp.where(nxt_same, s2p_nxt, jnp.inf))
+    r_lo = jnp.where(adopt, a_lo, s_lo)
+    r_hi = jnp.where(adopt, a_hi, s_hi)
+    r_sx = jnp.where(adopt, a_sx, s_sx + jnp.where(match, a_sx, 0.0))
+    r_sy = jnp.where(adopt, a_sy, s_sy + jnp.where(match, a_sy, 0.0))
+    r_sz = jnp.where(adopt, a_sz, s_sz + jnp.where(match, a_sz, 0.0))
+    r_cnt = jnp.where(adopt, a_cnt, s_cnt + jnp.where(match, a_cnt, 0.0))
+    r_stl = jnp.where(adopt | match, 0.0, s_stl)
+    dead = s_new == 1
+    r_slot = jnp.where(dead, c, s_slot)
 
+    # --- 4. compact: dead rows sort to the end; the surviving C rows are
+    # exactly slots 0..C-1 in order (each slot survives exactly once)
+    (f_slot, f_lo, f_hi, f_sx, f_sy, f_sz, f_cnt, f_stl) = lax.sort(
+        (r_slot, r_lo, r_hi, r_sx, r_sy, r_sz, r_cnt, r_stl),
+        dimension=0, num_keys=1)
+    f_lo, f_hi = f_lo[:c], f_hi[:c]
+    f_cnt = f_cnt[:c]
+    f_stl = f_stl[:c]
+    mean = (jnp.stack([f_sx[:c], f_sy[:c], f_sz[:c]], axis=-1)
+            / jnp.maximum(f_cnt, 1e-8)[:, None])
+    live = (f_lo != EMPTY_KEY) & (f_cnt > 0)
+    mean = jnp.where(live[:, None], mean, 0.0)
     # accumulation cap: EMA with max effective count (SHARC
     # AccumulationFrames — old samples decay once the cap is reached)
-    capped = jnp.minimum(cnt, settings.accumulation_frames)
-    mean_rad = rad_sum / jnp.maximum(cnt, 1e-8)[:, None]
-    valid_row = first2 & (k2 != EMPTY_KEY)
-
-    # keep the first `c` rows after pushing EMPTY keys to the end (sorting
-    # by key already did that; truncate)
-    keys_out = jnp.where(valid_row, k2, EMPTY_KEY)[:c]
-    rad_out = jnp.where(valid_row[:, None], mean_rad, 0.0)[:c]
-    cnt_out = jnp.where(valid_row, capped, 0.0)[:c]
-
-    # direct-mapped query view: slot = key & (C-1); colliding keys keep an
-    # arbitrary winner (a lossy CACHE view — misses are unbiased). Key
-    # bits and radiance pack into ONE (C, 4) array so a query costs a
-    # single row gather.
-    live = (keys_out != EMPTY_KEY) & (cnt_out > 0.0)
-    slot = jnp.where(live, (keys_out & _U32(c - 1)).astype(jnp.int32), c)
-    empty_bits = lax.bitcast_convert_type(
-        jnp.full((c,), EMPTY_KEY, _U32), jnp.float32)
-    rows = jnp.concatenate(
-        [lax.bitcast_convert_type(keys_out, jnp.float32)[:, None], rad_out],
-        axis=-1)
-    qdata = jnp.concatenate(
-        [empty_bits[:, None], jnp.zeros((c, 3))], axis=-1
-    ).at[slot].set(rows, mode="drop")
+    f_cnt = jnp.minimum(f_cnt, settings.accumulation_frames) * live
 
     return SHARCState(
-        keys=keys_out,
-        radiance=rad_out,
-        count=cnt_out,
-        stale=jnp.where(valid_row, stale_out, 0.0)[:c],
-        qdata=qdata,
+        key_lo=jnp.where(live, f_lo, EMPTY_KEY),
+        key_hi=jnp.where(live, f_hi, EMPTY_KEY),
+        radiance=mean,
+        count=f_cnt,
+        stale=f_stl * live,
+        qdata=_pack_qdata(f_lo, f_hi, mean, live),
     )
 
 
-def query(state: SHARCState, keys: jnp.ndarray):
-    """Vectorized lookup: (radiance: Vec3, found mask). ONE row gather of
-    the packed direct-mapped view + a key compare (the searchsorted form
-    cost ~20 dependent gathers per query)."""
+def query(state: SHARCState, keys: VoxelKey):
+    """Vectorized lookup: (radiance: Vec3, found mask). ONE 16-byte row
+    gather of the packed direct map + a 64-bit key compare."""
     c = state.qdata.shape[0]
-    slot = (keys & _U32(c - 1)).astype(jnp.int32)
+    slot = (keys.lo & _U32(c - 1)).astype(jnp.int32)
     rows = state.qdata[slot]                       # (R, 4) one row gather
-    stored = lax.bitcast_convert_type(rows[:, 0], _U32)
-    found = (stored == keys) & (keys != EMPTY_KEY)
-    rad = Vec3(rows[:, 1], rows[:, 2], rows[:, 3])
+    found = ((rows[:, 0] == keys.lo) & (rows[:, 1] == keys.hi)
+             & (keys.lo != EMPTY_KEY))
+    rad = Vec3(_f16_unbits(rows[:, 2] & _U32(0xFFFF)),
+               _f16_unbits(rows[:, 2] >> _U32(16)),
+               _f16_unbits(rows[:, 3]))
     return vec.where(found, rad, Vec3.splat(jnp.zeros_like(rad.x))), found
 
 

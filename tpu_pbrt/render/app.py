@@ -210,7 +210,7 @@ class App:
 
         if which == "sharc_voxels":
             key = sharc_mod.voxel_key(gb.position, gb.geometric_normal,
-                                      cam.position, self.sharc_settings)
+                                      cam.position, self.sharc_settings).lo
         else:  # regir_cells
             rs = self.regir_settings or regir_mod.ReGIRSettings()
             grid = regir_mod.ReGIRGrid(

@@ -99,7 +99,11 @@ class PostProcessingSettings:
     # (converged input is unaffected); 2 is the realtime sweet spot
     denoiser_iterations: int = 2
     upscaler: str = "taa"               # none | taa
-    super_resolution_scale: float = 1.0  # render scale, <=1
+    # Default 0.5: render at half resolution per axis and TAA-upscale to
+    # the output size — the reference ships with DLSS super resolution ON
+    # by default (MyAppData.h:280-295); this is its classical equivalent.
+    # Set 1.0 for native-res rendering (DLAA-style).
+    super_resolution_scale: float = 0.5  # render scale, <=1
     sharpness: float = 0.0
     bloom: bool = True
     bloom_strength: float = 0.05
