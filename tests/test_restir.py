@@ -150,3 +150,70 @@ class TestConvergence:
             naive.append(np.asarray(out.to_array()))
         naive_var = np.stack(naive).var(0).mean()
         assert restir_var < 0.5 * naive_var, (restir_var, naive_var)
+
+
+class TestBiasCorrection:
+    def _run_spatial(self, setup, mode, frames=80):
+        scene, trc, gb, view, px, py = setup
+        cam_pos = make_cornell_camera(W, H).data().position
+        settings = restir.ReSTIRSettings(
+            spatial_samples=2, spatial_bias_correction=mode,
+            temporal=False)  # isolate the spatial-reuse estimator
+        state = restir.ReSTIRState.empty(gb.depth.shape[0])
+        acc = np.zeros((gb.depth.shape[0], 3))
+        for f in range(frames):
+            (diff, spec), state, _ = restir.render_direct_lighting(
+                scene, gb, view, trc, state, px, py, f, W, H, settings,
+                cam_pos=cam_pos)
+            acc += np.asarray((diff + spec).to_array())
+        return acc / frames
+
+    def test_pairwise_reduces_edge_bias(self, setup):
+        """Spatial reuse with basic 1/M weighting darkens at geometric
+        discontinuities (neighbor samples unrepresentable at the center
+        still count toward M); pairwise MIS weighting must cut that error
+        (reference bias-correction modes, MyAppData.h:227-246)."""
+        scene, trc, gb, view, px, py = setup
+        ref = reference_direct(scene, trc, gb, view, px, py, frames=300)
+
+        basic = self._run_spatial(setup, "basic")
+        pairwise = self._run_spatial(setup, "pairwise")
+
+        # focus on depth-edge pixels, where basic 1/M is biased
+        depth = np.asarray(gb.depth).reshape(H, W)
+        d = np.where(np.isfinite(depth), depth, 1e3)
+        grad = np.maximum(np.abs(np.diff(d, axis=0, prepend=d[:1])),
+                          np.abs(np.diff(d, axis=1, prepend=d[:, :1])))
+        edge = (grad > 0.05 * np.maximum(d, 1e-3)).reshape(-1)
+        lit = ref.mean(-1) > 0.02
+        m = edge & lit
+        assert m.sum() > 20, "no edge pixels found"
+
+        err_basic = np.abs(basic[m].mean(-1) / ref[m].mean(-1) - 1.0).mean()
+        err_pair = np.abs(pairwise[m].mean(-1) / ref[m].mean(-1) - 1.0).mean()
+        # pairwise must be strictly better at edges (with slack for MC noise)
+        assert err_pair < err_basic * 0.9 + 0.01, (err_pair, err_basic)
+        # and globally it must stay consistent with the reference
+        overall = np.abs(pairwise[lit].mean() / ref[lit].mean() - 1.0)
+        assert overall < 0.15, overall
+
+    def test_raytraced_mode_runs(self, setup):
+        scene, trc, gb, view, px, py = setup
+        out = self._run_spatial(setup, "raytraced", frames=8)
+        assert np.isfinite(out).all()
+        assert out.mean() > 0.0
+
+    def test_temporal_pairwise_runs(self, setup):
+        scene, trc, gb, view, px, py = setup
+        cam_pos = make_cornell_camera(W, H).data().position
+        settings = restir.ReSTIRSettings(
+            temporal_bias_correction="pairwise", spatial=False)
+        state = restir.ReSTIRState.empty(gb.depth.shape[0], pairwise=True)
+        acc = np.zeros((gb.depth.shape[0], 3))
+        for f in range(12):
+            (diff, spec), state, _ = restir.render_direct_lighting(
+                scene, gb, view, trc, state, px, py, f, W, H, settings,
+                cam_pos=cam_pos, cam_prev=cam_pos)
+            acc += np.asarray((diff + spec).to_array())
+        out = acc / 12
+        assert np.isfinite(out).all() and out.mean() > 0.0

@@ -77,10 +77,12 @@ def jit_app_sharded(app, mesh: Mesh):
     upad = (-upool) % n
     upool_p = upool + upad
 
+    pairwise_t = app.restir_settings.temporal_bias_correction != "basic"
     spec_state = restir_mod.ReSTIRState(
         reservoir=restir_mod.Reservoir(*([P(PIXEL_AXIS)] * 6)),
         depth=P(PIXEL_AXIS),
         normal=Vec3(P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS)),
+        surface=P(PIXEL_AXIS) if pairwise_t else P(),
     )
 
     @functools.partial(
@@ -117,7 +119,8 @@ def jit_app_sharded(app, mesh: Mesh):
             ((di_diff, di_spec), restir_state,
              restir_rays) = restir_mod.render_direct_lighting(
                 scene, gb, view, tracer, restir_state, px, py, frame,
-                rw, rows_local, app.restir_settings, py_grid=py_local)
+                rw, rows_local, app.restir_settings, py_grid=py_local,
+                cam_pos=cam.position, cam_prev=cam.prev_position)
             di = di_diff + di_spec
             di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
             rays_total = rays_total + restir_rays

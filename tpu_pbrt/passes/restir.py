@@ -51,6 +51,24 @@ class ReSTIRSettings:
     spatial_radius: float = 30.0        # pixels
     max_history: float = 20.0           # M-clamp (x initial M)
     initial_visibility: bool = True     # DIInitialSampling.hlsl:51-57
+    # Bias-correction modes for reuse (reference: MyAppData.h:227-246
+    # ReSTIR_DI_TemporalBiasCorrectionMode / SpatialBiasCorrectionMode):
+    #   "basic"     — 1/M normalization: cheap, darkens at geometric
+    #                 discontinuities where neighbor samples are
+    #                 unrepresentable at the center pixel;
+    #   "pairwise"  — defensive pairwise MIS: every reused sample is
+    #                 weighted by a partition of unity built from the
+    #                 neighbor's own target pdf vs the center's
+    #                 (m_i = beta_i/k, m_c = 1 - sum beta_i/k with
+    #                 beta_i(y) = k*M_i*p_i(y) / (k*M_i*p_i(y) +
+    #                 M_c*p_c(y)) — sums to 1 for every y, so the
+    #                 estimator is unbiased for ANY approximate p_i);
+    #   "raytraced" — pairwise with traced visibility folded into the
+    #                 cross-domain pdf evaluations (2 extra rays per
+    #                 reused sample), killing reuse of samples shadowed
+    #                 in the other domain.
+    temporal_bias_correction: str = "basic"
+    spatial_bias_correction: str = "basic"
     # boiling filter: cull temporal reservoirs whose RIS weight exceeds a
     # multiple of the local tile average (DITemporalResampling.hlsl:1-49,
     # RTXDI_BoilingFilter thread-group semantics)
@@ -285,7 +303,8 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
 
 def finalize(scene, b, sv, view, position, res: Reservoir,
              ltable=None) -> Reservoir:
-    """Compute the unbiased contribution weight W = w_sum / (M * p_hat)."""
+    """Compute the unbiased contribution weight W = w_sum / (M * p_hat)
+    (the 'basic' 1/M normalization)."""
     p_hat, _, _, _ = _target_pdf(scene, b, sv, view, position,
                               res.light, res.u, res.v, ltable)
     w = jnp.where(
@@ -293,6 +312,17 @@ def finalize(scene, b, sv, view, position, res: Reservoir,
         res.w_sum / jnp.maximum(res.m * p_hat, 1e-20),
         0.0,
     )
+    return res._replace(w=w)
+
+
+def finalize_gris(scene, b, sv, view, position, res: Reservoir,
+                  ltable=None) -> Reservoir:
+    """Generalized-RIS contribution weight W = w_sum / p_hat(y) — the MIS
+    weights already normalized the candidate stream (pairwise modes), so
+    no 1/M division."""
+    p_hat, _, _, _ = _target_pdf(scene, b, sv, view, position,
+                              res.light, res.u, res.v, ltable)
+    w = jnp.where(p_hat > 0, res.w_sum / jnp.maximum(p_hat, 1e-20), 0.0)
     return res._replace(w=w)
 
 
@@ -338,14 +368,67 @@ def _tap_rows(packed, x, y, width, height):
     """Gather packed rows at nearest pixels; returns (fields dict, mask)."""
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, width - 1)
     yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, height - 1)
-    rows = packed[yi * width + xi]              # (R, 8) one row gather
+    rows = packed[yi * width + xi]              # (R, 8|16) one row gather
     in_b = ((x >= 0) & (x <= width - 1) & (y >= 0) & (y <= height - 1))
     return {
         "light": rows[:, 0].astype(jnp.int32),
         "u": rows[:, 1], "v": rows[:, 2], "w": rows[:, 3], "m": rows[:, 4],
         "depth": rows[:, 5],
         "normal": _oct_decode_soa(rows[:, 6], rows[:, 7]),
+        "rows": rows,
     }, in_b
+
+
+def _pack_surface(gb: GBuffer):
+    """(R, 8) reduced neighbor-surface rows for pairwise bias correction:
+    position + base color + metallic + roughness (the RAB-style compact
+    surface the reference reconstructs from its G-buffer at neighbor
+    pixels, RTXDIAppBridge.hlsli:297-352)."""
+    return jnp.stack(
+        [gb.position.x, gb.position.y, gb.position.z,
+         gb.base_color.x, gb.base_color.y, gb.base_color.z,
+         gb.metallic, gb.roughness], axis=-1)
+
+
+def _tap_surface(tap_rows16, cam_pos):
+    """Reconstruct (b, sv, view, position) from a 16-wide pairwise tap row
+    (cols 8..15 = _pack_surface layout; cols 6..7 = oct normal).
+
+    The reconstructed surface is REDUCED (shading normal doubles as the
+    geometric normal; dielectric ior/transmission defaults): pairwise MIS
+    weights stay a valid partition of unity for any approximate neighbor
+    pdf, so this costs variance only, never bias."""
+    rows = tap_rows16
+    n = _oct_decode_soa(rows[:, 6], rows[:, 7])
+    pos = Vec3(rows[:, 8], rows[:, 9], rows[:, 10])
+    base = Vec3(rows[:, 11], rows[:, 12], rows[:, 13])
+    metallic = rows[:, 14]
+    roughness = rows[:, 15]
+    ones = jnp.ones_like(metallic)
+    front = jnp.ones_like(metallic, bool)
+    b = bxdf.make_bsdf(base, metallic, roughness, ones * 1.5,
+                       jnp.zeros_like(metallic), front)
+    sv = bxdf.make_surface_vectors(front, n, n)
+    cp = Vec3.splat(jnp.zeros_like(metallic))
+    cp = Vec3(cp.x + cam_pos[0], cp.y + cam_pos[1], cp.z + cam_pos[2])
+    view = vec.normalize(cp - pos)
+    return b, sv, view, pos
+
+
+def _visibility(tracer, position: Vec3, normal: Vec3, scene: Scene,
+                light, u, v, live, ltable):
+    """Traced visibility factor (0/1) from `position` to light sample
+    (light,u,v) — the extra rays of the 'raytraced' bias-correction mode.
+    Returns (visible: f32, rays traced)."""
+    lpos, _, _ = _light_point(scene, light, u, v, ltable)
+    to_l = lpos - position
+    dist = vec.length(to_l)
+    wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
+    origin = vec.safe_spawn_offset(position, normal, wi)
+    occluded = tracer.any_hit(
+        origin, wi, 0.0, jnp.where(live, dist * (1.0 - 1e-3), -jnp.inf))
+    return (jnp.where(live & ~occluded, 1.0, jnp.where(live, 0.0, 1.0)),
+            jnp.sum(live.astype(jnp.float32)))
 
 
 def _geometry_similar(gb: GBuffer, prev_depth, prev_normal: Vec3,
@@ -359,36 +442,50 @@ def _geometry_similar(gb: GBuffer, prev_depth, prev_normal: Vec3,
 
 
 class ReSTIRState(NamedTuple):
-    """Cross-frame state: previous reservoirs + previous geometry."""
+    """Cross-frame state: previous reservoirs + previous geometry.
+    `surface` carries the (R, 8) reduced previous-frame surface
+    (_pack_surface) when temporal pairwise/raytraced bias correction is
+    on; a (1, 8) dummy otherwise (keeps the pytree structure fixed)."""
     reservoir: Reservoir
     depth: jnp.ndarray      # (R,)
     normal: Vec3            # (R,) x3
+    surface: jnp.ndarray    # (R, 8) or (1, 8) dummy
 
     @classmethod
-    def empty(cls, r: int) -> "ReSTIRState":
+    def empty(cls, r: int, pairwise: bool = False) -> "ReSTIRState":
         return cls(Reservoir.empty(r), jnp.full((r,), jnp.inf),
-                   Vec3.zeros((r,)))
+                   Vec3.zeros((r,)),
+                   jnp.zeros((r if pairwise else 1, 8)))
 
 
 def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
                         state: ReSTIRState, cur: Reservoir,
                         px, py, frame, width, height,
                         settings: ReSTIRSettings,
-                        py_grid=None, ltable=None) -> Reservoir:
-    """Motion-guided temporal reuse (DITemporalResampling.hlsl).
+                        py_grid=None, ltable=None, tracer=None,
+                        cam_prev=None):
+    """Motion-guided temporal reuse (DITemporalResampling.hlsl). Returns
+    (reservoir, bias-correction rays traced).
 
     `py_grid`: row index used for ADDRESSING the reservoir grid — under a
     row-sharded mesh this is the tile-local row while `py` stays the
-    global row feeding the RNG streams (defaults to `py`)."""
+    global row feeding the RNG streams (defaults to `py`). `cam_prev`:
+    previous-frame camera position (pairwise modes evaluate the history
+    surface's view vector with it)."""
     if py_grid is None:
         py_grid = py
+    if cam_prev is None:
+        cam_prev = jnp.zeros((3,), jnp.float32)
     b, sv = _surface_from_gbuffer(scene, gb, view)
     prev_x = px.astype(jnp.float32) + gb.motion_x
     prev_y = py_grid.astype(jnp.float32) + gb.motion_y
 
+    mode = settings.temporal_bias_correction
     prev = state.reservoir
-    tap, in_b = _tap_rows(_pack_taps(prev, state.depth, state.normal),
-                          prev_x, prev_y, width, height)
+    packed = _pack_taps(prev, state.depth, state.normal)
+    if mode != "basic":
+        packed = jnp.concatenate([packed, state.surface], axis=-1)
+    tap, in_b = _tap_rows(packed, prev_x, prev_y, width, height)
     p_light, p_u, p_v = tap["light"], tap["u"], tap["v"]
     p_w, p_m, pd, pn = tap["w"], tap["m"], tap["depth"], tap["normal"]
     valid_hist = in_b & _geometry_similar(gb, pd, pn) & (p_light >= 0) & gb.valid
@@ -400,15 +497,65 @@ def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     # re-evaluate the previous sample's target pdf at the current surface
     p_hat_prev, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
                                    p_light, p_u, p_v, ltable)
-    w_prev = jnp.where(valid_hist, p_hat_prev * p_w * p_m, 0.0)
-
     u = rng.uniform4(px, py, frame, 200)
-    merged = _merge(cur, p_light, p_u, p_v, w_prev, u[0],
-                    cand_m=jnp.where(valid_hist, p_m, 0.0))
+
+    if mode == "basic":
+        w_prev = jnp.where(valid_hist, p_hat_prev * p_w * p_m, 0.0)
+        merged = _merge(cur, p_light, p_u, p_v, w_prev, u[0],
+                        cand_m=jnp.where(valid_hist, p_m, 0.0))
+        if settings.boiling_filter:
+            merged = _boiling_filter(merged, width, height,
+                                     settings.boiling_filter_strength)
+        return finalize(scene, b, sv, view, gb.position, merged,
+                        ltable), jnp.zeros(())
+    # --- pairwise / raytraced MIS (k = 1 reused technique): the history
+    # sample is weighted against the canonical (current) pixel's target
+    # pdf via beta(y) = M_t*p_t(y) / (M_t*p_t(y) + M_c*p_c(y)); the
+    # canonical sample gets 1 - beta(y_c) — a partition of unity, so
+    # reuse stays unbiased at disocclusions where basic 1/M darkens.
+    bt, st_, vt, pos_t = _tap_surface(tap["rows"], cam_prev)
+    m_c = jnp.maximum(cur.m, 1.0)
+    rays = jnp.zeros(())
+
+    p_t_yt, _, _, _ = _target_pdf(scene, bt, st_, vt, pos_t,
+                                  p_light, p_u, p_v, ltable)
+    p_c_yc, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                  cur.light, cur.u, cur.v, ltable)
+    p_t_yc, _, _, _ = _target_pdf(scene, bt, st_, vt, pos_t,
+                                  cur.light, cur.u, cur.v, ltable)
+    p_c_yt = p_hat_prev
+    if mode == "raytraced":
+        # visibility folded into the CROSS-domain evals (2 rays)
+        vis_c_yt, r1 = _visibility(tracer, gb.position, gb.flat_normal,
+                                   scene, p_light, p_u, p_v,
+                                   valid_hist, ltable)
+        vis_t_yc, r2 = _visibility(tracer, pos_t, pn, scene,
+                                   cur.light, cur.u, cur.v,
+                                   valid_hist & (cur.light >= 0), ltable)
+        p_c_yt_b = p_c_yt * vis_c_yt
+        p_t_yc_b = p_t_yc * vis_t_yc
+        rays = rays + r1 + r2
+    else:
+        p_c_yt_b, p_t_yc_b = p_c_yt, p_t_yc
+
+    def beta(p_t, p_c):
+        num = p_m * p_t
+        den = num + m_c * p_c
+        return jnp.where(valid_hist & (den > 0), num / jnp.maximum(den, 1e-20),
+                         0.0)
+
+    m_hist = beta(p_t_yt, p_c_yt_b)
+    m_can = 1.0 - beta(p_t_yc_b, p_c_yc)
+    res = Reservoir.empty(cur.light.shape[0])
+    res = _merge(res, cur.light, cur.u, cur.v, m_can * p_c_yc * cur.w, u[1],
+                 cand_m=cur.m)
+    res = _merge(res, p_light, p_u, p_v, m_hist * p_c_yt * p_w, u[0],
+                 cand_m=jnp.where(valid_hist, p_m, 0.0))
     if settings.boiling_filter:
-        merged = _boiling_filter(merged, width, height,
-                                 settings.boiling_filter_strength)
-    return finalize(scene, b, sv, view, gb.position, merged, ltable)
+        res = _boiling_filter(res, width, height,
+                              settings.boiling_filter_strength)
+    return finalize_gris(scene, b, sv, view, gb.position, res,
+                         ltable), rays
 
 
 def _boiling_filter(res: Reservoir, width, height, strength,
@@ -441,31 +588,97 @@ def _boiling_filter(res: Reservoir, width, height, strength,
 def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
                        cur: Reservoir, px, py, frame, width, height,
                        settings: ReSTIRSettings, py_grid=None,
-                       ltable=None) -> Reservoir:
-    """Neighbor-disc spatial reuse (DISpatialResampling.hlsl)."""
+                       ltable=None, tracer=None, cam_pos=None):
+    """Neighbor-disc spatial reuse (DISpatialResampling.hlsl). Returns
+    (reservoir, bias-correction rays traced)."""
     if py_grid is None:
         py_grid = py
+    if cam_pos is None:
+        cam_pos = jnp.zeros((3,), jnp.float32)
+    mode = settings.spatial_bias_correction
     b, sv = _surface_from_gbuffer(scene, gb, view)
-    res = cur
     packed = _pack_taps(cur, gb.depth, gb.shading_normal)
+    if mode != "basic":
+        packed = jnp.concatenate([packed, _pack_surface(gb)], axis=-1)
+
+    # gather every tap first (pairwise needs the accepted count k_eff)
+    taps = []
     for k in range(settings.spatial_samples):
         u4 = rng.uniform4(px, py, frame, 300 + k)
         ang = 2.0 * jnp.pi * u4[0]
         rad = settings.spatial_radius * jnp.sqrt(u4[1])
         nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
         ny = py_grid.astype(jnp.float32) + jnp.sin(ang) * rad
-
         tap, in_b = _tap_rows(packed, nx, ny, width, height)
-        n_light, n_u, n_v = tap["light"], tap["u"], tap["v"]
-        n_w, n_m, nd, nn = tap["w"], tap["m"], tap["depth"], tap["normal"]
-        ok = in_b & _geometry_similar(gb, nd, nn) & (n_light >= 0) & gb.valid
+        ok = (in_b & _geometry_similar(gb, tap["depth"], tap["normal"])
+              & (tap["light"] >= 0) & gb.valid)
+        taps.append((tap, ok, u4))
 
-        p_hat_n, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
-                                    n_light, n_u, n_v, ltable)
-        w_n = jnp.where(ok, p_hat_n * n_w * n_m, 0.0)
-        res = _merge(res, n_light, n_u, n_v, w_n, u4[2],
-                     cand_m=jnp.where(ok, n_m, 0.0))
-    return finalize(scene, b, sv, view, gb.position, res, ltable)
+    if mode == "basic":
+        res = cur
+        for tap, ok, u4 in taps:
+            p_hat_n, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                        tap["light"], tap["u"], tap["v"],
+                                        ltable)
+            w_n = jnp.where(ok, p_hat_n * tap["w"] * tap["m"], 0.0)
+            res = _merge(res, tap["light"], tap["u"], tap["v"], w_n, u4[2],
+                         cand_m=jnp.where(ok, tap["m"], 0.0))
+        return finalize(scene, b, sv, view, gb.position, res,
+                        ltable), jnp.zeros(())
+
+    # --- pairwise / raytraced MIS over k accepted neighbors: partition
+    # m_i = beta_i/k, m_c = 1 - sum_i beta_i(y_c)/k with
+    # beta_i(y) = k*M_i*p_i(y) / (k*M_i*p_i(y) + M_c*p_c(y)).
+    k_eff = jnp.maximum(
+        sum(ok.astype(jnp.float32) for _, ok, _ in taps), 1.0)
+    m_c = jnp.maximum(cur.m, 1.0)
+    p_c_yc, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                  cur.light, cur.u, cur.v, ltable)
+    rays = jnp.zeros(())
+    m_can = jnp.ones_like(p_c_yc)
+    res = Reservoir.empty(cur.light.shape[0])
+    merges = []
+    for tap, ok, u4 in taps:
+        bn, sn, vn, pos_n = _tap_surface(tap["rows"], cam_pos)
+        p_c_yn, _, _, _ = _target_pdf(scene, b, sv, view, gb.position,
+                                      tap["light"], tap["u"], tap["v"],
+                                      ltable)
+        p_n_yn, _, _, _ = _target_pdf(scene, bn, sn, vn, pos_n,
+                                      tap["light"], tap["u"], tap["v"],
+                                      ltable)
+        p_n_yc, _, _, _ = _target_pdf(scene, bn, sn, vn, pos_n,
+                                      cur.light, cur.u, cur.v, ltable)
+        p_c_yn_b, p_n_yc_b = p_c_yn, p_n_yc
+        if mode == "raytraced":
+            vis_c_yn, r1 = _visibility(tracer, gb.position, gb.flat_normal,
+                                       scene, tap["light"], tap["u"],
+                                       tap["v"], ok, ltable)
+            vis_n_yc, r2 = _visibility(tracer, pos_n, tap["normal"], scene,
+                                       cur.light, cur.u, cur.v,
+                                       ok & (cur.light >= 0), ltable)
+            p_c_yn_b = p_c_yn * vis_c_yn
+            p_n_yc_b = p_n_yc * vis_n_yc
+            rays = rays + r1 + r2
+
+        def beta(p_n, p_c, m_n=tap["m"], ok=ok):
+            num = k_eff * m_n * p_n
+            den = num + m_c * p_c
+            return jnp.where(ok & (den > 0), num / jnp.maximum(den, 1e-20),
+                             0.0)
+
+        m_n_yn = beta(p_n_yn, p_c_yn_b) / k_eff
+        m_can = m_can - beta(p_n_yc_b, p_c_yc) / k_eff
+        merges.append((tap, ok, m_n_yn * p_c_yn * tap["w"], u4))
+
+    res = _merge(res, cur.light, cur.u, cur.v,
+                 jnp.maximum(m_can, 0.0) * p_c_yc * cur.w,
+                 rng.uniform4(px, py, frame, 310)[0], cand_m=cur.m)
+    for tap, ok, w_n, u4 in merges:
+        res = _merge(res, tap["light"], tap["u"], tap["v"],
+                     jnp.where(ok, w_n, 0.0), u4[2],
+                     cand_m=jnp.where(ok, tap["m"], 0.0))
+    return finalize_gris(scene, b, sv, view, gb.position, res,
+                         ltable), rays
 
 
 def final_shading(scene: Scene, gb: GBuffer, view: Vec3, tracer,
@@ -501,23 +714,33 @@ def final_shading(scene: Scene, gb: GBuffer, view: Vec3, tracer,
 def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
                            state: ReSTIRState, px, py, frame, width, height,
                            settings: ReSTIRSettings = ReSTIRSettings(),
-                           py_grid=None, regir=None):
+                           py_grid=None, regir=None, cam_pos=None,
+                           cam_prev=None):
     """The full per-frame ReSTIR DI pipeline (RTXDI.ixx:207-241 order).
     Returns ((diffuse, specular), new state, rays traced). `py_grid`: see
     temporal_resampling — tile-local rows under a sharded mesh. `regir`:
-    optional (ReGIRGrid, ReGIRSettings), see initial_sampling."""
+    optional (ReGIRGrid, ReGIRSettings), see initial_sampling.
+    `cam_pos`/`cam_prev`: camera positions (current/previous frame),
+    needed by the pairwise/raytraced bias-correction modes."""
     ltable = getattr(tracer, "light_table", None)
     res, rays = initial_sampling(scene, gb, view, tracer, px, py, frame,
                                  settings, regir=regir)
     if settings.temporal:
-        res = temporal_resampling(scene, gb, view, state, res, px, py, frame,
-                                  width, height, settings, py_grid=py_grid,
-                                  ltable=ltable)
+        res, r_t = temporal_resampling(scene, gb, view, state, res, px, py,
+                                       frame, width, height, settings,
+                                       py_grid=py_grid, ltable=ltable,
+                                       tracer=tracer, cam_prev=cam_prev)
+        rays = rays + r_t
     if settings.spatial:
-        res = spatial_resampling(scene, gb, view, res, px, py, frame,
-                                 width, height, settings, py_grid=py_grid,
-                                 ltable=ltable)
+        res, r_s = spatial_resampling(scene, gb, view, res, px, py, frame,
+                                      width, height, settings,
+                                      py_grid=py_grid, ltable=ltable,
+                                      tracer=tracer, cam_pos=cam_pos)
+        rays = rays + r_s
     diffuse, specular, shade_rays = final_shading(scene, gb, view, tracer, res)
-    new_state = ReSTIRState(reservoir=res, depth=gb.depth,
-                            normal=gb.shading_normal)
+    pairwise_t = settings.temporal_bias_correction != "basic"
+    new_state = ReSTIRState(
+        reservoir=res, depth=gb.depth, normal=gb.shading_normal,
+        surface=(_pack_surface(gb) if pairwise_t
+                 else jnp.zeros((1, 8))))
     return (diffuse, specular), new_state, rays + shade_rays

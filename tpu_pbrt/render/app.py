@@ -102,6 +102,10 @@ class App:
             initial_brdf_samples=s.raytracing.restir_brdf_samples,
             temporal=s.raytracing.restir_temporal,
             spatial=s.raytracing.restir_spatial,
+            temporal_bias_correction=(
+                s.raytracing.restir_temporal_bias_correction),
+            spatial_bias_correction=(
+                s.raytracing.restir_spatial_bias_correction),
         )
         self.regir_settings = (regir_mod.ReGIRSettings(
             cells_per_axis=s.raytracing.regir_cells_per_axis,
@@ -177,7 +181,10 @@ class App:
         return FrameHistory(
             denoiser=denoise_mod.init_state(self.render_h, self.render_w),
             taa=taa_mod.init_state(self.out_h, self.out_w),
-            restir=restir_mod.ReSTIRState.empty(self.render_w * self.render_h),
+            restir=restir_mod.ReSTIRState.empty(
+                self.render_w * self.render_h,
+                pairwise=(self.restir_settings.temporal_bias_correction
+                          != "basic")),
             sharc=sharc_mod.init_state(self.sharc_settings),
         )
 
@@ -282,7 +289,8 @@ class App:
                 ((di_diff, di_spec), restir_state,
                  restir_rays) = restir_mod.render_direct_lighting(
                     scene, gb, view, tracer, history.restir, px, py, frame,
-                    rw, rh, self.restir_settings, regir=regir)
+                    rw, rh, self.restir_settings, regir=regir,
+                    cam_pos=cam.position, cam_prev=cam.prev_position)
             di = di_diff + di_spec
             di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
             rays_total = rays_total + restir_rays

@@ -40,6 +40,10 @@ class RaytracingSettings:
     restir_brdf_samples: int = 1
     restir_temporal: bool = True
     restir_spatial: bool = True
+    # bias-correction modes (reference: MyAppData.h:227-246):
+    # "basic" | "pairwise" | "raytraced"
+    restir_temporal_bias_correction: str = "basic"
+    restir_spatial_bias_correction: str = "basic"
     # ReGIR world-space presampled light grid (RTXDI ReGIR block;
     # reference: Shaders/ReGIRPresampling.hlsl). Off by default — it pays
     # for itself in many-light scenes; cell size in world units.
@@ -73,6 +77,10 @@ class RaytracingSettings:
             int(self.samples_per_pixel), 1, MAX_SAMPLES_PER_PIXEL)
         self.restir_local_light_samples = _clamp(
             int(self.restir_local_light_samples), 1, 32)
+        for f in ("restir_temporal_bias_correction",
+                  "restir_spatial_bias_correction"):
+            if getattr(self, f) not in ("basic", "pairwise", "raytraced"):
+                setattr(self, f, "basic")
         self.restir_brdf_samples = _clamp(int(self.restir_brdf_samples), 0, 8)
         self.regir_cells_per_axis = _clamp(int(self.regir_cells_per_axis),
                                            2, 64)
