@@ -1,0 +1,131 @@
+"""Per-ray-culled traversal (ops/traverse_culled.py) vs the dense
+reference: exactness, opacity shadows, refit, and tracer dispatch."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_pbrt.ops import tracer as tracer_mod
+from tpu_pbrt.ops import traverse_culled as tc
+from tpu_pbrt.ops import traverse_dense as td
+from tpu_pbrt.ops.vec import Vec3
+
+
+def soup(t=700, seed=0):
+    rng = np.random.default_rng(seed)
+    c = rng.uniform(-2, 2, (t, 3)).astype(np.float32)
+    v0 = c + rng.normal(0, 0.15, (t, 3)).astype(np.float32)
+    v1 = c + rng.normal(0, 0.15, (t, 3)).astype(np.float32)
+    v2 = c + rng.normal(0, 0.15, (t, 3)).astype(np.float32)
+    op = (rng.uniform(size=t) > 0.3).astype(np.float32)
+    return v0, v1, v2, op
+
+
+def rays(r=2500, seed=1):
+    rng = np.random.default_rng(seed)
+    o = rng.uniform(-3, 3, (r, 3)).astype(np.float32)
+    d = rng.normal(size=(r, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    ov = Vec3(jnp.asarray(o[:, 0]), jnp.asarray(o[:, 1]), jnp.asarray(o[:, 2]))
+    dv = Vec3(jnp.asarray(d[:, 0]), jnp.asarray(d[:, 1]), jnp.asarray(d[:, 2]))
+    tmin = jnp.zeros((r,))
+    tmax = jnp.full((r,), jnp.inf).at[::7].set(-jnp.inf)  # inactive lanes
+    return ov, dv, tmin, tmax
+
+
+class TestCulledVsDense:
+    def test_closest_hit_exact(self):
+        v0, v1, v2, op = soup()
+        ct = tc.prepare(v0, v1, v2, op)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays()
+        hc = jax.jit(tc.closest_hit)(ct, ov, dv, tmin, tmax)
+        hd = jax.jit(td.closest_hit)(dt, ov, dv, tmin, tmax)
+        fc, fd = np.isfinite(np.asarray(hc.t)), np.isfinite(np.asarray(hd.t))
+        assert (fc == fd).all()
+        m = fc & fd
+        # t carries the mantissa-packed index truncation (2^-12 relative)
+        np.testing.assert_allclose(np.asarray(hc.t)[m], np.asarray(hd.t)[m],
+                                   rtol=5e-4)
+        assert (np.asarray(hc.tri)[m] == np.asarray(hd.tri)[m]).all()
+
+    def test_any_hit_exact(self):
+        v0, v1, v2, op = soup(seed=5)
+        ct = tc.prepare(v0, v1, v2, op)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays(seed=6)
+        ac = jax.jit(tc.any_hit)(ct, ov, dv, tmin, tmax)
+        ad = jax.jit(td.any_hit)(dt, ov, dv, tmin, tmax)
+        assert (np.asarray(ac) == np.asarray(ad)).all()
+
+    def test_bounded_interval(self):
+        """Finite t_max must cut off farther hits identically."""
+        v0, v1, v2, op = soup(seed=9)
+        ct = tc.prepare(v0, v1, v2, op)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, _ = rays(seed=10)
+        tmax = jnp.full((ov.x.shape[0],), 1.5)
+        hc = jax.jit(tc.closest_hit)(ct, ov, dv, tmin, tmax)
+        hd = jax.jit(td.closest_hit)(dt, ov, dv, tmin, tmax)
+        assert (np.isfinite(np.asarray(hc.t))
+                == np.isfinite(np.asarray(hd.t))).all()
+
+    def test_refit_tracks_deformation(self):
+        v0, v1, v2, op = soup(seed=2)
+        ct = tc.prepare(v0, v1, v2, op)
+        shift = np.float32([0.5, -0.25, 1.0])
+        ct2 = jax.jit(tc.refit)(ct, jnp.asarray(v0 + shift),
+                                jnp.asarray(v1 + shift),
+                                jnp.asarray(v2 + shift))
+        dt2 = td.prepare(jnp.asarray(v0 + shift), jnp.asarray(v1 + shift),
+                         jnp.asarray(v2 + shift), opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays(seed=3)
+        hc = jax.jit(tc.closest_hit)(ct2, ov, dv, tmin, tmax)
+        hd = jax.jit(td.closest_hit)(dt2, ov, dv, tmin, tmax)
+        m = np.isfinite(np.asarray(hc.t))
+        assert (m == np.isfinite(np.asarray(hd.t))).all()
+        assert (np.asarray(hc.tri)[m] == np.asarray(hd.tri)[m]).all()
+
+    def test_tracer_dispatch_picks_culled(self):
+        from tpu_pbrt.models.material import make_table
+        from tpu_pbrt.models.mesh import build_geometry
+        from tpu_pbrt.models.scene import make_environment, make_scene
+
+        rng = np.random.default_rng(11)
+        t = tracer_mod.CULLED_MIN_TRIS + 64
+        pos = rng.uniform(-1, 1, (t * 3, 3)).astype(np.float32)
+        ind = np.arange(t * 3, dtype=np.int32).reshape(t, 3)
+        geom = build_geometry([{
+            "positions": pos, "normals": pos, "indices": ind, "material": 0,
+        }])
+        scene = make_scene(geom, make_table([{}]), make_environment())
+        trc = tracer_mod.build_for_scene(scene)
+        assert trc.kind == "culled"
+
+    def test_cornell_render_via_culled(self):
+        """Force the culled backend on the Cornell box: the render must
+        match the dense backend pixel-for-pixel (same estimator)."""
+        from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+        from tpu_pbrt.passes.pathtrace import PathTraceSettings
+        from tpu_pbrt.render.renderer import _render_frame
+
+        scene = make_cornell_box()
+        cam = make_cornell_camera(24, 24).data()
+        settings = PathTraceSettings(bounces=2)
+        imgs = {}
+        for kind in ("dense", "culled"):
+            trc = tracer_mod.build_for_scene(scene, kind=kind)
+            img, _ = jax.jit(
+                lambda trc, sc, c: _render_frame(
+                    trc, sc, c, np.uint32(0), width=24, height=24,
+                    settings=settings))(trc, scene, cam)
+            imgs[kind] = np.asarray(img)
+        # same estimator; only the traversal t carries the 2^-12 index
+        # truncation, which perturbs spawn points slightly
+        assert np.isfinite(imgs["culled"]).all()
+        np.testing.assert_allclose(imgs["culled"].mean(),
+                                   imgs["dense"].mean(), rtol=0.02)

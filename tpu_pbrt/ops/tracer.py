@@ -22,9 +22,13 @@ import jax.numpy as jnp
 
 from . import bvh as bvh_mod
 from . import shade_table as shade_mod
-from . import traverse, traverse_blocked, traverse_dense
+from . import traverse, traverse_blocked, traverse_culled, traverse_dense
 
 DENSE_MAX_TRIS = 2048
+# above this, per-ray culling beats the blocked packet sweep (measured:
+# the 25k-tri sphere runs ~15x faster culled; at a few thousand tris the
+# mask/sort overheads lose to the straight dense sweep)
+CULLED_MIN_TRIS = 6144
 
 
 # re-intersection passes for textured alpha cutouts: up to K-1 transparent
@@ -75,6 +79,10 @@ class Tracer:
             return traverse_blocked.closest_hit(
                 self.accel, origin, direction, t_min, t_max
             )
+        if self.kind == "culled":
+            return traverse_culled.closest_hit(
+                self.accel, origin, direction, t_min, t_max
+            )
         return traverse.closest_hit(self.accel, origin, direction, t_min, t_max)
 
     def closest_hit(self, origin, direction, t_min, t_max) -> traverse.Hit:
@@ -113,6 +121,10 @@ class Tracer:
             return traverse_blocked.any_hit(
                 self.accel, origin, direction, t_min, t_max
             )
+        if self.kind == "culled":
+            return traverse_culled.any_hit(
+                self.accel, origin, direction, t_min, t_max
+            )
         return traverse.any_hit(self.accel, origin, direction, t_min, t_max)
 
 
@@ -134,7 +146,8 @@ def build_for_scene(scene, kind: str | None = None, textures=None,
     geometry = scene.geometry
     t = geometry.num_tris
     if kind is None:
-        kind = "dense" if t <= DENSE_MAX_TRIS else "blocked"
+        kind = ("dense" if t <= DENSE_MAX_TRIS
+                else "blocked" if t < CULLED_MIN_TRIS else "culled")
 
     table = shade_mod.build(geometry, scene.materials, scene.lights)
     table = shade_mod.pad(table)
@@ -160,6 +173,8 @@ def build_for_scene(scene, kind: str | None = None, textures=None,
                                        opacity=jnp.asarray(opacity))
     elif kind == "blocked":
         accel = traverse_blocked.prepare(v0, v1, v2, opacity)
+    elif kind == "culled":
+        accel = traverse_culled.prepare(v0, v1, v2, opacity)
     else:
         accel = bvh_mod.build(jnp.asarray(v0), jnp.asarray(v1),
                               jnp.asarray(v2))
@@ -187,6 +202,8 @@ def refit(tracer: Tracer, v0, v1, v2) -> Tracer:
             v0, v1, v2, opacity=tracer.accel.opacity[:t])
     elif tracer.kind == "blocked":
         accel = traverse_blocked.refit(tracer.accel, v0, v1, v2)
+    elif tracer.kind == "culled":
+        accel = traverse_culled.refit(tracer.accel, v0, v1, v2)
     else:
         accel = bvh_mod.refit(tracer.accel, v0, v1, v2)
     return Tracer(tracer.kind, accel, tracer.shade_table,
