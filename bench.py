@@ -217,6 +217,67 @@ def bench_manylight(width=1920, height=1080):
     return 1.0 / per_frame, rpf / per_frame / 1e6, rpf
 
 
+def _sphere_setup(textured: bool, height: int = 1080):
+    """25k-tri UV-sphere scene for BASELINE config #3 benches: returns
+    (scene, settings, textures, texture_srgb)."""
+    import numpy as _np
+
+    from tpu_pbrt.models.material import make_table
+    from tpu_pbrt.models.mesh import build_geometry
+    from tpu_pbrt.models.scene import make_environment, make_scene
+    from tpu_pbrt.passes.pathtrace import PathTraceSettings
+
+    nu, nv = 160, 80
+    theta = _np.linspace(0, _np.pi, nv)
+    phi = _np.linspace(0, 2 * _np.pi, nu, endpoint=False)
+    tt, pp = _np.meshgrid(theta, phi, indexing="ij")
+    pos = _np.stack([_np.sin(tt) * _np.cos(pp), _np.cos(tt),
+                     _np.sin(tt) * _np.sin(pp)], -1).reshape(-1, 3)
+    idx = []
+    for i in range(nv - 1):
+        for j in range(nu):
+            a = i * nu + j
+            b = i * nu + (j + 1) % nu
+            c = (i + 1) * nu + j
+            e = (i + 1) * nu + (j + 1) % nu
+            idx += [[a, b, c], [b, e, c]]
+    # equirect UVs so the base-color texture wraps the sphere
+    uvs = _np.stack([pp.reshape(-1) / (2 * _np.pi),
+                     tt.reshape(-1) / _np.pi], -1).astype(_np.float32)
+    geometry = build_geometry([{
+        "positions": pos.astype(_np.float32),
+        "normals": pos.astype(_np.float32),
+        "uv0": uvs,
+        "indices": _np.asarray(idx, _np.int32), "material": 0,
+    }])
+    mats = make_table([{
+        "base_color": (0.9, 0.8, 0.7, 1.0),
+        "roughness": 0.4, "metallic": 0.8,
+        "texture_index": ([0, -1, -1, -1, -1, -1, -1] if textured
+                          else [-1] * 7)}])
+    if textured:
+        # mip-mapped checker (config #3: textured mesh + mipmaps)
+        yy, xx = _np.meshgrid(_np.arange(256), _np.arange(256),
+                              indexing="ij")
+        checker = ((xx // 16 + yy // 16) % 2).astype(_np.uint8) * 180 + 60
+        tex = _np.stack([checker, checker, checker,
+                         _np.full_like(checker, 255)], -1)
+        textures, tex_srgb = [tex], [False]
+    else:
+        textures, tex_srgb = None, None
+    scene = make_scene(geometry, mats, make_environment(),
+                       textures=textures, texture_srgb=tex_srgb)
+    # ~95% of primary rays miss the distant sphere, so the live pool
+    # collapses after bounce 0: fold at every bounce (unbiased,
+    # tests/test_compaction.py)
+    settings = PathTraceSettings(
+        bounces=4, samples_per_pixel=1, count_rays=True,
+        compaction_schedule=(1, 2, 3),
+        cone_spread=(2.0 * float(_np.tan(_np.radians(45.0) / 2)) / height
+                     if textured else 0.0))
+    return scene, settings, textures, tex_srgb
+
+
 def breakdown(config: str = "cornell"):
     """Per-pass wall-time breakdown via jax.profiler: runs the config once
     under a trace and aggregates device-op durations by named_scope prefix
@@ -268,12 +329,18 @@ def breakdown(config: str = "cornell"):
         from tpu_pbrt.passes.pathtrace import PathTraceSettings
         from tpu_pbrt.render.renderer import _render_frame
 
-        scene = make_cornell_box()
-        trc = tracer_mod.build_for_scene(scene)
+        if config in ("sphere", "sphere-textured"):
+            scene, settings, textures, tex_srgb = _sphere_setup(
+                config == "sphere-textured")
+            trc = tracer_mod.build_for_scene(scene, textures=textures,
+                                             texture_srgb=tex_srgb)
+        else:
+            scene = make_cornell_box()
+            trc = tracer_mod.build_for_scene(scene)
+            settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
+                                         count_rays=True,
+                                         compaction_schedule=(4, 5, 6))
         cam = make_cornell_camera(1920, 1080).data()
-        settings = PathTraceSettings(bounces=8, samples_per_pixel=1,
-                                     count_rays=True,
-                                     compaction_schedule=(4, 5, 6))
 
         @jax.jit
         def run(c):
@@ -397,64 +464,13 @@ def main(config: str = "cornell"):
                                      compaction_schedule=(4, 5, 6))
         label = "Cornell metal/glass 1080p, 4 SPP, 8 bounces"
     elif config in ("sphere", "sphere-textured"):
-        # BASELINE config #3 stand-in: 25k-tri mesh via the blocked tracer.
-        # "sphere-textured" adds a mip-mapped base-color map — measured
-        # 0.33 Mrays/s vs 4.1 untextured on v5e: past ONEHOT_MAX_ROWS the
-        # shade-table fetch falls back to row gathers and the atlas adds
-        # ~40 texel gathers per bounce (the big-scene gather wall; see
-        # README roadmap)
-        import numpy as _np
-        from tpu_pbrt.models.material import make_table
-        from tpu_pbrt.models.mesh import build_geometry
-        from tpu_pbrt.models.scene import make_environment, make_scene
-
-        nu, nv = 160, 80
-        theta = _np.linspace(0, _np.pi, nv)
-        phi = _np.linspace(0, 2 * _np.pi, nu, endpoint=False)
-        tt, pp = _np.meshgrid(theta, phi, indexing="ij")
-        pos = _np.stack([_np.sin(tt) * _np.cos(pp), _np.cos(tt),
-                         _np.sin(tt) * _np.sin(pp)], -1).reshape(-1, 3)
-        idx = []
-        for i in range(nv - 1):
-            for j in range(nu):
-                a = i * nu + j
-                b = i * nu + (j + 1) % nu
-                c = (i + 1) * nu + j
-                e = (i + 1) * nu + (j + 1) % nu
-                idx += [[a, b, c], [b, e, c]]
+        # BASELINE config #3 stand-in: 25k-tri mesh via the culled tracer;
+        # "sphere-textured" adds a mip-mapped base-color map
+        scene, settings, textures, tex_srgb = _sphere_setup(
+            config == "sphere-textured", height)
         textured = config == "sphere-textured"
-        # equirect UVs so the base-color texture wraps the sphere
-        uvs = _np.stack([pp.reshape(-1) / (2 * _np.pi),
-                         tt.reshape(-1) / _np.pi], -1).astype(_np.float32)
-        geometry = build_geometry([{
-            "positions": pos.astype(_np.float32),
-            "normals": pos.astype(_np.float32),
-            "uv0": uvs,
-            "indices": _np.asarray(idx, _np.int32), "material": 0,
-        }])
-        mats = make_table([{
-            "base_color": (0.9, 0.8, 0.7, 1.0),
-            "roughness": 0.4, "metallic": 0.8,
-            "texture_index": ([0, -1, -1, -1, -1, -1, -1] if textured
-                              else [-1] * 7)}])
-        if textured:
-            # mip-mapped checker (config #3: textured mesh + mipmaps)
-            yy, xx = _np.meshgrid(_np.arange(256), _np.arange(256),
-                                  indexing="ij")
-            checker = ((xx // 16 + yy // 16) % 2).astype(_np.uint8) * 180 + 60
-            tex = _np.stack([checker, checker, checker,
-                             _np.full_like(checker, 255)], -1)
-            textures, tex_srgb = [tex], [False]
-        else:
-            textures, tex_srgb = None, None
-        scene = make_scene(geometry, mats, make_environment(),
-                           textures=textures, texture_srgb=tex_srgb)
-        settings = PathTraceSettings(
-            bounces=4, samples_per_pixel=1, count_rays=True,
-            cone_spread=(2.0 * float(_np.tan(_np.radians(45.0) / 2)) / height
-                         if textured else 0.0))
         label = (f"25k-tri {'textured ' if textured else ''}sphere 1080p, "
-                 "1 SPP, 4 bounces (blocked tracer"
+                 "1 SPP, 4 bounces (culled tracer"
                  + (" + mip-mapped base color)" if textured else ")"))
     elif config == "cornell-nofold":
         # default config without stochastic pool compaction (A/B reference)

@@ -65,7 +65,7 @@ INF = jnp.float32(jnp.inf)
 BLOCK = 64          # triangles per Morton block (tight AABBs)
 CHUNK = 128         # rays per chunk = one vector-lane width
 COLS = 12           # v0(3) e1(3) e2(3) id(1) opacity(1) pad(1)
-U1 = 12             # pass-1 blocks per chunk (~ measured mean chunk union)
+U1 = 16             # pass-1 blocks per chunk (A/B: 12 -> 16 halves unc)
 U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per lax.map step (memory control)
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
@@ -201,6 +201,36 @@ def _slab_mask(o: Vec3, d: Vec3, t0, t1, bmin, bmax):
     return hi >= lo, lo
 
 
+def _touched(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1):
+    """Slab-only prepass: per-ray 'mask non-empty' flag. Groups whose rays
+    are all inactive (t1 < t0, e.g. dead path-tracer lanes) skip under a
+    real scan-body branch, so the prepass costs ~nothing for dead pools."""
+    n = ox.shape[0]
+    nc = n // CHUNK
+    g = min(GROUP, nc)
+    while nc % g:
+        g -= 1
+
+    def per_group(args):
+        def real(a):
+            def one(c):
+                m, _ = _slab_mask(Vec3(c[0], c[1], c[2]),
+                                  Vec3(c[3], c[4], c[5]), c[6], c[7],
+                                  tris.block_min, tris.block_max)
+                return m.any(axis=0)
+
+            return jax.vmap(one)(jnp.stack(list(a), axis=1))
+
+        live = jnp.any(args[7] >= args[6])
+        return lax.cond(live, real,
+                        lambda a: jnp.zeros((g, CHUNK), bool), args)
+
+    out = lax.map(per_group, tuple(
+        a.reshape(nc // g, g, CHUNK)
+        for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
+    return out.reshape(-1)
+
+
 def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
                  any_mode: bool):
     """One chunk (CHUNK rays) against its top-`u_blocks` blocks.
@@ -259,9 +289,14 @@ def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
 
 
 def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
-           any_mode: bool):
+           any_mode: bool, touched=None):
     """Batched chunk sweep over a whole (padded) pool laid out row-major
-    as chunks of CHUNK rays. Returns flat (key, id, occ, uncovered)."""
+    as chunks of CHUNK rays. Returns flat (key, id, occ, uncovered).
+
+    With `touched` (per-ray mask-non-empty flags, rays pre-sorted so
+    untouched rays cluster at the tail), groups containing no touched ray
+    return all-miss under a real scan-body branch — sweep cost is then
+    proportional to the touched-ray count, not the pool size."""
     n = ox.shape[0]
     nc = n // CHUNK
     g = min(GROUP, nc)
@@ -271,44 +306,59 @@ def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
     def chunked(a):
         return a.reshape(nc // g, g, CHUNK)
 
-    def per_group(args):
-        cox, coy, coz, cdx, cdy, cdz, ct0, ct1 = args
-
+    def sweep_group(args):
         def one(c):
             o = Vec3(c[0], c[1], c[2])
             d = Vec3(c[3], c[4], c[5])
             return _chunk_query(tris.table, tris.block_min, tris.block_max,
                                 o, d, c[6], c[7], u_blocks, any_mode)
 
-        return jax.vmap(one)(jnp.stack(
-            [cox, coy, coz, cdx, cdy, cdz, ct0, ct1], axis=1))
+        return jax.vmap(one)(jnp.stack(list(args), axis=1))
 
-    key, rid, occ, unc = lax.map(
-        per_group,
-        tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
+    if touched is None:
+        key, rid, occ, unc = lax.map(
+            sweep_group,
+            tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
+    else:
+        def per_group(args):
+            def skip(a):
+                return (jnp.full((g, CHUNK), _UMAX),
+                        jnp.full((g, CHUNK), -1.0),
+                        jnp.zeros((g, CHUNK), bool),
+                        jnp.zeros((g, CHUNK), bool))
+
+            return lax.cond(jnp.any(args[8] > 0), sweep_group,
+                            skip, args[:8])
+
+        key, rid, occ, unc = lax.map(
+            per_group,
+            tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1,
+                                       touched)))
     return (key.reshape(-1), rid.reshape(-1), occ.reshape(-1),
             unc.reshape(-1))
 
 
 def _dense_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
-                any_mode: bool):
+                any_mode: bool, in_play=None):
     """Exact dense transposed sweep of a small COMPACTED pool against the
     whole table — no block selection, no fetch, any scene size. Cascade
     pass 3: rays whose slab mask overflowed U2 land here; cost is
-    pool/CHUNK full-table chunk sweeps, so keep the pool ~rp/32."""
+    pool/CHUNK full-table chunk sweeps, so keep the pool ~rp/32.
+    `in_play` flags let idle groups skip, so the pool can be the full
+    (padded) ray array when only a handful of groups still need it."""
     rows = tris.table.reshape(-1, COLS)
     ids = rows[:, 9]
     live = (ids >= 0.0)[:, None]
     n = ox.shape[0]
     nc = n // CHUNK
-    g = min(8, nc)
+    g = min(GROUP if in_play is not None else 8, nc)
     while nc % g:
         g -= 1
 
     def chunked(a):
         return a.reshape(nc // g, g, CHUNK)
 
-    def per_group(args):
+    def sweep_group(args):
         def one(c):
             o = Vec3(c[0], c[1], c[2])
             d = Vec3(c[3], c[4], c[5])
@@ -331,9 +381,24 @@ def _dense_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
 
         return jax.vmap(one)(jnp.stack(list(args), axis=1))
 
-    key, rid, occ = lax.map(
-        per_group,
-        tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
+    if in_play is None:
+        key, rid, occ = lax.map(
+            sweep_group,
+            tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
+    else:
+        def per_group(args):
+            def skip(a):
+                return (jnp.full((g, CHUNK), _UMAX),
+                        jnp.full((g, CHUNK), -1.0),
+                        jnp.zeros((g, CHUNK), bool))
+
+            return lax.cond(jnp.any(args[8] > 0), sweep_group, skip,
+                            args[:8])
+
+        key, rid, occ = lax.map(
+            per_group,
+            tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1,
+                                       in_play)))
     return key.reshape(-1), rid.reshape(-1), occ.reshape(-1)
 
 
@@ -399,23 +464,32 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     rp = ox.shape[0]
     rid0 = jnp.arange(rp, dtype=jnp.int32)
 
-    # coherence sort (the SER analogue): octant + origin Morton, STABLE by
-    # original ray index (second sort key). Stability is load-bearing:
-    # primary rays share one origin, so their keys tie and an unstable sort
-    # scrambles the screen order they arrived in — measured 19.4% of
-    # primary rays uncovered at U1 unstable vs coherent chunks stable.
+    # slab-only prepass: rays whose mask is EMPTY (touch no block — most
+    # primary rays of a small-on-screen object, and every dead lane) are
+    # exact misses; flag them so the sort clusters them at the tail and
+    # the sweep skips their groups entirely.
+    touched = _touched(tris, ox, oy, oz, dx, dy, dz, t0, t1).astype(
+        jnp.int32)
+
+    # coherence sort (the SER analogue): untouched-last + octant + origin
+    # Morton, STABLE by original ray index (second sort key). Stability is
+    # load-bearing: primary rays share one origin, so their keys tie and
+    # an unstable sort scrambles the screen order they arrived in —
+    # measured 19.4% of primary rays uncovered at U1 unstable vs coherent
+    # chunks stable.
     octant = ((dx >= 0).astype(jnp.uint32)
               + 2 * (dy >= 0).astype(jnp.uint32)
               + 4 * (dz >= 0).astype(jnp.uint32))
     code = morton3d(jnp.stack([ox, oy, oz], -1), tris.lo, tris.hi)
     skey = ((octant << jnp.uint32(27)) | (code >> jnp.uint32(5))).astype(
         jnp.int32)
-    (_, _, ox, oy, oz, dx, dy, dz, t0, t1, rid) = lax.sort(
-        (skey, rid0, ox, oy, oz, dx, dy, dz, t0, t1, rid0), dimension=0,
-        num_keys=2)
+    skey = skey | ((1 - touched) << 30)
+    (_, _, ox, oy, oz, dx, dy, dz, t0, t1, rid, touched) = lax.sort(
+        (skey, rid0, ox, oy, oz, dx, dy, dz, t0, t1, rid0, touched),
+        dimension=0, num_keys=2)
 
     key, hid, occ, unc = _sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1,
-                                U1, any_mode)
+                                U1, any_mode, touched=touched)
     if any_mode:
         unc = unc & ~occ
 
@@ -425,7 +499,10 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     # (_dense_pool), so only rays that overflow pool3 can remain — the
     # full-pool _dense_all below is an absolute fallback that never fires
     # in practice. Every pass is under a scalar cond: covered frames pay
-    # only the jnp.any.
+    # only the jnp.any. (An in-place, sort-free cascade driven purely by
+    # group-skip flags was measured and rejected: uncovered rays scatter
+    # across most touched groups, so re-sweeping them at U2 cost far more
+    # than the compaction sort — 269 vs 140 ms per 2M-ray primary pool.)
     pool2 = max((rp // 8) // CHUNK * CHUNK, CHUNK)
     pool3 = max((rp // 32) // CHUNK * CHUNK, CHUNK)
 
@@ -440,9 +517,12 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
                 dimension=0, num_keys=1)
             occ = occf > 0
             sl = slice(0, pool)
+            # in-play flags double as the sweep's group-skip mask: the
+            # sort clustered uncovered rays at the head, so groups past
+            # them cost nothing even though the pool slice is static.
             k2, id2, occ2, unc2 = sweep_fn(
                 ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
-                t0[sl], t1[sl])
+                t0[sl], t1[sl], uncf[sl].astype(jnp.int32))
             in_play = uncf[sl] > 0
             better = in_play & (k2 < key[sl])
             key = key.at[sl].set(jnp.where(better, k2, key[sl]))
@@ -458,12 +538,13 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
                     t1, rid)
         return run
 
-    def sweep_u2(ox, oy, oz, dx, dy, dz, t0, t1):
-        return _sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1, U2, any_mode)
+    def sweep_u2(ox, oy, oz, dx, dy, dz, t0, t1, in_play):
+        return _sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1, U2, any_mode,
+                      touched=in_play)
 
-    def sweep_dense(ox, oy, oz, dx, dy, dz, t0, t1):
+    def sweep_dense(ox, oy, oz, dx, dy, dz, t0, t1, in_play):
         k, i, o_ = _dense_pool(tris, ox, oy, oz, dx, dy, dz, t0, t1,
-                               any_mode)
+                               any_mode, in_play)
         return k, i, o_, jnp.zeros_like(o_)
 
     carry = (key, hid, occ, unc, ox, oy, oz, dx, dy, dz, t0, t1, rid)
