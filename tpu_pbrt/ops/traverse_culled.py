@@ -67,7 +67,8 @@ CHUNK = 128         # rays per chunk = one vector-lane width
 COLS = 12           # v0(3) e1(3) e2(3) id(1) opacity(1) pad(1)
 U1 = 16             # pass-1 blocks per chunk (A/B: 12 -> 16 halves unc)
 U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
-GROUP = 64          # chunks per lax.map step (memory control)
+GROUP = 64          # chunks per sweep step (memory control)
+SUPER = 8           # blocks per superblock for the fused touched prepass
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -76,6 +77,8 @@ class CulledTris(NamedTuple):
     table: jnp.ndarray      # (B, BLOCK*COLS) f32 fetch table
     block_min: jnp.ndarray  # (B, 3)
     block_max: jnp.ndarray  # (B, 3)
+    super_min: jnp.ndarray  # (S, 3) unions of SUPER Morton-adjacent blocks
+    super_max: jnp.ndarray  # (S, 3)
     tri_id: jnp.ndarray     # (B*BLOCK,) i32 (refit bookkeeping)
     lo: jnp.ndarray         # (3,) scene bounds for the ray Morton sort
     hi: jnp.ndarray         # (3,)
@@ -93,6 +96,19 @@ def _pack_table(sv0, sv1, sv2, sid, sop):
          sop.astype(xp.float32)[:, None],
          xp.zeros((tp, 1), xp.float32)], axis=1)
     return cols.reshape(nb, BLOCK * COLS)
+
+
+def _super_bounds(bmin, bmax):
+    """(S, 3) AABB unions of SUPER Morton-adjacent blocks (np or jnp)."""
+    xp = jnp if isinstance(bmin, jnp.ndarray) else np
+    nb = bmin.shape[0]
+    pad = (-nb) % SUPER
+    if pad:
+        bmin = xp.concatenate([bmin, xp.full((pad, 3), xp.inf, bmin.dtype)])
+        bmax = xp.concatenate([bmax, xp.full((pad, 3), -xp.inf, bmax.dtype)])
+    s = bmin.shape[0] // SUPER
+    return (bmin.reshape(s, SUPER, 3).min(1),
+            bmax.reshape(s, SUPER, 3).max(1))
 
 
 def prepare(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -143,10 +159,13 @@ def prepare(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     glo = np.minimum(np.minimum(v0.min(0), v1.min(0)), v2.min(0))
     ghi = np.maximum(np.maximum(v0.max(0), v1.max(0)), v2.max(0))
+    smin, smax = _super_bounds(bmin.astype(np.float32),
+                               bmax.astype(np.float32))
     return CulledTris(
         table=jnp.asarray(_pack_table(sv0, sv1, sv2, sid, sop)),
         block_min=jnp.asarray(bmin.astype(np.float32)),
         block_max=jnp.asarray(bmax.astype(np.float32)),
+        super_min=jnp.asarray(smin), super_max=jnp.asarray(smax),
         tri_id=jnp.asarray(sid),
         lo=jnp.asarray(glo), hi=jnp.asarray(ghi),
         num=t,
@@ -173,9 +192,11 @@ def refit(tris: CulledTris, v0, v1, v2) -> CulledTris:
                            jnp.inf), axis=0)
     hi = jnp.max(jnp.where(valid, jnp.maximum(jnp.maximum(sv0, sv1), sv2),
                            -jnp.inf), axis=0)
+    smin, smax = _super_bounds(bmin, bmax)
     return tris._replace(
         table=_pack_table(sv0, sv1, sv2, tris.tri_id, op),
-        block_min=bmin, block_max=bmax, lo=lo, hi=hi)
+        block_min=bmin, block_max=bmax,
+        super_min=smin, super_max=smax, lo=lo, hi=hi)
 
 
 # ---------------------------------------------------------------------------
@@ -202,33 +223,21 @@ def _slab_mask(o: Vec3, d: Vec3, t0, t1, bmin, bmax):
 
 
 def _touched(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1):
-    """Slab-only prepass: per-ray 'mask non-empty' flag. Groups whose rays
-    are all inactive (t1 < t0, e.g. dead path-tracer lanes) skip under a
-    real scan-body branch, so the prepass costs ~nothing for dead pools."""
-    n = ox.shape[0]
-    nc = n // CHUNK
-    g = min(GROUP, nc)
-    while nc % g:
-        g -= 1
-
-    def per_group(args):
-        def real(a):
-            def one(c):
-                m, _ = _slab_mask(Vec3(c[0], c[1], c[2]),
-                                  Vec3(c[3], c[4], c[5]), c[6], c[7],
-                                  tris.block_min, tris.block_max)
-                return m.any(axis=0)
-
-            return jax.vmap(one)(jnp.stack(list(a), axis=1))
-
-        live = jnp.any(args[7] >= args[6])
-        return lax.cond(live, real,
-                        lambda a: jnp.zeros((g, CHUNK), bool), args)
-
-    out = lax.map(per_group, tuple(
-        a.reshape(nc // g, g, CHUNK)
-        for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
-    return out.reshape(-1)
+    """Slab-only prepass: per-ray 'touches any SUPERBLOCK' flag — a
+    conservative superset of the exact per-block mask, but fully fused
+    elementwise VPU work: no map steps, no conds (the round-3 profile
+    showed the exact chunked/cond'd prepass cost ~20 ms/query in map-step
+    and cond fixed costs alone). Dead lanes (t1 < t0) test empty. Tiled
+    over supers in groups of SUPER so unfused intermediates stay bounded."""
+    sm, sM = tris.super_min, tris.super_max
+    s = sm.shape[0]
+    touched = jnp.zeros(ox.shape, bool)
+    for a in range(0, s, SUPER):
+        b = min(a + SUPER, s)
+        m, _ = _slab_mask(Vec3(ox, oy, oz), Vec3(dx, dy, dz), t0, t1,
+                          sm[a:b], sM[a:b])
+        touched = touched | m.any(axis=0)
+    return touched
 
 
 def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
@@ -289,22 +298,22 @@ def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
 
 
 def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
-           any_mode: bool, touched=None):
+           any_mode: bool, n_live=None):
     """Batched chunk sweep over a whole (padded) pool laid out row-major
     as chunks of CHUNK rays. Returns flat (key, id, occ, uncovered).
 
-    With `touched` (per-ray mask-non-empty flags, rays pre-sorted so
-    untouched rays cluster at the tail), groups containing no touched ray
-    return all-miss under a real scan-body branch — sweep cost is then
-    proportional to the touched-ray count, not the pool size."""
+    With `n_live` (a traced count of rays needing the sweep; such rays
+    MUST be pre-sorted to the head of the pool), the group loop is a
+    `lax.while_loop` whose trip count is ceil(n_live / group_lanes):
+    groups past the live head never execute at all — no conds, no
+    identity-branch copies (the round-3 profile measured cond-per-group
+    skipping at ~44 ms/query fixed cost; a bounded while pays zero)."""
     n = ox.shape[0]
     nc = n // CHUNK
     g = min(GROUP, nc)
     while nc % g:
         g -= 1
-
-    def chunked(a):
-        return a.reshape(nc // g, g, CHUNK)
+    arrays = (ox, oy, oz, dx, dy, dz, t0, t1)
 
     def sweep_group(args):
         def one(c):
@@ -315,27 +324,36 @@ def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
 
         return jax.vmap(one)(jnp.stack(list(args), axis=1))
 
-    if touched is None:
+    if n_live is None:
         key, rid, occ, unc = lax.map(
             sweep_group,
-            tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1)))
-    else:
-        def per_group(args):
-            def skip(a):
-                return (jnp.full((g, CHUNK), _UMAX),
-                        jnp.full((g, CHUNK), -1.0),
-                        jnp.zeros((g, CHUNK), bool),
-                        jnp.zeros((g, CHUNK), bool))
+            tuple(a.reshape(nc // g, g, CHUNK) for a in arrays))
+        return (key.reshape(-1), rid.reshape(-1), occ.reshape(-1),
+                unc.reshape(-1))
 
-            return lax.cond(jnp.any(args[8] > 0), sweep_group,
-                            skip, args[:8])
+    gl = g * CHUNK
+    n_groups = (jnp.asarray(n_live, jnp.int32) + (gl - 1)) // gl
 
-        key, rid, occ, unc = lax.map(
-            per_group,
-            tuple(chunked(a) for a in (ox, oy, oz, dx, dy, dz, t0, t1,
-                                       touched)))
-    return (key.reshape(-1), rid.reshape(-1), occ.reshape(-1),
-            unc.reshape(-1))
+    def cond(st):
+        return st[0] < n_groups
+
+    def body(st):
+        i, key, rid, occ, unc = st
+        off = i * gl
+        args = tuple(
+            lax.dynamic_slice(a, (off,), (gl,)).reshape(g, CHUNK)
+            for a in arrays)
+        k, r_, o_, u_ = sweep_group(args)
+        return (i + 1,
+                lax.dynamic_update_slice(key, k.reshape(-1), (off,)),
+                lax.dynamic_update_slice(rid, r_.reshape(-1), (off,)),
+                lax.dynamic_update_slice(occ, o_.reshape(-1), (off,)),
+                lax.dynamic_update_slice(unc, u_.reshape(-1), (off,)))
+
+    init = (jnp.int32(0), jnp.full((n,), _UMAX), jnp.full((n,), -1.0),
+            jnp.zeros((n,), bool), jnp.zeros((n,), bool))
+    _, key, rid, occ, unc = lax.while_loop(cond, body, init)
+    return key, rid, occ, unc
 
 
 def _dense_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
@@ -464,117 +482,151 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     rp = ox.shape[0]
     rid0 = jnp.arange(rp, dtype=jnp.int32)
 
-    # slab-only prepass: rays whose mask is EMPTY (touch no block — most
-    # primary rays of a small-on-screen object, and every dead lane) are
-    # exact misses; flag them so the sort clusters them at the tail and
-    # the sweep skips their groups entirely.
-    touched = _touched(tris, ox, oy, oz, dx, dy, dz, t0, t1).astype(
-        jnp.int32)
+    # slab-only prepass: rays that touch no superblock (most primary rays
+    # of a small-on-screen object, and every dead lane) are exact misses;
+    # flag them so the sort clusters them at the tail and the sweep's
+    # while bound never reaches their groups. The touched COUNT is
+    # sort-invariant, so it is computed here and never carried.
+    touched = _touched(tris, ox, oy, oz, dx, dy, dz, t0, t1)
+    n_touched = jnp.sum(touched.astype(jnp.int32))
 
     # coherence sort (the SER analogue): untouched-last + octant + origin
-    # Morton, STABLE by original ray index (second sort key). Stability is
-    # load-bearing: primary rays share one origin, so their keys tie and
-    # an unstable sort scrambles the screen order they arrived in —
-    # measured 19.4% of primary rays uncovered at U1 unstable vs coherent
-    # chunks stable.
+    # Morton, then DIRECTION Morton as a second key, STABLE by original
+    # ray index (third key). The direction key is load-bearing for
+    # primary-class rays: they share one origin so key 1 ties completely,
+    # and without it stable order = scanline order, whose 128-ray chunks
+    # sweep a thin sliver that touches 12-16 blocks; direction-Morton
+    # ties break into compact screen TILES touching far fewer. The sorted
+    # rid0 key output doubles as the unsort permutation payload.
     octant = ((dx >= 0).astype(jnp.uint32)
               + 2 * (dy >= 0).astype(jnp.uint32)
               + 4 * (dz >= 0).astype(jnp.uint32))
     code = morton3d(jnp.stack([ox, oy, oz], -1), tris.lo, tris.hi)
     skey = ((octant << jnp.uint32(27)) | (code >> jnp.uint32(5))).astype(
         jnp.int32)
-    skey = skey | ((1 - touched) << 30)
-    (_, _, ox, oy, oz, dx, dy, dz, t0, t1, rid, touched) = lax.sort(
-        (skey, rid0, ox, oy, oz, dx, dy, dz, t0, t1, rid0, touched),
-        dimension=0, num_keys=2)
+    skey = skey | jnp.where(touched, 0, 1 << 30)
+    dkey = morton3d(jnp.stack([dx, dy, dz], -1),
+                    jnp.float32(-1.0), jnp.float32(1.0)).astype(jnp.int32)
+    (_, _, rid, ox, oy, oz, dx, dy, dz, t0, t1) = lax.sort(
+        (skey, dkey, rid0, ox, oy, oz, dx, dy, dz, t0, t1),
+        dimension=0, num_keys=3)
 
     key, hid, occ, unc = _sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1,
-                                U1, any_mode, touched=touched)
+                                U1, any_mode, n_live=n_touched)
     if any_mode:
         unc = unc & ~occ
+    n_unc = jnp.sum(unc.astype(jnp.int32))
 
-    # --- cascade: compact the uncovered rays to the front by one sort,
-    # re-sweep the head slice with more blocks. Pass 2 = rp/8 pool at U2;
-    # pass 3 = rp/32 pool swept EXACTLY against the whole table
-    # (_dense_pool), so only rays that overflow pool3 can remain — the
-    # full-pool _dense_all below is an absolute fallback that never fires
-    # in practice. Every pass is under a scalar cond: covered frames pay
-    # only the jnp.any. (An in-place, sort-free cascade driven purely by
-    # group-skip flags was measured and rejected: uncovered rays scatter
-    # across most touched groups, so re-sweeping them at U2 cost far more
-    # than the compaction sort — 269 vs 140 ms per 2M-ray primary pool.)
+    # --- cascade: compact the uncovered rays to the front by one stable
+    # sort (so positions < n_unc are exactly them — no flag operands),
+    # re-sweep the head rp/8 slice at U2, then dense-sweep (whole table,
+    # group-skipped) whatever that leaves, then an absolute-fallback
+    # dense pass for overflow past the slice (never fires in practice).
+    # The whole cascade sits under ONE scalar cond whose outputs are only
+    # the arrays live afterwards — the ray/aux arrays die inside, so a
+    # covered frame pays one jnp.any plus a small identity copy. (An
+    # in-place, sort-free cascade driven purely by group-skip flags was
+    # measured and rejected: uncovered rays scatter across most touched
+    # groups — 269 vs 140 ms per 2M-ray primary pool.)
     pool2 = max((rp // 8) // CHUNK * CHUNK, CHUNK)
-    pool3 = max((rp // 32) // CHUNK * CHUNK, CHUNK)
+    sl = slice(0, pool2)
+    iota = jnp.arange(rp, dtype=jnp.int32)
+    n_in = jnp.minimum(n_unc, pool2)
+    unc_key = (~unc).astype(jnp.int32)
 
-    def cascade(pool, sweep_fn):
-        def run(carry):
-            key, hid, occ, unc, ox, oy, oz, dx, dy, dz, t0, t1, rid = carry
-            (_, key, hid, occf, uncf, ox, oy, oz, dx, dy, dz, t0, t1,
-             rid) = lax.sort(
-                ((~unc).astype(jnp.int32), key, hid,
-                 occ.astype(jnp.float32), unc.astype(jnp.float32),
+    def common_head(ops):
+        """Sort-compact, U2-re-sweep the head slice; returns the sorted
+        operands plus the U2 sweep results and in-play flags."""
+        in_play = iota[:pool2] < n_unc
+        k3, id3, oc3, un3 = _sweep(
+            tris, ops[0][sl], ops[1][sl], ops[2][sl], ops[3][sl],
+            ops[4][sl], ops[5][sl], ops[6][sl], ops[7][sl],
+            U2, any_mode, n_live=n_in)
+        return in_play, k3, id3, oc3, un3
+
+    if any_mode:
+        def cascade(_):
+            (_, occf, ox2, oy2, oz2, dx2, dy2, dz2, t02, t12,
+             rid2) = lax.sort(
+                (unc_key, occ.astype(jnp.float32),
                  ox, oy, oz, dx, dy, dz, t0, t1, rid),
                 dimension=0, num_keys=1)
-            occ = occf > 0
-            sl = slice(0, pool)
-            # in-play flags double as the sweep's group-skip mask: the
-            # sort clustered uncovered rays at the head, so groups past
-            # them cost nothing even though the pool slice is static.
-            k2, id2, occ2, unc2 = sweep_fn(
-                ox[sl], oy[sl], oz[sl], dx[sl], dy[sl], dz[sl],
-                t0[sl], t1[sl], uncf[sl].astype(jnp.int32))
-            in_play = uncf[sl] > 0
-            better = in_play & (k2 < key[sl])
-            key = key.at[sl].set(jnp.where(better, k2, key[sl]))
-            hid = hid.at[sl].set(jnp.where(better, id2, hid[sl]))
-            occ = occ.at[sl].set(occ[sl] | (in_play & occ2))
-            still = in_play & unc2
-            if any_mode:
-                still = still & ~occ[sl]
-            unc_out = jnp.zeros_like(unc).at[sl].set(still)
-            # uncovered rays that did not fit the slice stay uncovered
-            unc_out = unc_out | (uncf > 0) & (jnp.arange(rp) >= pool)
-            return (key, hid, occ, unc_out, ox, oy, oz, dx, dy, dz, t0,
-                    t1, rid)
-        return run
+            occ2 = occf > 0
+            rays2 = (ox2, oy2, oz2, dx2, dy2, dz2, t02, t12)
+            in_play, _, _, oc3, un3 = common_head(rays2)
+            occ2 = occ2.at[sl].set(occ2[sl] | (in_play & oc3))
+            still = in_play & un3 & ~occ2[sl]
 
-    def sweep_u2(ox, oy, oz, dx, dy, dz, t0, t1, in_play):
-        return _sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1, U2, any_mode,
-                      touched=in_play)
+            def stage3(o2):
+                _, _, oc4 = _dense_pool(
+                    tris, ox2[sl], oy2[sl], oz2[sl], dx2[sl], dy2[sl],
+                    dz2[sl], t02[sl], t12[sl], True,
+                    in_play=still.astype(jnp.int32))
+                return o2.at[sl].set(o2[sl] | (still & oc4))
 
-    def sweep_dense(ox, oy, oz, dx, dy, dz, t0, t1, in_play):
-        k, i, o_ = _dense_pool(tris, ox, oy, oz, dx, dy, dz, t0, t1,
-                               any_mode, in_play)
-        return k, i, o_, jnp.zeros_like(o_)
+            occ2 = lax.cond(jnp.any(still), stage3, lambda o: o, occ2)
+            unc_tail = (iota >= pool2) & (iota < n_unc)
 
-    carry = (key, hid, occ, unc, ox, oy, oz, dx, dy, dz, t0, t1, rid)
-    carry = lax.cond(jnp.any(carry[3]), cascade(pool2, sweep_u2),
-                     lambda c: c, carry)
-    carry = lax.cond(jnp.any(carry[3]), cascade(pool3, sweep_dense),
-                     lambda c: c, carry)
+            def catch_tail(o2):
+                t1m = jnp.where(unc_tail, t12, -INF)
+                _, _, occd = _dense_all(tris, ox2, oy2, oz2, dx2, dy2,
+                                        dz2, t02, t1m, True)
+                return o2 | (unc_tail & occd)
 
-    # --- absolute fallback: exact dense sweep for anything still left
-    def catch_all(carry):
-        key, hid, occ, unc, ox, oy, oz, dx, dy, dz, t0, t1, rid = carry
-        t1m = jnp.where(unc, t1, -INF)   # only uncovered rays sweep
-        kd, idd, occd = _dense_all(tris, ox, oy, oz, dx, dy, dz, t0, t1m,
-                                   any_mode)
-        better = unc & (kd < key)
-        return (jnp.where(better, kd, key), jnp.where(better, idd, hid),
-                occ | (unc & occd), jnp.zeros_like(unc),
-                ox, oy, oz, dx, dy, dz, t0, t1, rid)
+            occ2 = lax.cond(n_unc > pool2, catch_tail, lambda o: o, occ2)
+            return occ2, rid2
 
-    carry = lax.cond(jnp.any(carry[3]), catch_all, lambda c: c, carry)
-    key, hid, occ = carry[0], carry[1], carry[2]
-    rid = carry[12]
+        occ, rid = lax.cond(n_unc > 0, cascade,
+                            lambda _: (occ, rid), 0)
+        _, occf = lax.sort((rid, occ.astype(jnp.float32)),
+                           dimension=0, num_keys=1)
+        return occf[:r] > 0
+
+    def cascade(_):
+        (_, key2, hid2, ox2, oy2, oz2, dx2, dy2, dz2, t02, t12,
+         rid2) = lax.sort(
+            (unc_key, key, hid, ox, oy, oz, dx, dy, dz, t0, t1, rid),
+            dimension=0, num_keys=1)
+        rays2 = (ox2, oy2, oz2, dx2, dy2, dz2, t02, t12)
+        in_play, k3, id3, _, un3 = common_head(rays2)
+        better = in_play & (k3 < key2[sl])
+        key2 = key2.at[sl].set(jnp.where(better, k3, key2[sl]))
+        hid2 = hid2.at[sl].set(jnp.where(better, id3, hid2[sl]))
+        still = in_play & un3
+
+        def stage3(args):
+            k2, h2 = args
+            k4, id4, _ = _dense_pool(
+                tris, ox2[sl], oy2[sl], oz2[sl], dx2[sl], dy2[sl],
+                dz2[sl], t02[sl], t12[sl], False,
+                in_play=still.astype(jnp.int32))
+            b = still & (k4 < k2[sl])
+            return (k2.at[sl].set(jnp.where(b, k4, k2[sl])),
+                    h2.at[sl].set(jnp.where(b, id4, h2[sl])))
+
+        key2, hid2 = lax.cond(jnp.any(still), stage3, lambda a: a,
+                              (key2, hid2))
+        unc_tail = (iota >= pool2) & (iota < n_unc)
+
+        def catch_tail(args):
+            k2, h2 = args
+            t1m = jnp.where(unc_tail, t12, -INF)
+            kd, idd, _ = _dense_all(tris, ox2, oy2, oz2, dx2, dy2, dz2,
+                                    t02, t1m, False)
+            b = unc_tail & (kd < k2)
+            return jnp.where(b, kd, k2), jnp.where(b, idd, h2)
+
+        key2, hid2 = lax.cond(n_unc > pool2, catch_tail, lambda a: a,
+                              (key2, hid2))
+        return key2, hid2, rid2
+
+    key, hid, rid = lax.cond(n_unc > 0, cascade,
+                             lambda _: (key, hid, rid), 0)
 
     # --- unsort back to caller order
-    _, key, hid, occf = lax.sort(
-        (rid, key, hid, occ.astype(jnp.float32)), dimension=0, num_keys=1)
+    _, key, hid = lax.sort((rid, key, hid), dimension=0, num_keys=1)
     key = key[:r]
     hid = hid[:r]
-    if any_mode:
-        return (occf[:r] > 0)
     found = key != _UMAX
     t = lax.bitcast_convert_type(
         key & jnp.uint32(~((1 << IDX_BITS) - 1) & 0xFFFFFFFF), jnp.float32)
