@@ -326,3 +326,37 @@ class TestTextures:
         # channel ratio must vary across the image (texture visible)
         ratio = img[..., 1] / np.maximum(img[..., 0], 1e-6)
         assert ratio.max() - ratio.min() > 0.2, (ratio.min(), ratio.max())
+
+
+class TestMsftTextureDds:
+    def test_msft_texture_dds_extension(self, tmp_path):
+        """textures[].extensions.MSFT_texture_dds.source overrides the
+        standard source and routes through the native DDS decoder
+        (reference: Source/GLTFHelpers.ixx:451)."""
+        import struct as _struct
+
+        p = make_quad_gltf(str(tmp_path / "quad.gltf"), with_texture=True)
+        doc = json.load(open(p))
+        # BC1 solid-white 4x4 block wrapped in a DDS container
+        block = bytes([0xFF, 0xFF, 0xFF, 0xFF, 0, 0, 0, 0])
+        header = _struct.pack("<4I", 0x20534444, 124, 0x1007, 4)
+        header += _struct.pack("<I", 4) + _struct.pack("<3I", 0, 0, 0)
+        header += b"\0" * 44
+        header += _struct.pack("<2I", 32, 0x4) + b"DXT1"
+        header += _struct.pack("<5I", 0, 0, 0, 0, 0)
+        header += _struct.pack("<5I", 0x1000, 0, 0, 0, 0)
+        dds_bytes = header + block
+        doc["images"].append({
+            "uri": "data:image/vnd-ms.dds;base64,"
+                   + base64.b64encode(dds_bytes).decode(),
+            "mimeType": "image/vnd-ms.dds",
+        })
+        doc["textures"][0]["extensions"] = {
+            "MSFT_texture_dds": {"source": 1}}
+        json.dump(doc, open(p, "w"))
+
+        model = gltf.load(p)
+        assert len(model.textures) == 1
+        tex = model.textures[0]
+        assert tex.shape == (4, 4, 4)
+        assert (tex[..., :3] == 255).all()

@@ -280,19 +280,37 @@ def load(path: str) -> Model:
         from PIL import Image
 
         img = doc["images"][idx]
+        raw = None
+        path = None
         if "uri" in img:
             uri = img["uri"]
             if uri.startswith("data:"):
                 raw = base64.b64decode(uri.split(",", 1)[1])
-                pil = Image.open(io.BytesIO(raw))
             else:
-                pil = Image.open(os.path.join(base_dir, uri))
+                path = os.path.join(base_dir, uri)
         else:
             bv = doc["bufferViews"][img["bufferView"]]
             start = bv.get("byteOffset", 0)
             raw = buffers[bv["buffer"]][start:start + bv["byteLength"]]
-            pil = Image.open(io.BytesIO(raw))
-        arr = np.asarray(pil.convert("RGBA"), np.uint8)
+        is_dds = (img.get("mimeType") == "image/vnd-ms.dds"
+                  or (path or "").lower().endswith(".dds")
+                  or (raw is not None and raw[:4] == b"DDS "))
+        if is_dds:
+            # MSFT_texture_dds payloads (GLTFHelpers.ixx:451): decode raw
+            # stored values; sRGB handling stays with the material slot
+            from ..utils.dds import _parse_dds, decode_surface
+
+            if raw is None:
+                with open(path, "rb") as f:
+                    raw = f.read()
+            surf, w, h, fmt, _ = _parse_dds(bytes(raw), "<gltf>")
+            arr = np.clip(np.round(
+                decode_surface(surf, w, h, fmt) * 255), 0, 255
+            ).astype(np.uint8)
+        else:
+            pil = (Image.open(io.BytesIO(raw)) if raw is not None
+                   else Image.open(path))
+            arr = np.asarray(pil.convert("RGBA"), np.uint8)
         images[idx] = arr
         return arr
 
@@ -301,7 +319,11 @@ def load(path: str) -> Model:
     tex_cache: dict[tuple[int, bool], int] = {}
 
     def tex_lookup(tex_index: int, srgb: bool) -> int:
-        src = doc["textures"][tex_index].get("source", 0)
+        tex = doc["textures"][tex_index]
+        # MSFT_texture_dds: the DDS image overrides the standard source
+        # (reference: Source/GLTFHelpers.ixx:451)
+        dds_ext = tex.get("extensions", {}).get("MSFT_texture_dds", {})
+        src = dds_ext.get("source", tex.get("source", 0))
         key = (src, srgb)
         if key not in tex_cache:
             textures.append(load_image(src))

@@ -1,0 +1,284 @@
+"""Golden-shot scene: procedural reconstruction of the reference's
+`Screenshots/Cornell Box.png` foreground (reference: README.md:59-64).
+
+The reference repo does not ship its scene assets (Source/App.cpp:129
+loads Assets/Scenes/Default.json, absent), so the golden frame's content
+is rebuilt from the screenshot itself:
+
+  * the classic Cornell shell (red LEFT / green RIGHT, square ceiling
+    light) viewed from OUTSIDE the opening — the frame shows black bars
+    left/right of the room (content cols 216..1694 of 1920 measured on
+    the PNG), so the camera sits behind the opening plane at 4:3 aspect
+    — solving the back-wall corner columns (674/1243) for distance gives
+    a CLOSE, WIDE camera: 3.5 m behind the opening, vfov 75.2 deg;
+  * the tall block in polished-black mirror material (the screenshot
+    shows the bunny reflected in it);
+  * a large low-poly METALLIC BUNNY (faceted flat shading) facing the
+    red wall — built from icosphere parts (body/head/ears/tail/paws);
+  * a perforated metal BALL LUMINAIRE on a wooden base by the red wall:
+    a sphere shell with geometric circular holes and a small emissive
+    core inside, which casts the screenshot's dappled light spots.
+
+All parts are flat-shaded triangle soup; no textures required.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .material import make_table
+from .mesh import build_geometry
+from .scene import Scene, make_environment, make_scene
+from .cornell import _quad, _box, _S
+from ..render.camera import Camera
+
+MAT_WHITE = 0
+MAT_RED = 1
+MAT_GREEN = 2
+MAT_LIGHT = 3
+MAT_BUNNY = 4
+MAT_BLACK_MIRROR = 5
+MAT_BALL = 6
+MAT_WOOD = 7
+MAT_CORE = 8
+
+
+# ---------------------------------------------------------------------------
+# primitive builders (numpy, host-side)
+# ---------------------------------------------------------------------------
+
+def icosphere(subdiv: int = 1):
+    """Unit icosphere (verts, faces). subdiv=1 -> 80 faces (low-poly)."""
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    v = np.asarray([
+        [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+        [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+        [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+    ], np.float64)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    f = np.asarray([
+        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+    ], np.int64)
+    for _ in range(subdiv):
+        cache: dict[tuple[int, int], int] = {}
+        verts = list(v)
+
+        def mid(a, b):
+            key = (min(a, b), max(a, b))
+            if key not in cache:
+                m = (verts[a] + verts[b]) / 2
+                m /= np.linalg.norm(m)
+                cache[key] = len(verts)
+                verts.append(m)
+            return cache[key]
+
+        nf = []
+        for a, b, c in f:
+            ab, bc, ca = mid(a, b), mid(b, c), mid(c, a)
+            nf += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
+        v = np.asarray(verts)
+        f = np.asarray(nf, np.int64)
+    return v.astype(np.float32), f.astype(np.int32)
+
+
+def _rot_y(deg):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    return np.asarray([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+
+
+def _rot_x(deg):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    return np.asarray([[1, 0, 0], [0, c, -s], [0, s, c]], np.float32)
+
+
+def _rot_z(deg):
+    c, s = np.cos(np.radians(deg)), np.sin(np.radians(deg))
+    return np.asarray([[c, -s, 0], [s, c, 0], [0, 0, 1]], np.float32)
+
+
+def flat_mesh(verts, faces, scale, rot, translate, material, object_id,
+              keep=None):
+    """Flat-shaded (faceted) mesh dict: per-face duplicated vertices.
+    Positions are in CLASSIC CORNELL UNITS (x0.01 m applied here)."""
+    p = verts * np.asarray(scale, np.float32)
+    p = p @ np.asarray(rot, np.float32).T
+    p = p + np.asarray(translate, np.float32)
+    tri = p[faces]                                   # (F, 3, 3)
+    if keep is not None:
+        tri = tri[keep]
+    n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+    n = n / np.maximum(np.linalg.norm(n, axis=1, keepdims=True), 1e-20)
+    f = tri.shape[0]
+    return {
+        "positions": (tri.reshape(-1, 3) * _S).astype(np.float32),
+        "normals": np.repeat(n, 3, axis=0).astype(np.float32),
+        "indices": np.arange(f * 3, dtype=np.int32).reshape(f, 3),
+        "material": material,
+        "object": object_id,
+    }
+
+
+def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
+                      yaw_deg=0.0, object_id=4):
+    """Low-poly metallic bunny facing -x (image left), sitting on the
+    floor. `scale` = body radius in classic units (~total height 2.4x)."""
+    v1, f1 = icosphere(1)     # 80-face parts: the faceted look
+    parts = []
+    cx, cz = center_xz
+    body_y = 0.95 * scale
+    R = _rot_y(yaw_deg)
+
+    def place(scl, local_rot, local_off):
+        off = R @ (np.asarray(local_off, np.float32) * scale)
+        return flat_mesh(v1, f1, np.asarray(scl, np.float32) * scale,
+                         R @ local_rot,
+                         [cx + off[0], body_y + off[1], cz + off[2]],
+                         MAT_BUNNY, object_id)
+
+    # body: plump ellipsoid, long axis along x (facing -x)
+    parts.append(place((1.25, 0.95, 0.85), np.eye(3), (0, 0, 0)))
+    # haunch bulge at the rear
+    parts.append(place((0.72, 0.72, 0.62), np.eye(3), (0.62, -0.12, 0)))
+    # chest/front
+    parts.append(place((0.62, 0.58, 0.55), np.eye(3), (-0.72, -0.05, 0)))
+    # head: raised, reads in profile against the back wall
+    parts.append(place((0.56, 0.52, 0.46), np.eye(3), (-1.0, 0.95, 0)))
+    # snout
+    parts.append(place((0.30, 0.25, 0.25), np.eye(3), (-1.40, 0.80, 0)))
+    # ears: long flattened ellipsoids, tilted back, slightly splayed
+    ear_rot_l = _rot_z(-26.0) @ _rot_x(-12.0)
+    ear_rot_r = _rot_z(-26.0) @ _rot_x(12.0)
+    parts.append(place((0.18, 0.75, 0.11), ear_rot_l, (-0.80, 1.95, -0.20)))
+    parts.append(place((0.18, 0.75, 0.11), ear_rot_r, (-0.80, 1.95, 0.20)))
+    # tail
+    parts.append(place((0.22, 0.22, 0.22), np.eye(3), (1.22, 0.05, 0)))
+    # front paws
+    parts.append(place((0.35, 0.22, 0.22), np.eye(3), (-1.05, -0.78, -0.28)))
+    parts.append(place((0.35, 0.22, 0.22), np.eye(3), (-1.05, -0.78, 0.28)))
+    return parts
+
+
+def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
+                     core_frac=0.45):
+    """Perforated metal ball luminaire on a wooden base: sphere shell with
+    geometric circular holes, emissive core inside."""
+    v3, f3 = icosphere(3)     # 1280 faces: holes stay round
+    # hole directions: the 12 icosahedron vertices (classic disco-ball
+    # symmetry) minus the bottom cap (sits on the base)
+    hv, _ = icosphere(0)
+    holes = hv[hv[:, 1] > -0.55]
+    centroid = v3[f3].mean(axis=1)
+    centroid /= np.linalg.norm(centroid, axis=1, keepdims=True)
+    cosang = centroid @ holes.T
+    keep = (cosang.max(axis=1) < np.cos(np.radians(16.0)))
+
+    base_h = 28.0
+    cy = base_h + radius * 0.92
+    cx, cz = center_xz
+    shell = flat_mesh(v3, f3, radius, np.eye(3), [cx, cy, cz],
+                      MAT_BALL, object_id, keep=keep)
+    core = flat_mesh(*icosphere(1), radius * core_frac, np.eye(3),
+                     [cx, cy, cz], MAT_CORE, object_id)
+
+    # wooden base: truncated cone (egg-cup)
+    seg = 24
+    ang = np.linspace(0, 2 * np.pi, seg, endpoint=False)
+    r_top, r_bot = radius * 0.55, radius * 0.75
+    ring_t = np.stack([np.cos(ang) * r_top, np.full(seg, base_h),
+                       np.sin(ang) * r_top], -1)
+    ring_b = np.stack([np.cos(ang) * r_bot, np.zeros(seg),
+                       np.sin(ang) * r_bot], -1)
+    verts = np.concatenate([ring_t, ring_b]).astype(np.float32)
+    faces = []
+    for i in range(seg):
+        j = (i + 1) % seg
+        faces += [[i, seg + i, seg + j], [i, seg + j, j]]
+    # close the top
+    verts = np.concatenate([verts, [[0, base_h, 0]]])
+    top_c = len(verts) - 1
+    for i in range(seg):
+        faces.append([top_c, i, (i + 1) % seg])
+    base = flat_mesh(verts, np.asarray(faces, np.int32), 1.0, np.eye(3),
+                     [cx, 0, cz], MAT_WOOD, object_id)
+    return [shell, core, base]
+
+
+# ---------------------------------------------------------------------------
+# scene + camera
+# ---------------------------------------------------------------------------
+
+def make_golden_scene(light_radiance=(24.0, 23.0, 20.0),
+                      core_radiance=(25.0, 23.0, 20.0),
+                      bunny_center=(405.0, 215.0), bunny_scale=95.0,
+                      bunny_yaw=0.0, bunny_roughness=0.45,
+                      ball_center=(86.0, 200.0), ball_radius=62.0,
+                      ball_roughness=0.5, core_frac=0.72,
+                      wall_boost=1.18,
+                      block_center=(185.0, 420.0),
+                      block_rot=-17.0) -> Scene:
+    meshes = []
+    # Cornell shell (identical to models/cornell.py walls)
+    meshes.append(_quad([0, 0, 0], [552.8, 0, 0], [552.8, 0, 559.2],
+                        [0, 0, 559.2], MAT_WHITE, 0, flip=True))
+    meshes.append(_quad([0, 548.8, 0], [0, 548.8, 559.2],
+                        [556, 548.8, 559.2], [556, 548.8, 0],
+                        MAT_WHITE, 0, flip=True))
+    meshes.append(_quad([0, 0, 559.2], [552.8, 0, 559.2],
+                        [552.8, 548.8, 559.2], [0, 548.8, 559.2],
+                        MAT_WHITE, 0, flip=True))
+    meshes.append(_quad([552.8, 0, 0], [552.8, 0, 559.2],
+                        [552.8, 548.8, 559.2], [552.8, 548.8, 0],
+                        MAT_GREEN, 0))
+    meshes.append(_quad([0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2],
+                        [0, 0, 559.2], MAT_RED, 0))
+    meshes.append(_quad([213, 548.0, 227], [343, 548.0, 227],
+                        [343, 548.0, 332], [213, 548.0, 332],
+                        MAT_LIGHT, 1))
+    # tall block, polished black (the screenshot's mirror slab)
+    meshes += _box([0, 0, 0], [165, 330, 165], block_rot, block_center,
+                   MAT_BLACK_MIRROR, 3)
+    meshes += make_bunny_meshes(center_xz=bunny_center, scale=bunny_scale,
+                                yaw_deg=bunny_yaw)
+    meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
+                               core_frac=core_frac)
+
+    geometry = build_geometry(meshes)
+    wb = wall_boost
+    materials = make_table([
+        {"base_color": (0.73 * wb, 0.73 * wb, 0.73 * wb, 1.0),
+         "roughness": 1.0},
+        {"base_color": (0.65 * wb, 0.05, 0.05, 1.0), "roughness": 1.0},
+        {"base_color": (0.12, 0.45 * wb, 0.15, 1.0), "roughness": 1.0},
+        {"base_color": (0.78, 0.78, 0.78, 1.0), "roughness": 1.0,
+         "emissive_color": light_radiance, "emissive_strength": 1.0},
+        # faceted silver bunny
+        {"base_color": (0.93, 0.93, 0.92, 1.0), "metallic": 1.0,
+         "roughness": bunny_roughness},
+        # polished black mirror slab
+        {"base_color": (0.05, 0.05, 0.055, 1.0), "metallic": 1.0,
+         "roughness": 0.02},
+        # brushed metal ball shell
+        {"base_color": (0.82, 0.80, 0.78, 1.0), "metallic": 1.0,
+         "roughness": ball_roughness},
+        # wooden base
+        {"base_color": (0.42, 0.24, 0.12, 1.0), "roughness": 0.65},
+        # emissive core of the luminaire
+        {"base_color": (1.0, 1.0, 1.0, 1.0), "roughness": 1.0,
+         "emissive_color": core_radiance, "emissive_strength": 1.0},
+    ])
+    env = make_environment(color=(0.0, 0.0, 0.0, 1.0))
+    return make_scene(geometry, materials, env)
+
+
+def make_golden_camera(width: int, height: int) -> Camera:
+    """Behind the opening plane so the room shows with black side bars at
+    4:3, matching the measured framing of the reference screenshot
+    (content cols 216..1694 of 1920, rows full)."""
+    cam = Camera()
+    cam.position = np.asarray([278, 280, -350], np.float32) * _S
+    cam.vertical_fov_deg = 75.2
+    cam.aspect = width / height
+    return cam

@@ -1,13 +1,11 @@
-"""Texture loading (PNG/JPG via PIL, native .hdr and .exr decoders),
+"""Texture loading (PNG/JPG via PIL, native .hdr/.exr/.dds decoders),
 sRGB rules, mip chains.
 
 Capability mirror of the reference texture loader (reference:
 Source/TextureHelpers.ixx:33-137 — DDS/WIC/HDR loaders with sRGB forcing and
-mip upload). PIL covers LDR formats; Radiance .hdr and OpenEXR scanline
-images (NONE/RLE/ZIPS/ZIP compression, HALF/FLOAT/UINT channels) get
-minimal native decoders; DDS (block-compressed) is not supported and
-raises a clear error.
-"""
+mip upload). PIL covers LDR formats; Radiance .hdr, OpenEXR scanline
+images (NONE/RLE/ZIPS/ZIP compression, HALF/FLOAT/UINT channels) and DDS
+(BC1-BC5, BC7, uncompressed — see utils/dds.py) get native decoders."""
 
 from __future__ import annotations
 
@@ -26,9 +24,9 @@ def load_image_rgba(path: str, srgb: bool = True) -> np.ndarray:
     if lower.endswith(".exr"):
         return _load_exr(path)
     if lower.endswith(".dds"):
-        raise RuntimeError(
-            f"{path}: DDS decoding not available in this environment"
-        )
+        from .dds import load_dds
+
+        return load_dds(path, srgb_default=srgb)
     from PIL import Image
 
     arr = np.asarray(Image.open(path).convert("RGBA"), np.float32) / 255.0
