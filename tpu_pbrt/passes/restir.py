@@ -364,12 +364,28 @@ def _pack_taps(res: Reservoir, depth, normal: Vec3):
          depth, ex, ey], axis=-1)
 
 
-def _tap_rows(packed, x, y, width, height):
-    """Gather packed rows at nearest pixels; returns (fields dict, mask)."""
+def _tap_rows(packed, x, y, width, height, halo=None):
+    """Gather packed rows at nearest pixels; returns (fields dict, mask).
+
+    `halo`: sharded-mesh descriptor {"pad": int, "row0": traced global
+    first row, "total_h": int} — `packed` is then the tile EXTENDED by
+    `pad` exchanged boundary rows on each side (parallel/app_mesh.py), so
+    taps within `pad` rows of a tile seam read the true neighbor-tile
+    rows instead of being rejected; validity is checked against GLOBAL
+    image bounds."""
     xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, width - 1)
-    yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, height - 1)
+    if halo is None:
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, height - 1)
+        y_ok = (y >= 0) & (y <= height - 1)
+    else:
+        pad = halo["pad"]
+        yi = jnp.clip(jnp.round(y).astype(jnp.int32) + pad,
+                      0, height + 2 * pad - 1)
+        gy = y + halo["row0"]
+        y_ok = ((y >= -pad) & (y <= height - 1 + pad)
+                & (gy >= 0) & (gy <= halo["total_h"] - 1))
     rows = packed[yi * width + xi]              # (R, 8|16) one row gather
-    in_b = ((x >= 0) & (x <= width - 1) & (y >= 0) & (y <= height - 1))
+    in_b = (x >= 0) & (x <= width - 1) & y_ok
     return {
         "light": rows[:, 0].astype(jnp.int32),
         "u": rows[:, 1], "v": rows[:, 2], "w": rows[:, 3], "m": rows[:, 4],
@@ -463,7 +479,7 @@ def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
                         px, py, frame, width, height,
                         settings: ReSTIRSettings,
                         py_grid=None, ltable=None, tracer=None,
-                        cam_prev=None):
+                        cam_prev=None, halo=None):
     """Motion-guided temporal reuse (DITemporalResampling.hlsl). Returns
     (reservoir, bias-correction rays traced).
 
@@ -485,7 +501,9 @@ def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     packed = _pack_taps(prev, state.depth, state.normal)
     if mode != "basic":
         packed = jnp.concatenate([packed, state.surface], axis=-1)
-    tap, in_b = _tap_rows(packed, prev_x, prev_y, width, height)
+    if halo is not None:
+        packed = halo["extend"](packed)
+    tap, in_b = _tap_rows(packed, prev_x, prev_y, width, height, halo=halo)
     p_light, p_u, p_v = tap["light"], tap["u"], tap["v"]
     p_w, p_m, pd, pn = tap["w"], tap["m"], tap["depth"], tap["normal"]
     valid_hist = in_b & _geometry_similar(gb, pd, pn) & (p_light >= 0) & gb.valid
@@ -588,7 +606,7 @@ def _boiling_filter(res: Reservoir, width, height, strength,
 def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
                        cur: Reservoir, px, py, frame, width, height,
                        settings: ReSTIRSettings, py_grid=None,
-                       ltable=None, tracer=None, cam_pos=None):
+                       ltable=None, tracer=None, cam_pos=None, halo=None):
     """Neighbor-disc spatial reuse (DISpatialResampling.hlsl). Returns
     (reservoir, bias-correction rays traced)."""
     if py_grid is None:
@@ -600,6 +618,8 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     packed = _pack_taps(cur, gb.depth, gb.shading_normal)
     if mode != "basic":
         packed = jnp.concatenate([packed, _pack_surface(gb)], axis=-1)
+    if halo is not None:
+        packed = halo["extend"](packed)
 
     # gather every tap first (pairwise needs the accepted count k_eff)
     taps = []
@@ -609,7 +629,7 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
         rad = settings.spatial_radius * jnp.sqrt(u4[1])
         nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
         ny = py_grid.astype(jnp.float32) + jnp.sin(ang) * rad
-        tap, in_b = _tap_rows(packed, nx, ny, width, height)
+        tap, in_b = _tap_rows(packed, nx, ny, width, height, halo=halo)
         ok = (in_b & _geometry_similar(gb, tap["depth"], tap["normal"])
               & (tap["light"] >= 0) & gb.valid)
         taps.append((tap, ok, u4))
@@ -715,7 +735,7 @@ def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
                            state: ReSTIRState, px, py, frame, width, height,
                            settings: ReSTIRSettings = ReSTIRSettings(),
                            py_grid=None, regir=None, cam_pos=None,
-                           cam_prev=None):
+                           cam_prev=None, halo=None):
     """The full per-frame ReSTIR DI pipeline (RTXDI.ixx:207-241 order).
     Returns ((diffuse, specular), new state, rays traced). `py_grid`: see
     temporal_resampling — tile-local rows under a sharded mesh. `regir`:
@@ -729,13 +749,15 @@ def render_direct_lighting(scene: Scene, gb: GBuffer, view: Vec3, tracer,
         res, r_t = temporal_resampling(scene, gb, view, state, res, px, py,
                                        frame, width, height, settings,
                                        py_grid=py_grid, ltable=ltable,
-                                       tracer=tracer, cam_prev=cam_prev)
+                                       tracer=tracer, cam_prev=cam_prev,
+                                       halo=halo)
         rays = rays + r_t
     if settings.spatial:
         res, r_s = spatial_resampling(scene, gb, view, res, px, py, frame,
                                       width, height, settings,
                                       py_grid=py_grid, ltable=ltable,
-                                      tracer=tracer, cam_pos=cam_pos)
+                                      tracer=tracer, cam_pos=cam_pos,
+                                      halo=halo)
         rays = rays + r_s
     diffuse, specular, shade_rays = final_shading(scene, gb, view, tracer, res)
     pairwise_t = settings.temporal_bias_correction != "basic"

@@ -344,10 +344,11 @@ class App:
         # --- denoise (demodulate -> temporal -> à-trous -> remodulate)
         denoiser_state = history.denoiser
         if s.post_processing.denoiser != "none":
+            nov = jnp.clip(-vec.dot(gb.shading_normal, direction), 0.0, 1.0)
             albedo = denoise_mod.demodulation_albedo(
                 gb.base_color.to_array().reshape(rh, rw, 3),
                 gb.metallic.reshape(rh, rw),
-                jnp.full((rh, rw, 3), 0.04))
+                gb.roughness.reshape(rh, rw), nov.reshape(rh, rw))
             motion = jnp.stack([gb.motion_x.reshape(rh, rw),
                                 gb.motion_y.reshape(rh, rw)], -1)
             with jax.named_scope("denoise"):
