@@ -49,7 +49,9 @@ def test_high_lod_converges_to_mean():
     u = jnp.linspace(0.1, 0.9, 16)
     v = jnp.linspace(0.1, 0.9, 16)
     rgb, _ = tex_mod.sample_lod(atlas, ti, u, v, jnp.full((16,), 12.0))
-    np.testing.assert_allclose(np.asarray(rgb.x), 0.5, atol=1e-3)
+    # atol: the atlas stores RGBA8 (1/255 quantization — matches the
+    # reference's u8/BC texture precision)
+    np.testing.assert_allclose(np.asarray(rgb.x), 0.5, atol=3e-3)
 
 
 def test_fractional_lod_interpolates_between_levels():
@@ -65,8 +67,9 @@ def test_fractional_lod_interpolates_between_levels():
     v0 = np.asarray(r0.x)
     vh = np.asarray(rh.x)
     v1 = np.asarray(r1.x)
-    np.testing.assert_allclose(v1, 0.5, atol=1e-6)
-    np.testing.assert_allclose(vh, 0.5 * (v0 + v1), atol=1e-6)
+    # atol: RGBA8 atlas quantization (1/255)
+    np.testing.assert_allclose(v1, 0.5, atol=3e-3)
+    np.testing.assert_allclose(vh, 0.5 * (v0 + v1), atol=3e-3)
 
 
 def test_cone_spread_mips_through_renderer():

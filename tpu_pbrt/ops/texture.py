@@ -5,16 +5,22 @@ bindless heaps (reference: Shaders/ShadingHelpers.hlsli:53-157 `Sample<T>`,
 Source/Material.ixx:23-33 texture map slots, Source/TextureHelpers.ixx
 loaders). TPUs have no samplers, so (SURVEY.md §7 hard part #4):
 
-  * every texture (any size) is packed into ONE flat f32 array `texels`
-    (RGBA interleaved) plus a per-texture descriptor table (offset, width,
-    height) — the bindless heap equivalent;
-  * sampling = address math + 4 gathers from the flat array per channel
-    block (bilinear), wrap/clamp handled in math;
-  * texture indices ride the packed shade table, so a material's base-color
-    lookup costs one descriptor row plus the texel gathers.
+  * every texture (any size) is packed into ONE flat QUAD-ROW array: per
+    texel position one (4,) uint32 row [p00, p10, p01, p11] — the texel
+    AND its wrap-resolved 2x2 neighborhood, each RGBA8-packed in a u32 —
+    plus a per-texture descriptor table (offset, width, height,
+    wrap|srgb<<1). The bindless-heap equivalent;
+  * a full bilinear tap is then ONE 16-byte row gather + in-register
+    unpack/lerp (gathers are the expensive op on TPU: ~7 ms per 2M-lane
+    scalar gather and rising with row width — the previous 4-f32-texel
+    layout needed four row gathers per tap, 8 per trilinear sample);
+  * sRGB textures store sRGB-encoded u8 (decoded after unpack), so the
+    u8 quantization matches the source precision — the reference's
+    BC-compressed textures are coarser than this;
+  * texture indices ride the packed shade table, so a material's
+    base-color lookup costs one descriptor row plus one quad row.
 
-Gathers are the expensive op on TPU (~5 ms per 2M-lane row gather), so
-texture lookups are opt-in per scene: scenes without textures pay nothing
+Texture lookups are opt-in per scene: scenes without textures pay nothing
 (the tracer's `textured` flag is static under jit).
 """
 
@@ -36,9 +42,45 @@ MAX_LEVELS = 13
 
 
 class TextureAtlas(NamedTuple):
-    texels: jnp.ndarray   # (N, 4) f32 linear-light RGBA, all textures+mips
-    desc: jnp.ndarray     # (T, 4) f32: offset, width, height, wrap (level 0)
+    texels: jnp.ndarray   # (N, 4) u32 quad rows [p00,p10,p01,p11], RGBA8
+    desc: jnp.ndarray     # (T, 4) f32: offset, width, height, wrap|srgb<<1
     levels: jnp.ndarray   # (T*MAX_LEVELS, 3) f32: offset, width, height
+
+
+def _pack_level_quads(m: np.ndarray, wrap: int, srgb: bool) -> np.ndarray:
+    """(H, W, 4) f32 LINEAR level -> (H*W, 4) u32 quad rows. sRGB levels
+    re-encode before u8 quantization (decode happens after unpack)."""
+    rgb = np.clip(m[..., :3], 0.0, 1.0)
+    if srgb:
+        rgb = np.where(rgb <= 0.0031308, rgb * 12.92,
+                       1.055 * rgb ** (1.0 / 2.4) - 0.055)
+    q = np.clip(np.round(
+        np.concatenate([rgb, np.clip(m[..., 3:], 0, 1)], -1) * 255.0),
+        0, 255).astype(np.uint32)
+    packed = (q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+              | (q[..., 3] << 24))                         # (H, W)
+    h, w = packed.shape
+    if wrap == WRAP_REPEAT:
+        x1 = (np.arange(w) + 1) % w
+        y1 = (np.arange(h) + 1) % h
+    else:
+        x1 = np.minimum(np.arange(w) + 1, w - 1)
+        y1 = np.minimum(np.arange(h) + 1, h - 1)
+    return np.stack([packed, packed[:, x1], packed[y1, :],
+                     packed[y1][:, x1]], -1).reshape(-1, 4)
+
+
+def _unpack(q: jnp.ndarray, srgb: jnp.ndarray) -> jnp.ndarray:
+    """(R,) u32 RGBA8 -> (R, 4) f32 linear (sRGB decode where flagged)."""
+    r = (q & 0xFF).astype(jnp.float32) / 255.0
+    g = ((q >> 8) & 0xFF).astype(jnp.float32) / 255.0
+    b = ((q >> 16) & 0xFF).astype(jnp.float32) / 255.0
+    a = ((q >> 24) & 0xFF).astype(jnp.float32) / 255.0
+    rgb = jnp.stack([r, g, b], -1)
+    lin = jnp.where(rgb <= 0.04045, rgb / 12.92,
+                    ((rgb + 0.055) / 1.055) ** 2.4)
+    rgb = jnp.where(srgb[:, None], lin, rgb)
+    return jnp.concatenate([rgb, a[:, None]], -1)
 
 
 def build_atlas(images: list[np.ndarray], srgb: list[bool] | None = None,
@@ -57,9 +99,10 @@ def build_atlas(images: list[np.ndarray], srgb: list[bool] | None = None,
     offset = 0
     for i, img in enumerate(images):
         arr = np.asarray(img)
+        is_srgb = bool(srgb[i]) if srgb else False
         if arr.dtype == np.uint8:
             arr = arr.astype(np.float32) / 255.0
-            if srgb and srgb[i]:
+            if is_srgb:
                 rgb = np.where(arr[..., :3] <= 0.04045, arr[..., :3] / 12.92,
                                ((arr[..., :3] + 0.055) / 1.055) ** 2.4)
                 arr = np.concatenate([rgb, arr[..., 3:]], -1)
@@ -69,18 +112,18 @@ def build_atlas(images: list[np.ndarray], srgb: list[bool] | None = None,
         chain = (build_mip_chain(arr, MAX_LEVELS) if mips
                  else [arr.astype(np.float32)])
         h, w = arr.shape[:2]
-        desc.append([offset, w, h, wrap])
+        desc.append([offset, w, h, wrap | (2 if is_srgb else 0)])
         lv = []
         for m in chain:
             mh, mw = m.shape[:2]
             lv.append([offset, mw, mh])
-            texels.append(m.reshape(-1, 4).astype(np.float32))
+            texels.append(_pack_level_quads(m, wrap, is_srgb))
             offset += mh * mw
         while len(lv) < MAX_LEVELS:   # clamp: repeat the coarsest level
             lv.append(lv[-1])
         levels.append(lv[:MAX_LEVELS])
     if not texels:
-        texels = [np.zeros((1, 4), np.float32)]
+        texels = [np.zeros((1, 4), np.uint32)]
         desc = [[0, 1, 1, wrap]]
         levels = [[[0, 1, 1]] * MAX_LEVELS]
     return TextureAtlas(
@@ -94,56 +137,27 @@ def build_atlas(images: list[np.ndarray], srgb: list[bool] | None = None,
 def sample_bilinear(atlas: TextureAtlas, tex_index: jnp.ndarray,
                     u: jnp.ndarray, v: jnp.ndarray):
     """Bilinear RGBA sample; tex_index (R,) i32 (>=0; caller masks).
-    Returns (rgb: Vec3, alpha: (R,))."""
+    Returns (rgb: Vec3, alpha: (R,)). ONE quad-row gather."""
     d = atlas.desc[jnp.maximum(tex_index, 0)]  # (R, 4) row gather
-    off = d[:, 0]
-    w = d[:, 1]
-    h = d[:, 2]
-    wrap = d[:, 3]
-
-    def address(coord, size):
-        repeat = coord - jnp.floor(coord)
-        clamp = jnp.clip(coord, 0.0, 1.0)
-        c = jnp.where(wrap == WRAP_REPEAT, repeat, clamp)
-        return c * size - 0.5
-
-    x = address(u, w)
-    y = address(v, h)
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = x - x0
-    fy = y - y0
-
-    def wrap_i(i, size):
-        rep = jnp.mod(i, size)
-        clp = jnp.clip(i, 0.0, size - 1.0)
-        return jnp.where(wrap == WRAP_REPEAT, rep, clp)
-
-    texels = atlas.texels
-
-    def tap(xi, yi):
-        idx = (off + wrap_i(yi, h) * w + wrap_i(xi, w)).astype(jnp.int32)
-        t = texels[idx]  # (R, 4) wide row gather
-        return t
-
-    t00 = tap(x0, y0)
-    t01 = tap(x0 + 1, y0)
-    t10 = tap(x0, y0 + 1)
-    t11 = tap(x0 + 1, y0 + 1)
-    wx = fx[:, None]
-    wy = fy[:, None]
-    t = (t00 * (1 - wx) * (1 - wy) + t01 * wx * (1 - wy)
-         + t10 * (1 - wx) * wy + t11 * wx * wy)
+    wrap = jnp.mod(d[:, 3], 2.0)
+    srgb = d[:, 3] >= 2.0
+    t = _bilinear_tap(atlas.texels, d[:, 0], d[:, 1], d[:, 2], wrap, srgb,
+                      u, v)
     return Vec3(t[:, 0], t[:, 1], t[:, 2]), t[:, 3]
 
 
-def _bilinear_tap(texels, off, w, h, wrap, u, v):
-    """One bilinear fetch against an explicit level descriptor."""
+def _bilinear_tap(texels, off, w, h, wrap, srgb, u, v):
+    """One bilinear fetch against an explicit level descriptor: a single
+    quad-row gather (the 2x2 neighborhood is baked per texel at build)."""
     def address(coord, size):
         repeat = coord - jnp.floor(coord)
         clamp = jnp.clip(coord, 0.0, 1.0)
         c = jnp.where(wrap == WRAP_REPEAT, repeat, clamp)
-        return c * size - 0.5
+        x = c * size - 0.5
+        # CLAMP: keep the base texel in range so the baked edge-clamped
+        # neighbor reproduces clamp-bilinear exactly; REPEAT wraps below.
+        return jnp.where(wrap == WRAP_REPEAT, x,
+                         jnp.clip(x, 0.0, size - 1.0))
 
     x = address(u, w)
     y = address(v, h)
@@ -151,24 +165,18 @@ def _bilinear_tap(texels, off, w, h, wrap, u, v):
     y0 = jnp.floor(y)
     fx = x - x0
     fy = y - y0
-
-    def wrap_i(i, size):
-        rep = jnp.mod(i, size)
-        clp = jnp.clip(i, 0.0, size - 1.0)
-        return jnp.where(wrap == WRAP_REPEAT, rep, clp)
-
-    def tap(xi, yi):
-        idx = (off + wrap_i(yi, h) * w + wrap_i(xi, w)).astype(jnp.int32)
-        return texels[idx]
-
-    t00 = tap(x0, y0)
-    t01 = tap(x0 + 1, y0)
-    t10 = tap(x0, y0 + 1)
-    t11 = tap(x0 + 1, y0 + 1)
+    xi = jnp.where(wrap == WRAP_REPEAT, jnp.mod(x0, w), x0)
+    yi = jnp.where(wrap == WRAP_REPEAT, jnp.mod(y0, h), y0)
+    idx = (off + yi * w + xi).astype(jnp.int32)
+    rows = texels[idx]                          # (R, 4) u32 — ONE gather
+    t00 = _unpack(rows[:, 0], srgb)
+    t10 = _unpack(rows[:, 1], srgb)
+    t01 = _unpack(rows[:, 2], srgb)
+    t11 = _unpack(rows[:, 3], srgb)
     wx = fx[:, None]
     wy = fy[:, None]
-    return (t00 * (1 - wx) * (1 - wy) + t01 * wx * (1 - wy)
-            + t10 * (1 - wx) * wy + t11 * wx * wy)
+    return (t00 * (1 - wx) * (1 - wy) + t10 * wx * (1 - wy)
+            + t01 * (1 - wx) * wy + t11 * wx * wy)
 
 
 def sample_lod(atlas: TextureAtlas, tex_index: jnp.ndarray,
@@ -176,9 +184,11 @@ def sample_lod(atlas: TextureAtlas, tex_index: jnp.ndarray,
     """Trilinear sample at a per-lane mip level (hardware SampleLevel
     analogue; reference samples material maps through a linear-mip sampler,
     Shaders/ShadingHelpers.hlsli:53-157). lod in levels; clamped to the
-    chain. 8 texel gathers + 2 descriptor gathers."""
+    chain. 2 quad-row gathers + 3 descriptor gathers."""
     ti = jnp.maximum(tex_index, 0)
-    wrap = atlas.desc[ti][:, 3]
+    flags = atlas.desc[ti][:, 3]
+    wrap = jnp.mod(flags, 2.0)
+    srgb = flags >= 2.0
     lod = jnp.clip(lod, 0.0, MAX_LEVELS - 1.0)
     l0 = jnp.floor(lod)
     fl = (lod - l0)[:, None]
@@ -186,8 +196,10 @@ def sample_lod(atlas: TextureAtlas, tex_index: jnp.ndarray,
     d0 = atlas.levels[base]
     d1 = atlas.levels[jnp.minimum(base + 1, ti * MAX_LEVELS + MAX_LEVELS - 1)]
     texels = atlas.texels
-    t0 = _bilinear_tap(texels, d0[:, 0], d0[:, 1], d0[:, 2], wrap, u, v)
-    t1 = _bilinear_tap(texels, d1[:, 0], d1[:, 1], d1[:, 2], wrap, u, v)
+    t0 = _bilinear_tap(texels, d0[:, 0], d0[:, 1], d0[:, 2], wrap, srgb,
+                       u, v)
+    t1 = _bilinear_tap(texels, d1[:, 0], d1[:, 1], d1[:, 2], wrap, srgb,
+                       u, v)
     t = t0 * (1.0 - fl) + t1 * fl
     return Vec3(t[:, 0], t[:, 1], t[:, 2]), t[:, 3]
 
@@ -199,10 +211,11 @@ def sample_nearest(atlas: TextureAtlas, tex_index: jnp.ndarray,
     off = d[:, 0]
     w = d[:, 1]
     h = d[:, 2]
+    srgb = d[:, 3] >= 2.0
     ur = u - jnp.floor(u)
     vr = v - jnp.floor(v)
     xi = jnp.clip(jnp.floor(ur * w), 0, w - 1)
     yi = jnp.clip(jnp.floor(vr * h), 0, h - 1)
     idx = (off + yi * w + xi).astype(jnp.int32)
-    t = atlas.texels[idx]
+    t = _unpack(atlas.texels[idx][:, 0], srgb)
     return Vec3(t[:, 0], t[:, 1], t[:, 2]), t[:, 3]
