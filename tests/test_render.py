@@ -78,3 +78,39 @@ def test_ray_counter_positive():
     _, rays = r.render_with_stats(cam, 0)
     # at least every pixel traces a primary ray
     assert float(rays) >= w * h
+
+
+def test_fetch_rows_blocked_matches_gather():
+    """Big-table block fetch == plain row gather, for coherent, scattered,
+    and adversarial (many distinct blocks per chunk) slot patterns."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pbrt.ops import shade_table as st
+
+    rng = np.random.default_rng(0)
+    t, c = 3000, 12
+    table = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+
+    coherent = np.repeat(rng.integers(0, t - 130, 24), 128)[:2560]
+    coherent = coherent + np.tile(np.arange(128), 20)
+    scattered = rng.integers(0, t, 2560)
+    stripes = (np.arange(2560) * 97) % t          # every lane new block
+    for slots in (coherent, scattered, stripes):
+        slots = np.asarray(slots, np.int32)
+        got = np.asarray(st._fetch_rows_blocked(table, jnp.asarray(slots)))
+        want = np.asarray(table)[slots].T
+        np.testing.assert_allclose(got, want, rtol=0, atol=0)
+
+
+def test_fetch_rows_blocked_nonmultiple_sizes():
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pbrt.ops import shade_table as st
+
+    rng = np.random.default_rng(1)
+    t, c = 777, 7                                  # non-multiples
+    table = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    slots = np.asarray(rng.integers(0, t, 1000), np.int32)
+    got = np.asarray(st._fetch_rows_blocked(table, jnp.asarray(slots)))
+    np.testing.assert_allclose(got, np.asarray(table)[slots].T,
+                               rtol=0, atol=0)

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .vec import Vec3
@@ -177,6 +178,10 @@ class ShadeAttrs(NamedTuple):
 
 
 ONEHOT_MAX_ROWS = 512
+FETCH_BLOCK = 64     # table rows per block of the big-table fetch
+FETCH_CHUNK = 128    # lanes per chunk (one vector-lane width)
+FETCH_KB = 8         # blocks one-hot-fetched per chunk
+FETCH_GROUP = 64     # chunks per map step (memory control)
 
 
 def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
@@ -184,7 +189,9 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
     one-hot MXU matmul (measured ~7x faster than XLA's row gather inside a
     fused loop body on v5e: 4.3 vs 32 ms per 2M-lane bounce); the compare
     is exact and HIGHEST precision keeps f32 through the MXU. Larger
-    tables fall back to the row gather.
+    tables use the chunked BLOCK fetch below — the direct row gather
+    costs ~31 ms per 32 row-bytes per 2M lanes (the round-2 "big-scene
+    gather wall": 50 tex cols = 200 B rows ~ 190 ms per bounce).
 
     Why transposed: the fetch result is materialized in HBM, and the
     unpack slices ~20 attribute groups out of it. Row-major (R, 64) puts
@@ -203,7 +210,99 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
             table, onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST)                     # (C, R)
-    return table[slot].T
+    return _fetch_rows_blocked(table, slot)
+
+
+def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """Big-table row fetch as MXU matmuls: lanes are processed in chunks
+    of FETCH_CHUNK; each chunk one-hot-fetches the FETCH_KB blocks (of
+    FETCH_BLOCK rows) most of its lanes address, then selects per-lane
+    rows from the fetched tile with a second one-hot. Lanes whose block
+    did not make the chunk's top-KB (rare: neighboring lanes are
+    neighboring pixels hitting id-adjacent triangles) are compacted to
+    the head of an R/8 pool by one multi-operand sort and resolved by a
+    plain row gather there, then row-scattered back. MAC cost is linear
+    in the table size (KB x B one-hots), NOT in lanes x row-bytes like
+    the gather."""
+    from jax import lax
+
+    tp, c = table.shape
+    r = slot.shape[0]
+    bpad = (-tp) % FETCH_BLOCK
+    if bpad:
+        table = jnp.concatenate(
+            [table, jnp.zeros((bpad, c), table.dtype)])
+    nb = table.shape[0] // FETCH_BLOCK
+    tableb = table.reshape(nb, FETCH_BLOCK * c)
+
+    rpad = (-r) % FETCH_CHUNK
+    slot_p = jnp.concatenate(
+        [slot, jnp.zeros((rpad,), slot.dtype)]) if rpad else slot
+    rp = slot_p.shape[0]
+    nc = rp // FETCH_CHUNK
+    g = min(FETCH_GROUP, nc)
+    while nc % g:
+        g -= 1
+
+    iota_b = jnp.arange(nb, dtype=jnp.int32)
+    kb = min(FETCH_KB, nb)
+
+    def chunk(sl):
+        blk = sl // FETCH_BLOCK                              # (128,)
+        pos = sl % FETCH_BLOCK
+        counts = jnp.sum(iota_b[:, None] == blk[None, :],
+                         axis=1).astype(jnp.int32)           # (B,)
+        _, chosen = lax.top_k(counts, kb)                    # (kb,)
+        onehot_b = (chosen[:, None] == iota_b[None, :]).astype(
+            jnp.float32)                                     # (kb, B)
+        fetched = lax.dot_general(
+            onehot_b, tableb, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST)                 # (kb, 64*c)
+        fetched = fetched.reshape(kb * FETCH_BLOCK, c)
+        match = chosen[:, None] == blk[None, :]              # (kb, 128)
+        covered = match.any(axis=0)
+        k_idx = jnp.argmax(match, axis=0).astype(jnp.int32)
+        local = k_idx * FETCH_BLOCK + pos                    # (128,)
+        sel = (local[:, None] == jnp.arange(
+            kb * FETCH_BLOCK, dtype=jnp.int32)[None, :]).astype(
+            jnp.float32)                                     # (128, kb*64)
+        rows = lax.dot_general(
+            sel, fetched, (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST)                 # (128, c)
+        return rows, covered
+
+    rows, covered = lax.map(
+        lambda s: jax.vmap(chunk)(s),
+        slot_p.reshape(nc // g, g, FETCH_CHUNK))
+    rows = rows.reshape(rp, c)
+    covered = covered.reshape(rp)
+    n_unc = jnp.sum((~covered).astype(jnp.int32))
+
+    # fallback: compact uncovered lanes to the head of an rp/8 pool by
+    # one sort, row-gather just that slice, row-scatter back (mode=drop
+    # on the out-of-play lanes).
+    pool = max((rp // 8) // FETCH_CHUNK * FETCH_CHUNK, FETCH_CHUNK)
+
+    def fallback(rows):
+        rid0 = jnp.arange(rp, dtype=jnp.int32)
+        _, slot_s, rid = lax.sort(
+            (covered.astype(jnp.int32), slot_p, rid0),
+            dimension=0, num_keys=1)
+        sl = slice(0, pool)
+        fb = table[slot_s[sl]]                               # (pool, c)
+        in_play = jnp.arange(pool) < n_unc
+        rid_eff = jnp.where(in_play, rid[sl], rp)
+        return rows.at[rid_eff].set(fb, mode="drop")
+
+    rows = lax.cond(n_unc > 0, fallback, lambda x: x, rows)
+    # uncovered lanes beyond the pool (pathological coherence collapse):
+    # resolved exactly by a masked full gather — never fires in practice.
+    rows = lax.cond(
+        n_unc > pool,
+        lambda x: jnp.where(covered[:, None], x, table[slot_p]),
+        lambda x: x, rows)
+    return rows[:r].T
 
 
 def fetch(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
