@@ -217,15 +217,16 @@ def bench_manylight(width=1920, height=1080):
     return 1.0 / per_frame, rpf / per_frame / 1e6, rpf
 
 
-def _sphere_setup(textured: bool, height: int = 1080):
-    """25k-tri UV-sphere scene for BASELINE config #3 benches: returns
-    (scene, settings, textures, texture_srgb)."""
-    import numpy as _np
+def _write_sphere_glb(path: str, textured: bool):
+    """Author the BASELINE #3 bench asset as a REAL .glb (25k-tri UV
+    sphere, PBR material, embedded 256^2 checker base-color PNG when
+    textured) so the bench exercises the production glTF pipeline
+    (models/gltf.py), matching the reference's glTF-loaded mesh config."""
+    import io
+    import json as _json
+    import struct as _struct
 
-    from tpu_pbrt.models.material import make_table
-    from tpu_pbrt.models.mesh import build_geometry
-    from tpu_pbrt.models.scene import make_environment, make_scene
-    from tpu_pbrt.passes.pathtrace import PathTraceSettings
+    import numpy as _np
 
     nu, nv = 160, 80
     theta = _np.linspace(0, _np.pi, nv)
@@ -241,30 +242,96 @@ def _sphere_setup(textured: bool, height: int = 1080):
             c = (i + 1) * nu + j
             e = (i + 1) * nu + (j + 1) % nu
             idx += [[a, b, c], [b, e, c]]
+    idx = _np.asarray(idx, _np.uint32).reshape(-1)
     # equirect UVs so the base-color texture wraps the sphere
     uvs = _np.stack([pp.reshape(-1) / (2 * _np.pi),
                      tt.reshape(-1) / _np.pi], -1).astype(_np.float32)
-    geometry = build_geometry([{
-        "positions": pos.astype(_np.float32),
-        "normals": pos.astype(_np.float32),
-        "uv0": uvs,
-        "indices": _np.asarray(idx, _np.int32), "material": 0,
-    }])
-    mats = make_table([{
-        "base_color": (0.9, 0.8, 0.7, 1.0),
-        "roughness": 0.4, "metallic": 0.8,
-        "texture_index": ([0, -1, -1, -1, -1, -1, -1] if textured
-                          else [-1] * 7)}])
+    pos = pos.astype(_np.float32)
+
+    parts = [pos.tobytes(), pos.tobytes(), uvs.tobytes(), idx.tobytes()]
     if textured:
-        # mip-mapped checker (config #3: textured mesh + mipmaps)
+        from PIL import Image
+
         yy, xx = _np.meshgrid(_np.arange(256), _np.arange(256),
                               indexing="ij")
         checker = ((xx // 16 + yy // 16) % 2).astype(_np.uint8) * 180 + 60
         tex = _np.stack([checker, checker, checker,
                          _np.full_like(checker, 255)], -1)
-        textures, tex_srgb = [tex], [False]
-    else:
-        textures, tex_srgb = None, None
+        bio = io.BytesIO()
+        Image.fromarray(tex).save(bio, "PNG")
+        parts.append(bio.getvalue())
+
+    views, offset = [], 0
+    for p in parts:
+        views.append({"buffer": 0, "byteOffset": offset,
+                      "byteLength": len(p)})
+        offset += len(p)
+        pad = (-offset) % 4
+        offset += pad
+        p_i = len(views) - 1
+        parts[p_i] = p + b"\x00" * pad
+    blob = b"".join(parts)
+
+    n_v = pos.shape[0]
+    material = {"pbrMetallicRoughness": {
+        "baseColorFactor": [0.9, 0.8, 0.7, 1.0],
+        "metallicFactor": 0.8, "roughnessFactor": 0.4}}
+    doc = {
+        "asset": {"version": "2.0"},
+        "scene": 0, "scenes": [{"nodes": [0]}], "nodes": [{"mesh": 0}],
+        "meshes": [{"primitives": [{
+            "attributes": {"POSITION": 0, "NORMAL": 1, "TEXCOORD_0": 2},
+            "indices": 3, "material": 0}]}],
+        "materials": [material],
+        "bufferViews": views,
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": n_v,
+             "type": "VEC3", "min": pos.min(0).tolist(),
+             "max": pos.max(0).tolist()},
+            {"bufferView": 1, "componentType": 5126, "count": n_v,
+             "type": "VEC3"},
+            {"bufferView": 2, "componentType": 5126, "count": n_v,
+             "type": "VEC2"},
+            {"bufferView": 3, "componentType": 5125,
+             "count": int(idx.shape[0]), "type": "SCALAR"},
+        ],
+        "buffers": [{"byteLength": len(blob)}],
+    }
+    if textured:
+        material["pbrMetallicRoughness"]["baseColorTexture"] = {"index": 0}
+        doc["images"] = [{"bufferView": 4, "mimeType": "image/png"}]
+        doc["textures"] = [{"source": 0}]
+
+    js = _json.dumps(doc).encode()
+    js += b" " * ((4 - len(js) % 4) % 4)
+    total = 12 + 8 + len(js) + 8 + len(blob)
+    with open(path, "wb") as f:
+        f.write(_struct.pack("<III", 0x46546C67, 2, total))
+        f.write(_struct.pack("<II", len(js), 0x4E4F534A))
+        f.write(js)
+        f.write(_struct.pack("<II", len(blob), 0x004E4942))
+        f.write(blob)
+
+
+def _sphere_setup(textured: bool, height: int = 1080):
+    """25k-tri glTF sphere scene for BASELINE config #3 benches: authors
+    a real .glb and loads it through the production glTF path. Returns
+    (scene, settings, textures, texture_srgb)."""
+    import numpy as _np
+
+    from tpu_pbrt.models import gltf
+    from tpu_pbrt.models.material import make_table
+    from tpu_pbrt.models.mesh import build_geometry
+    from tpu_pbrt.models.scene import make_environment, make_scene
+    from tpu_pbrt.passes.pathtrace import PathTraceSettings
+
+    glb = f"/tmp/tpu_pbrt_bench_sphere_{int(textured)}.glb"
+    _write_sphere_glb(glb, textured)
+    model = gltf.load(glb)
+    geometry = build_geometry(gltf.to_geometry_meshes(model))
+    mats = make_table(model.materials)
+    textures = model.textures if textured else None
+    tex_srgb = model.texture_srgb if textured else None
     scene = make_scene(geometry, mats, make_environment(),
                        textures=textures, texture_srgb=tex_srgb)
     # ~95% of primary rays miss the distant sphere, so the live pool

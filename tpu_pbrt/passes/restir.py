@@ -364,7 +364,8 @@ def _pack_taps(res: Reservoir, depth, normal: Vec3):
          depth, ex, ey], axis=-1)
 
 
-def _tap_rows(packed, x, y, width, height, halo=None):
+def _tap_rows(packed, x, y, width, height, halo=None,
+              reflect_edges=False):
     """Gather packed rows at nearest pixels; returns (fields dict, mask).
 
     `halo`: sharded-mesh descriptor {"pad": int, "row0": traced global
@@ -372,20 +373,46 @@ def _tap_rows(packed, x, y, width, height, halo=None):
     `pad` exchanged boundary rows on each side (parallel/app_mesh.py), so
     taps within `pad` rows of a tile seam read the true neighbor-tile
     rows instead of being rejected; validity is checked against GLOBAL
-    image bounds."""
-    xi = jnp.clip(jnp.round(x).astype(jnp.int32), 0, width - 1)
+    image bounds.
+
+    `reflect_edges`: mirror out-of-view tap positions across the screen
+    edges instead of rejecting them (spatial reuse only — the reference's
+    RAB_ClampSamplePositionIntoView, RTXDIAppBridge.hlsli:112-135,
+    'prevents the spread of colorful blobs from screen edges'). Under a
+    halo, reflection happens in GLOBAL rows; a reflected tap can only
+    leave the tile+halo if the disc radius exceeded the halo pad, and is
+    then rejected as before."""
+    xr = jnp.round(x).astype(jnp.int32)
+    if reflect_edges:
+        xr = jnp.abs(xr)
+        xr = jnp.where(xr >= width, 2 * width - xr - 1, xr)
+    xi = jnp.clip(xr, 0, width - 1)
+    x_ok = reflect_edges | ((x >= 0) & (x <= width - 1))
     if halo is None:
-        yi = jnp.clip(jnp.round(y).astype(jnp.int32), 0, height - 1)
-        y_ok = (y >= 0) & (y <= height - 1)
+        yr = jnp.round(y).astype(jnp.int32)
+        if reflect_edges:
+            yr = jnp.abs(yr)
+            yr = jnp.where(yr >= height, 2 * height - yr - 1, yr)
+        yi = jnp.clip(yr, 0, height - 1)
+        y_ok = reflect_edges | ((y >= 0) & (y <= height - 1))
     else:
         pad = halo["pad"]
-        yi = jnp.clip(jnp.round(y).astype(jnp.int32) + pad,
-                      0, height + 2 * pad - 1)
-        gy = y + halo["row0"]
-        y_ok = ((y >= -pad) & (y <= height - 1 + pad)
-                & (gy >= 0) & (gy <= halo["total_h"] - 1))
+        total_h = halo["total_h"]
+        yr = jnp.round(y).astype(jnp.int32)
+        if reflect_edges:
+            gy = yr + halo["row0"].astype(jnp.int32)
+            gy = jnp.abs(gy)
+            gy = jnp.where(gy >= total_h, 2 * total_h - gy - 1, gy)
+            yr = gy - halo["row0"].astype(jnp.int32)
+            y_ok = ((yr >= -pad) & (yr <= height - 1 + pad)
+                    & (gy >= 0) & (gy <= total_h - 1))
+        else:
+            gy = y + halo["row0"]
+            y_ok = ((y >= -pad) & (y <= height - 1 + pad)
+                    & (gy >= 0) & (gy <= total_h - 1))
+        yi = jnp.clip(yr + pad, 0, height + 2 * pad - 1)
     rows = packed[yi * width + xi]              # (R, 8|16) one row gather
-    in_b = (x >= 0) & (x <= width - 1) & y_ok
+    in_b = x_ok & y_ok
     return {
         "light": rows[:, 0].astype(jnp.int32),
         "u": rows[:, 1], "v": rows[:, 2], "w": rows[:, 3], "m": rows[:, 4],
@@ -629,7 +656,8 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
         rad = settings.spatial_radius * jnp.sqrt(u4[1])
         nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
         ny = py_grid.astype(jnp.float32) + jnp.sin(ang) * rad
-        tap, in_b = _tap_rows(packed, nx, ny, width, height, halo=halo)
+        tap, in_b = _tap_rows(packed, nx, ny, width, height, halo=halo,
+                              reflect_edges=True)
         ok = (in_b & _geometry_similar(gb, tap["depth"], tap["normal"])
               & (tap["light"] >= 0) & gb.valid)
         taps.append((tap, ok, u4))
