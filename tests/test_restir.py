@@ -217,3 +217,41 @@ class TestBiasCorrection:
             acc += np.asarray((diff + spec).to_array())
         out = acc / 12
         assert np.isfinite(out).all() and out.mean() > 0.0
+
+
+class TestTapRows:
+    def test_reflect_edges_mirrors_instead_of_rejecting(self):
+        """Spatial taps outside the view reflect across the edge
+        (RAB_ClampSamplePositionIntoView, RTXDIAppBridge.hlsli:112-135)."""
+        w, h = 8, 4
+        packed = jnp.arange(w * h, dtype=jnp.float32)[:, None] * jnp.ones(
+            (1, 8))
+        x = jnp.asarray([-2.0, 9.0, 3.0])
+        y = jnp.asarray([1.0, 1.0, -1.0])
+        tap, in_b = restir._tap_rows(packed, x, y, w, h,
+                                     reflect_edges=True)
+        assert bool(in_b.all())
+        got = np.asarray(tap["rows"][:, 0])
+        # x=-2 -> 2; x=9 -> 2*8-9-1=6; y=-1 -> 1
+        np.testing.assert_array_equal(got, [1 * w + 2, 1 * w + 6,
+                                            1 * w + 3])
+        # without reflection the same taps are rejected
+        _, in_b2 = restir._tap_rows(packed, x, y, w, h)
+        np.testing.assert_array_equal(np.asarray(in_b2),
+                                      [False, False, False])
+
+    def test_reflect_edges_halo_global_rows(self):
+        """Under a halo, reflection happens in GLOBAL rows: shard 0's
+        y=-1 tap reflects to global row 1 = local row 1."""
+        w, h = 4, 4          # tile of 4 rows in a 16-row image
+        pad = 2
+        packed = (jnp.arange((h + 2 * pad) * w, dtype=jnp.float32)[:, None]
+                  * jnp.ones((1, 8)))
+        halo = {"pad": pad, "row0": jnp.float32(0.0), "total_h": 16}
+        tap, in_b = restir._tap_rows(
+            packed, jnp.asarray([0.0]), jnp.asarray([-1.0]), w, h,
+            halo=halo, reflect_edges=True)
+        assert bool(in_b.all())
+        # reflected local row 1 -> extended row 1+pad = 3
+        np.testing.assert_array_equal(np.asarray(tap["rows"][:, 0]),
+                                      [3 * w + 0])
