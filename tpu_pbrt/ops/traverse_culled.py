@@ -79,6 +79,8 @@ class CulledTris(NamedTuple):
     block_max: jnp.ndarray  # (B, 3)
     super_min: jnp.ndarray  # (S, 3) unions of SUPER Morton-adjacent blocks
     super_max: jnp.ndarray  # (S, 3)
+    super_blocks: jnp.ndarray  # (S, SUPER*8) per-super packed child-block
+    #                            bounds rows [min3 max3 valid pad] x SUPER
     tri_id: jnp.ndarray     # (B*BLOCK,) i32 (refit bookkeeping)
     lo: jnp.ndarray         # (3,) scene bounds for the ray Morton sort
     hi: jnp.ndarray         # (3,)
@@ -99,16 +101,26 @@ def _pack_table(sv0, sv1, sv2, sid, sop):
 
 
 def _super_bounds(bmin, bmax):
-    """(S, 3) AABB unions of SUPER Morton-adjacent blocks (np or jnp)."""
+    """(S, 3) AABB unions of SUPER Morton-adjacent blocks plus the packed
+    (S, SUPER*8) child-block bounds rows the per-chunk pre-select fetches
+    with a one-hot dot (np or jnp)."""
     xp = jnp if isinstance(bmin, jnp.ndarray) else np
     nb = bmin.shape[0]
     pad = (-nb) % SUPER
+    valid = xp.concatenate([xp.ones((nb,), xp.float32),
+                            xp.zeros((pad,), xp.float32)])
     if pad:
-        bmin = xp.concatenate([bmin, xp.full((pad, 3), xp.inf, bmin.dtype)])
-        bmax = xp.concatenate([bmax, xp.full((pad, 3), -xp.inf, bmax.dtype)])
+        big = xp.float32(3e38)
+        bmin = xp.concatenate([bmin, xp.full((pad, 3), big, bmin.dtype)])
+        bmax = xp.concatenate([bmax, xp.full((pad, 3), -big, bmax.dtype)])
     s = bmin.shape[0] // SUPER
+    rows = xp.concatenate(
+        [bmin, bmax, valid[:, None], xp.zeros((bmin.shape[0], 1),
+                                              xp.float32)], axis=1)
+    sb = rows.reshape(s, SUPER * 8)
+    # the union min/max over padded entries: +/-3e38 sentinels never win
     return (bmin.reshape(s, SUPER, 3).min(1),
-            bmax.reshape(s, SUPER, 3).max(1))
+            bmax.reshape(s, SUPER, 3).max(1), sb)
 
 
 def prepare(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
@@ -159,13 +171,14 @@ def prepare(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
 
     glo = np.minimum(np.minimum(v0.min(0), v1.min(0)), v2.min(0))
     ghi = np.maximum(np.maximum(v0.max(0), v1.max(0)), v2.max(0))
-    smin, smax = _super_bounds(bmin.astype(np.float32),
-                               bmax.astype(np.float32))
+    smin, smax, sblocks = _super_bounds(bmin.astype(np.float32),
+                                        bmax.astype(np.float32))
     return CulledTris(
         table=jnp.asarray(_pack_table(sv0, sv1, sv2, sid, sop)),
         block_min=jnp.asarray(bmin.astype(np.float32)),
         block_max=jnp.asarray(bmax.astype(np.float32)),
         super_min=jnp.asarray(smin), super_max=jnp.asarray(smax),
+        super_blocks=jnp.asarray(sblocks),
         tri_id=jnp.asarray(sid),
         lo=jnp.asarray(glo), hi=jnp.asarray(ghi),
         num=t,
@@ -192,11 +205,12 @@ def refit(tris: CulledTris, v0, v1, v2) -> CulledTris:
                            jnp.inf), axis=0)
     hi = jnp.max(jnp.where(valid, jnp.maximum(jnp.maximum(sv0, sv1), sv2),
                            -jnp.inf), axis=0)
-    smin, smax = _super_bounds(bmin, bmax)
+    smin, smax, sblocks = _super_bounds(bmin, bmax)
     return tris._replace(
         table=_pack_table(sv0, sv1, sv2, tris.tri_id, op),
         block_min=bmin, block_max=bmax,
-        super_min=smin, super_max=smax, lo=lo, hi=hi)
+        super_min=smin, super_max=smax, super_blocks=sblocks,
+        lo=lo, hi=hi)
 
 
 # ---------------------------------------------------------------------------
@@ -240,20 +254,52 @@ def _touched(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1):
     return touched
 
 
-def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
+def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
                  any_mode: bool):
-    """One chunk (CHUNK rays) against its top-`u_blocks` blocks.
+    """One chunk (CHUNK rays) against its top-`u_blocks` blocks, selected
+    through a SUPERBLOCK pre-level: slab-test the S supers, expand the
+    top ceil(u/SUPER)+2 supers' child-block bounds with a one-hot dot,
+    slab-test only those candidates exactly, then rank. The slab phase is
+    O(S + u*~1.6) rows per ray instead of O(B) — it was the second
+    biggest slice of the pass-1 profile after the MT sweep. Exactness is
+    preserved: rays touching an unchosen super or an unchosen candidate
+    block are flagged uncovered and re-swept by the cascade.
     Returns (key (CHUNK,) u32 packed [t | row], id (CHUNK,) f32,
     occluded (CHUNK,) bool, uncovered (CHUNK,) bool)."""
-    nb = bmin.shape[0]
-    mask, mlo = _slab_mask(o, d, t0, t1, bmin, bmax)     # (B, CHUNK)
-    counts = mask.sum(axis=1).astype(jnp.int32)          # (B,)
-    k = min(u_blocks, nb)
-    _, chosen = lax.top_k(counts, k)                     # (k,)
+    table = tris.table
+    nb = tris.block_min.shape[0]
+    ns = tris.super_min.shape[0]
+    ks = min((u_blocks + SUPER - 1) // SUPER + 2, ns)
+
+    smask, slo = _slab_mask(o, d, t0, t1, tris.super_min,
+                            tris.super_max)              # (S, CHUNK)
+    scounts = smask.sum(axis=1).astype(jnp.int32)
+    _, s_chosen = lax.top_k(scounts, ks)                 # (ks,)
+    iota_s = lax.broadcasted_iota(jnp.int32, (ks, ns), 1)
+    onehot_s = (iota_s == s_chosen[:, None])
+    super_in = onehot_s.any(axis=0)                      # (S,)
+    cand = lax.dot_general(
+        onehot_s.astype(jnp.float32), tris.super_blocks,
+        (((1,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST)                 # (ks, SUPER*8)
+    cand = cand.reshape(ks * SUPER, 8)
+    cvalid = cand[:, 6] > 0.5
+    cblk = (s_chosen[:, None] * SUPER
+            + jnp.arange(SUPER, dtype=jnp.int32)[None, :]).reshape(-1)
+
+    mask, mlo = _slab_mask(o, d, t0, t1, cand[:, 0:3],
+                           cand[:, 3:6])                 # (ks*8, CHUNK)
+    mask = mask & cvalid[:, None]
+    counts = mask.sum(axis=1).astype(jnp.int32)          # (ks*8,)
+    k = min(u_blocks, ks * SUPER, nb)
+    _, ci = lax.top_k(counts, k)                         # (k,) cand index
+    iota_c = lax.broadcasted_iota(jnp.int32, (k, ks * SUPER), 1)
+    onehot_c = (iota_c == ci[:, None])
+    cand_in = onehot_c.any(axis=0)                       # (ks*8,)
+    missed = mask & ~cand_in[:, None]                    # cands not swept
+    chosen = cblk[ci]                                    # (k,) global ids
     iota_b = lax.broadcasted_iota(jnp.int32, (k, nb), 1)
     onehot = (iota_b == chosen[:, None])
-    in_chosen = onehot.any(axis=0)                       # (B,)
-    missed = mask & ~in_chosen[:, None]                  # blocks not swept
 
     fetched = lax.dot_general(
         onehot.astype(jnp.float32), table,
@@ -271,10 +317,12 @@ def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
     live_row = (ids >= 0.0)[:, None]
     t = jnp.where(live_row, t, INF)
 
+    super_missed = smask & ~super_in[:, None]            # (S, CHUNK)
     if any_mode:
         occ = jnp.any(jnp.isfinite(t) & (op[:, None] >= 0.5), axis=0)
         zero_k = jnp.full((t.shape[1],), _UMAX)
-        uncovered = jnp.any(missed, axis=0)
+        uncovered = (jnp.any(missed, axis=0)
+                     | jnp.any(super_missed, axis=0))
         return zero_k, jnp.zeros((t.shape[1],)), occ, uncovered
 
     row_iota = lax.broadcasted_iota(jnp.uint32, t.shape, 0)
@@ -293,7 +341,9 @@ def _chunk_query(table, bmin, bmax, o: Vec3, d: Vec3, t0, t1, u_blocks,
     t_cull = lax.bitcast_convert_type(
         best | jnp.uint32((1 << IDX_BITS) - 1), jnp.float32)
     t_cull = jnp.where(best == _UMAX, INF, t_cull)
-    uncovered = jnp.any(missed & (mlo <= t_cull[None, :]), axis=0)
+    uncovered = (jnp.any(missed & (mlo <= t_cull[None, :]), axis=0)
+                 | jnp.any(super_missed & (slo <= t_cull[None, :]),
+                           axis=0))
     return best, rid, jnp.zeros((t.shape[1],), bool), uncovered
 
 
@@ -319,8 +369,7 @@ def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
         def one(c):
             o = Vec3(c[0], c[1], c[2])
             d = Vec3(c[3], c[4], c[5])
-            return _chunk_query(tris.table, tris.block_min, tris.block_max,
-                                o, d, c[6], c[7], u_blocks, any_mode)
+            return _chunk_query(tris, o, d, c[6], c[7], u_blocks, any_mode)
 
         return jax.vmap(one)(jnp.stack(list(args), axis=1))
 
