@@ -50,6 +50,11 @@ class TextureAtlas(NamedTuple):
 def _pack_level_quads(m: np.ndarray, wrap: int, srgb: bool) -> np.ndarray:
     """(H, W, 4) f32 LINEAR level -> (H*W, 4) u32 quad rows. sRGB levels
     re-encode before u8 quantization (decode happens after unpack)."""
+    from ..native import pack_level_quads as native_pack
+
+    rows = native_pack(m, wrap == WRAP_REPEAT, srgb)
+    if rows is not None:
+        return rows
     rgb = np.clip(m[..., :3], 0.0, 1.0)
     if srgb:
         rgb = np.where(rgb <= 0.0031308, rgb * 12.92,

@@ -133,21 +133,26 @@ def prepare(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     if opacity is None:
         opacity = np.ones((t,), np.float32)
 
-    centroid = (v0 + v1 + v2) / 3.0
-    lo = centroid.min(0)
-    hi = centroid.max(0)
-    q = np.clip((centroid - lo) / np.maximum(hi - lo, 1e-12) * 1024.0,
-                0, 1023).astype(np.uint32)
+    from ..native import morton_order
 
-    def expand(x):
-        x = (x * 0x00010001) & 0xFF0000FF
-        x = (x * 0x00000101) & 0x0F00F00F
-        x = (x * 0x00000011) & 0xC30C30C3
-        x = (x * 0x00000005) & 0x49249249
-        return x
+    order = morton_order(v0, v1, v2)     # native host build when available
+    if order is None:
+        centroid = (v0 + v1 + v2) / 3.0
+        lo = centroid.min(0)
+        hi = centroid.max(0)
+        q = np.clip((centroid - lo) / np.maximum(hi - lo, 1e-12) * 1024.0,
+                    0, 1023).astype(np.uint32)
 
-    codes = (expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1) | expand(q[:, 2])
-    order = np.argsort(codes, kind="stable").astype(np.int32)
+        def expand(x):
+            x = (x * 0x00010001) & 0xFF0000FF
+            x = (x * 0x00000101) & 0x0F00F00F
+            x = (x * 0x00000011) & 0xC30C30C3
+            x = (x * 0x00000005) & 0x49249249
+            return x
+
+        codes = ((expand(q[:, 0]) << 2) | (expand(q[:, 1]) << 1)
+                 | expand(q[:, 2]))
+        order = np.argsort(codes, kind="stable").astype(np.int32)
     sv0, sv1, sv2 = v0[order], v1[order], v2[order]
     sid = order
     sop = opacity[order]

@@ -229,9 +229,15 @@ def _load_exr(path: str) -> np.ndarray:
 def build_mip_chain(img: np.ndarray, max_levels: int = 16) -> list[np.ndarray]:
     """Box-filtered mip pyramid down to 1x1 (TextureHelpers mip upload
     analogue). img: (H, W, C), H/W powers of two preferred."""
+    from ..native import mip_downsample
+
     mips = [img.astype(np.float32)]
     while len(mips) < max_levels and (mips[-1].shape[0] > 1 or mips[-1].shape[1] > 1):
         src = mips[-1]
+        native = mip_downsample(src)     # C++ box filter when available
+        if native is not None:
+            mips.append(native)
+            continue
         h, w = src.shape[:2]
         nh, nw = max(h // 2, 1), max(w // 2, 1)
         src = src[: nh * 2, : nw * 2] if (h > 1 and w > 1) else src
