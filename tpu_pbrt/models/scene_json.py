@@ -122,6 +122,29 @@ class SceneDesc:
     render_objects: list[RenderObjectDesc]
 
 
+
+def _load_models_parallel(paths):
+    """URI-deduped PARALLEL model load (the reference loads resources on
+    a thread pool, Source/ResourceHelpers.ixx / DirectXTK ThreadPool use;
+    PIL image decode and file IO release the GIL, so glTF models with
+    textures overlap)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from . import gltf
+
+    uniq = []
+    for p in paths:
+        if p and p not in uniq:
+            uniq.append(p)
+    if not uniq:
+        return {}
+    if len(uniq) == 1:
+        return {uniq[0]: gltf.load(uniq[0])}
+    with ThreadPoolExecutor(max_workers=min(8, len(uniq))) as ex:
+        models = list(ex.map(gltf.load, uniq))
+    return dict(zip(uniq, models))
+
+
 def load_scene_desc(path: str) -> SceneDesc:
     if not path:
         raise ValueError("Scene file path cannot be empty")
@@ -186,10 +209,7 @@ def build_dynamic_renderer(desc: SceneDesc, width: int, height: int,
     from ..utils.texture_io import load_latlong_texture
     from .scene import make_environment
 
-    loaded: dict[str, gltf.Model] = {}
-    for name, p in desc.models.items():
-        if p and p not in loaded:
-            loaded[p] = gltf.load(p)
+    loaded = _load_models_parallel(desc.models.values())
     anims: dict[str, list] = {}
     for name, p in desc.animations.items():
         if p and p not in anims:
@@ -235,10 +255,7 @@ def build_scene(desc: SceneDesc):
     from ..render.camera import Camera
 
     # model dedup by URI (ResourceDictionary behavior, ResourceHelpers.ixx)
-    loaded: dict[str, gltf.Model] = {}
-    for name, p in desc.models.items():
-        if p and p not in loaded:
-            loaded[p] = gltf.load(p)
+    loaded = _load_models_parallel(desc.models.values())
 
     meshes = []
     materials: list[dict] = []
