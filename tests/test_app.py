@@ -135,3 +135,21 @@ class TestFullPipeline:
         ref = np.asarray(r.render_mean(cam, 16)).mean()
         # denoiser+TAA carry a small darkening bias on spiky 1-SPP input
         assert abs(composed / ref - 1.0) < 0.45, (composed, ref)
+
+
+def test_debug_nans_sanitizer_raises():
+    """utils/debug.py: jax_debug_nans wiring catches a NaN-producing op
+    (the debug-layer/DRED analogue; SURVEY §5)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from tpu_pbrt.utils import debug as debug_mod
+
+    debug_mod.enable_debug()
+    try:
+        with _pytest.raises(Exception):
+            jax.jit(lambda x: jnp.log(x) * 0.0 + jnp.sqrt(x))(
+                jnp.float32(-1.0)).block_until_ready()
+    finally:
+        jax.config.update("jax_debug_nans", False)

@@ -36,12 +36,23 @@ def main(argv=None):
                         help="write the effective settings JSON and exit")
     parser.add_argument("--cpu", action="store_true",
                         help="force the CPU backend")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="numerical sanitizer: raise at the first "
+                             "NaN produced by any pass (debug-layer "
+                             "analogue; also TPU_PBRT_DEBUG_NANS=1)")
     args = parser.parse_args(argv)
 
     if args.cpu:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+
+    from tpu_pbrt.utils import debug as debug_mod
+
+    if args.debug_nans:
+        debug_mod.enable_debug()
+    else:
+        debug_mod.maybe_enable_from_env()
 
     from tpu_pbrt.utils import config as config_mod
 
