@@ -63,7 +63,7 @@ def main():
     for bl in (0.0, 0.06, 0.1, 0.15):
         h2 = np.asarray(bloom_mod.apply(jnp.asarray(hdr), bl)) if bl \
             else hdr
-        for exp in (0.15, 0.18, 0.22, 0.27, 0.33, 0.4):
+        for exp in (0.12, 0.15, 0.18, 0.22, 0.27, 0.33):
             ours8 = r.tonemapped(h2, operator="reinhard", exposure=exp)
             val = ssim(np.asarray(ours8, np.float32) / 255.0, ref_small)
             if val > best[0]:

@@ -211,7 +211,7 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
 # ---------------------------------------------------------------------------
 
 def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
-                      core_radiance=(14.0, 13.0, 11.0),
+                      core_radiance=(8.0, 7.4, 6.3),
                       bunny_center=(405.0, 215.0), bunny_scale=95.0,
                       bunny_yaw=0.0, bunny_roughness=0.45,
                       ball_center=(86.0, 200.0), ball_radius=62.0,
