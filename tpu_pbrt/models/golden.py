@@ -162,7 +162,7 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
 
 
 def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
-                     core_frac=0.45):
+                     core_frac=0.45, hole_deg=16.0):
     """Perforated metal ball luminaire on a wooden base: sphere shell with
     geometric circular holes, emissive core inside."""
     v3, f3 = icosphere(3)     # 1280 faces: holes stay round
@@ -173,7 +173,7 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
     centroid = v3[f3].mean(axis=1)
     centroid /= np.linalg.norm(centroid, axis=1, keepdims=True)
     cosang = centroid @ holes.T
-    keep = (cosang.max(axis=1) < np.cos(np.radians(16.0)))
+    keep = (cosang.max(axis=1) < np.cos(np.radians(hole_deg)))
 
     base_h = 28.0
     cy = base_h + radius * 0.92
@@ -215,7 +215,8 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       bunny_center=(405.0, 215.0), bunny_scale=95.0,
                       bunny_yaw=0.0, bunny_roughness=0.45,
                       ball_center=(86.0, 200.0), ball_radius=62.0,
-                      ball_roughness=0.5, core_frac=0.72,
+                      ball_roughness=0.5, core_frac=0.72, hole_deg=16.0,
+                      block_size=(165.0, 330.0, 165.0),
                       wall_boost=1.18,
                       block_center=(185.0, 420.0),
                       block_rot=-17.0) -> Scene:
@@ -238,12 +239,12 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                         [343, 548.0, 332], [213, 548.0, 332],
                         MAT_LIGHT, 1))
     # tall block, polished black (the screenshot's mirror slab)
-    meshes += _box([0, 0, 0], [165, 330, 165], block_rot, block_center,
+    meshes += _box([0, 0, 0], list(block_size), block_rot, block_center,
                    MAT_BLACK_MIRROR, 3)
     meshes += make_bunny_meshes(center_xz=bunny_center, scale=bunny_scale,
                                 yaw_deg=bunny_yaw)
     meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
-                               core_frac=core_frac)
+                               core_frac=core_frac, hole_deg=hole_deg)
 
     geometry = build_geometry(meshes)
     wb = wall_boost
