@@ -215,8 +215,8 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       bunny_center=(405.0, 215.0), bunny_scale=95.0,
                       bunny_yaw=0.0, bunny_roughness=0.45,
                       ball_center=(86.0, 200.0), ball_radius=62.0,
-                      ball_roughness=0.5, core_frac=0.72, hole_deg=16.0,
-                      block_size=(165.0, 330.0, 165.0),
+                      ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
+                      block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(185.0, 420.0),
                       block_rot=-17.0) -> Scene:
