@@ -250,13 +250,30 @@ def _touched(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1):
     over supers in groups of SUPER so unfused intermediates stay bounded."""
     sm, sM = tris.super_min, tris.super_max
     s = sm.shape[0]
-    touched = jnp.zeros(ox.shape, bool)
-    for a in range(0, s, SUPER):
-        b = min(a + SUPER, s)
-        m, _ = _slab_mask(Vec3(ox, oy, oz), Vec3(dx, dy, dz), t0, t1,
-                          sm[a:b], sM[a:b])
-        touched = touched | m.any(axis=0)
-    return touched
+    o = Vec3(ox, oy, oz)
+    d = Vec3(dx, dy, dz)
+    if s <= 16 * SUPER:     # unrolled tiles: fully parallel VPU work
+        touched = jnp.zeros(ox.shape, bool)
+        for a in range(0, s, SUPER):
+            b = min(a + SUPER, s)
+            m, _ = _slab_mask(o, d, t0, t1, sm[a:b], sM[a:b])
+            touched = touched | m.any(axis=0)
+        return touched
+    # very large scenes: bounded compile via lax.map over super tiles
+    pad = (-s) % SUPER
+    big = jnp.float32(3e38)
+    smp = jnp.concatenate([sm, jnp.full((pad, 3), big)]) if pad else sm
+    sMp = jnp.concatenate([sM, jnp.full((pad, 3), -big)]) if pad else sM
+    nt = smp.shape[0] // SUPER
+
+    def tile(args):
+        tlo, thi = args
+        m, _ = _slab_mask(o, d, t0, t1, tlo, thi)
+        return m.any(axis=0)
+
+    out = lax.map(tile, (smp.reshape(nt, SUPER, 3),
+                         sMp.reshape(nt, SUPER, 3)))
+    return out.any(axis=0)
 
 
 def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
