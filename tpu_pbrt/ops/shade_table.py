@@ -184,7 +184,8 @@ FETCH_KB = 8         # blocks one-hot-fetched per chunk
 FETCH_GROUP = 64     # chunks per map step (memory control)
 
 
-def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
+def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray,
+                coherent: bool = True) -> jnp.ndarray:
     """Row fetch, TRANSPOSED output (COLS, R): small tables go through a
     one-hot MXU matmul (measured ~7x faster than XLA's row gather inside a
     fused loop body on v5e: 4.3 vs 32 ms per 2M-lane bounce); the compare
@@ -210,7 +211,11 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray) -> jnp.ndarray:
             table, onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST)                     # (C, R)
-    return _fetch_rows_blocked(table, slot)
+    if coherent:
+        return _fetch_rows_blocked(table, slot)
+    # incoherent slots (e.g. CDF light draws): the chunked block fetch
+    # would overflow its fallback pool — take the plain row gather
+    return table[slot].T
 
 
 def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray
@@ -596,7 +601,7 @@ def _light_rows(table: jnp.ndarray, li: jnp.ndarray):
             return out
 
         return [col(c) for c in range(LIGHT_COLS)]
-    return _fetch_rows(table, li)   # (COLS, R)
+    return _fetch_rows(table, li, coherent=False)   # (COLS, R)
 
 
 def fetch_light_by_index(table: jnp.ndarray, li: jnp.ndarray,
