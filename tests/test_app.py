@@ -153,3 +153,32 @@ def test_debug_nans_sanitizer_raises():
                 jnp.float32(-1.0)).block_until_ready()
     finally:
         jax.config.update("jax_debug_nans", False)
+
+
+def test_chromatic_aberration_and_color_rotations():
+    """postfx chromatic aberration shifts R/B radially; all three HDR
+    color rotations are available (MyAppData.h:316-320)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpu_pbrt.passes import postfx
+    from tpu_pbrt.ops import tonemap
+
+    img = jnp.zeros((32, 64, 3)).at[16, 48, :].set(1.0)
+    out = np.asarray(postfx.chromatic_aberration(img, 0.03))
+    # green unchanged; red pulled outward (toward larger x), blue inward
+    assert out[16, 48, 1] == 1.0
+    rx = np.argmax(out[16, :, 0])
+    bx = np.argmax(out[16, :, 2])
+    assert rx < 48 < bx or out[16, 48, 0] < 1.0  # red sampled inward
+    assert bx <= 48
+
+    x = jnp.asarray([[0.2, 0.5, 0.9]])
+    for rot in ("rec709_to_rec2020", "dcip3d65_to_rec2020",
+                "rec709_to_dcip3d65"):
+        y = np.asarray(tonemap.apply(x, "st2084", 1.0, 200.0, rot))
+        assert np.isfinite(y).all() and (y >= 0).all() and (y <= 1).all()
+
+    # rows of every rotation matrix sum to ~1 (white maps to white)
+    for m in tonemap.ROTATIONS.values():
+        np.testing.assert_allclose(np.asarray(m).sum(1), 1.0, atol=2e-3)

@@ -255,3 +255,37 @@ class TestTapRows:
         # reflected local row 1 -> extended row 1+pad = 3
         np.testing.assert_array_equal(np.asarray(tap["rows"][:, 0]),
                                       [3 * w + 0])
+
+
+def test_uniform_local_light_mode_unbiased():
+    """'uniform' candidate mode estimates the same DI as power-RIS
+    (README settings tree: Local Light Mode Uniform | Power RIS)."""
+    scene = make_cornell_box()
+    trc = tracer_mod.build_for_scene(scene)
+    w = h = 48
+    cam = make_cornell_camera(w, h).data()
+    o, d, t0, t1 = generate_rays(cam, w, h)
+    px = jnp.tile(jnp.arange(w, dtype=jnp.uint32), h)
+    py = jnp.repeat(jnp.arange(h, dtype=jnp.uint32), w)
+    u = (px.astype(jnp.float32) + 0.5) / w
+    v = (py.astype(jnp.float32) + 0.5) / h
+    gb = gbuffer_mod.generate(trc, scene, cam, o, d, t0, t1, u, v, (w, h))
+    view = -d
+
+    means = {}
+    for mode in ("power_ris", "uniform"):
+        st = restir.ReSTIRState.empty(w * h)
+        acc = 0.0
+        s = restir.ReSTIRSettings(temporal=False, spatial=False,
+                                  initial_brdf_samples=0,
+                                  initial_light_samples=8,
+                                  local_light_mode=mode)
+        for f in range(24):
+            (di_d, di_s), st, _ = restir.render_direct_lighting(
+                scene, gb, view, trc, st, px, py, jnp.uint32(f), w, h, s)
+            di = di_d + di_s
+            acc = acc + float(np.asarray(
+                (di.x + di.y + di.z)).mean())
+        means[mode] = acc / 24
+    assert means["uniform"] == pytest.approx(means["power_ris"], rel=0.1), \
+        means

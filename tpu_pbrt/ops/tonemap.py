@@ -26,6 +26,25 @@ _REC709_TO_REC2020 = (
     (0.0163916, 0.0880132, 0.8955950),
 )
 
+# the reference's other two HDR rotations (MyAppData.h:316-320:
+# Rec.709->Rec.2020 | DCI-P3-D65->Rec.2020 | Rec.709->DCI-P3-D65)
+_DCIP3D65_TO_REC2020 = (
+    (0.7538330, 0.1986730, 0.0474947),
+    (0.0457438, 0.9417770, 0.0124772),
+    (-0.0012100, 0.0176017, 0.9836070),
+)
+_REC709_TO_DCIP3D65 = (
+    (0.8224620, 0.1775380, 0.0000000),
+    (0.0331941, 0.9668060, 0.0000000),
+    (0.0170827, 0.0723974, 0.9105200),
+)
+
+ROTATIONS = {
+    "rec709_to_rec2020": _REC709_TO_REC2020,
+    "dcip3d65_to_rec2020": _DCIP3D65_TO_REC2020,
+    "rec709_to_dcip3d65": _REC709_TO_DCIP3D65,
+}
+
 
 def saturate(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.clip(x, 0.0, 1.0)
@@ -61,9 +80,16 @@ def rec709_to_rec2020(rgb: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...c,oc->...o", rgb, m)
 
 
+def color_rotate(rgb: jnp.ndarray, rotation: str) -> jnp.ndarray:
+    """Apply a named HDR color-primary rotation (MyAppData.h:316-320)."""
+    m = jnp.asarray(ROTATIONS[rotation], rgb.dtype)
+    return jnp.einsum("...c,oc->...o", rgb, m)
+
+
 def apply(x: jnp.ndarray, operator: str = OPERATOR_ACES,
           exposure: float = 1.0,
-          paper_white_nits: float = 200.0) -> jnp.ndarray:
+          paper_white_nits: float = 200.0,
+          color_rotation: str = "rec709_to_rec2020") -> jnp.ndarray:
     if operator == OPERATOR_NONE:
         return x
     if operator == OPERATOR_SATURATE:
@@ -73,8 +99,9 @@ def apply(x: jnp.ndarray, operator: str = OPERATOR_ACES,
     if operator == OPERATOR_ACES:
         return aces_filmic(x, exposure)
     if operator == OPERATOR_ST2084:
-        # HDR10 signal chain: exposure -> Rec2020 gamut -> PQ encode
-        wide = rec709_to_rec2020(jnp.maximum(x * exposure, 0.0))
+        # HDR signal chain: exposure -> gamut rotation -> PQ encode
+        wide = color_rotate(jnp.maximum(x * exposure, 0.0),
+                            color_rotation)
         return st2084_pq(wide, paper_white_nits)
     raise ValueError(f"unknown tonemap operator: {operator}")
 

@@ -243,10 +243,17 @@ def jit_app_sharded(app, mesh: Mesh):
                 img = taa_mod.sharpen(img, s.post_processing.sharpness)
         elif (rw, rh) != (app.out_w, app.out_h):
             img = taa_mod._upscale_bilinear(img, app.out_h, app.out_w)
+        if s.post_processing.chromatic_aberration > 0.0:
+            from ..passes import postfx
+
+            img = postfx.chromatic_aberration(
+                img, s.post_processing.chromatic_aberration)
         if s.post_processing.bloom:
             img = bloom_mod.apply(img, s.post_processing.bloom_strength)
         img = tonemap.apply(img, s.post_processing.tonemap_operator,
-                            s.post_processing.exposure)
+                            s.post_processing.exposure,
+                            s.post_processing.hdr_paper_white_nits,
+                            s.post_processing.hdr_color_rotation)
 
         from ..render.app import FrameHistory
 

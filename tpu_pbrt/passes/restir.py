@@ -45,6 +45,9 @@ class ReSTIRSettings:
     """Defaults follow the reference (MyAppData.h:192-246)."""
     initial_light_samples: int = 8      # ReGIR/local-light candidates
     initial_brdf_samples: int = 1       # BRDF-ray candidates (DIInitialSampling)
+    # local-light candidate mode (reference README settings tree:
+    # Uniform | Power RIS | ReGIR RIS; ReGIR engages via the grid arg)
+    local_light_mode: str = "power_ris"  # "uniform" | "power_ris"
     temporal: bool = True
     spatial: bool = True
     spatial_samples: int = 2            # neighbor taps
@@ -211,9 +214,18 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
         # partially filled cells — use a separate stream
         u_cdf = (rng.uniform4(px, py, frame, 130 + k)[0]
                  if regir is not None else u4[0])
-        li = jnp.searchsorted(scene.lights.cdf, u_cdf).astype(jnp.int32)
-        li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
-        pdf_area = _light_area_pdf(scene, li)
+        nl = scene.lights.power.shape[0]
+        if settings.local_light_mode == "uniform":
+            # Uniform candidate mode (reference Local Light Mode:
+            # Uniform): every light equally likely, pdf = 1/(nl * area)
+            li = jnp.clip((u_cdf * nl).astype(jnp.int32), 0, nl - 1)
+            pdf_area = 1.0 / jnp.maximum(
+                nl * scene.lights.area[li], 1e-20)
+        else:
+            li = jnp.searchsorted(scene.lights.cdf, u_cdf).astype(
+                jnp.int32)
+            li = jnp.clip(li, 0, nl - 1)
+            pdf_area = _light_area_pdf(scene, li)
         if regir is not None:
             li_g, w_slot = regir_mod.sample(grid, rs, cell, inside, u4[0])
             use_g = li_g >= 0

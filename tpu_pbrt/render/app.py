@@ -100,6 +100,7 @@ class App:
         self.restir_settings = restir_mod.ReSTIRSettings(
             initial_light_samples=s.raytracing.restir_local_light_samples,
             initial_brdf_samples=s.raytracing.restir_brdf_samples,
+            local_light_mode=s.raytracing.restir_local_light_mode,
             temporal=s.raytracing.restir_temporal,
             spatial=s.raytracing.restir_spatial,
             temporal_bias_correction=(
@@ -371,13 +372,20 @@ class App:
         elif (rw, rh) != (self.out_w, self.out_h):
             img = taa_mod._upscale_bilinear(img, self.out_h, self.out_w)
 
-        # --- bloom + tonemap (App.cpp:1769-1803)
+        # --- lens fx + bloom + tonemap (App.cpp:1769-1803; the
+        # reference's pass order puts chromatic aberration before bloom)
         with jax.named_scope("bloom_tonemap"):
+            if s.post_processing.chromatic_aberration > 0.0:
+                from ..passes import postfx
+
+                img = postfx.chromatic_aberration(
+                    img, s.post_processing.chromatic_aberration)
             if s.post_processing.bloom:
                 img = bloom_mod.apply(img, s.post_processing.bloom_strength)
             img = tonemap.apply(img, s.post_processing.tonemap_operator,
                                 s.post_processing.exposure,
-                                s.post_processing.hdr_paper_white_nits)
+                                s.post_processing.hdr_paper_white_nits,
+                                s.post_processing.hdr_color_rotation)
 
         history = FrameHistory(denoiser=denoiser_state, taa=taa_state,
                                restir=restir_state, sharc=sharc_state)

@@ -38,6 +38,8 @@ class RaytracingSettings:
     restir_di: bool = True
     restir_local_light_samples: int = 8
     restir_brdf_samples: int = 1
+    # Uniform | Power RIS (ReGIR RIS = regir toggle; settings tree parity)
+    restir_local_light_mode: str = "power_ris"
     restir_temporal: bool = True
     restir_spatial: bool = True
     # bias-correction modes (reference: MyAppData.h:227-246):
@@ -75,6 +77,8 @@ class RaytracingSettings:
             if 1 <= b <= self.bounces)
         self.samples_per_pixel = _clamp(
             int(self.samples_per_pixel), 1, MAX_SAMPLES_PER_PIXEL)
+        if self.restir_local_light_mode not in ("uniform", "power_ris"):
+            self.restir_local_light_mode = "power_ris"
         self.restir_local_light_samples = _clamp(
             int(self.restir_local_light_samples), 1, 32)
         for f in ("restir_temporal_bias_correction",
@@ -113,11 +117,15 @@ class PostProcessingSettings:
     # Set 1.0 for native-res rendering (DLAA-style).
     super_resolution_scale: float = 0.5  # render scale, <=1
     sharpness: float = 0.0
+    chromatic_aberration: float = 0.0   # radial RGB split strength
     bloom: bool = True
     bloom_strength: float = 0.05
     tonemap_operator: str = "aces"  # none|saturate|reinhard|aces|st2084
     exposure: float = 1.0
     hdr_paper_white_nits: float = 200.0  # st2084 (HDR10) operator only
+    # st2084 gamut step (MyAppData.h:316-320):
+    # rec709_to_rec2020 | dcip3d65_to_rec2020 | rec709_to_dcip3d65
+    hdr_color_rotation: str = "rec709_to_rec2020"
 
     def check(self):
         if self.denoiser not in ("none", "temporal_atrous"):
@@ -132,9 +140,15 @@ class PostProcessingSettings:
         if self.tonemap_operator not in ("none", "saturate", "reinhard",
                                          "aces", "st2084"):
             self.tonemap_operator = "aces"
+        self.chromatic_aberration = _clamp(
+            float(self.chromatic_aberration), 0.0, 0.05)
         self.exposure = _clamp(float(self.exposure), 1e-3, 1e3)
         self.hdr_paper_white_nits = _clamp(
             float(self.hdr_paper_white_nits), 50.0, 10000.0)
+        if self.hdr_color_rotation not in (
+                "rec709_to_rec2020", "dcip3d65_to_rec2020",
+                "rec709_to_dcip3d65"):
+            self.hdr_color_rotation = "rec709_to_rec2020"
         return self
 
 
