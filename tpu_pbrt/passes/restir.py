@@ -50,7 +50,7 @@ class ReSTIRSettings:
     local_light_mode: str = "power_ris"  # "uniform" | "power_ris"
     temporal: bool = True
     spatial: bool = True
-    spatial_samples: int = 2            # neighbor taps
+    spatial_samples: int = 1            # neighbor taps (MyAppData.h: Samples = 1)
     spatial_radius: float = 30.0        # pixels
     max_history: float = 20.0           # M-clamp (x initial M)
     initial_visibility: bool = True     # DIInitialSampling.hlsl:51-57

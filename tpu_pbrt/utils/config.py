@@ -47,12 +47,15 @@ class RaytracingSettings:
     restir_temporal_bias_correction: str = "basic"
     restir_spatial_bias_correction: str = "basic"
     # ReGIR world-space presampled light grid (RTXDI ReGIR block;
-    # reference: Shaders/ReGIRPresampling.hlsl). Off by default — it pays
-    # for itself in many-light scenes; cell size in world units.
+    # reference: Shaders/ReGIRPresampling.hlsl). DEVIATION: the reference
+    # ships LocalLightSamplingMode=ReGIR_RIS by default
+    # (MyAppData.h:209-214); here the grid defaults OFF because its
+    # per-frame build costs more than it returns below ~dozens of lights
+    # (measured; the many-light bench enables it). Cell size world units.
     regir: bool = False
     regir_cells_per_axis: int = 16
     regir_lights_per_cell: int = 16
-    regir_build_candidates: int = 4
+    regir_build_candidates: int = 8
     regir_cell_size: float = 1.0
     # SHARC (RTXGI block)
     sharc: bool = True
