@@ -629,7 +629,33 @@ def main(config: str = "cornell"):
     }))
 
 
+def _device_watchdog(timeout_s: float = 600.0):
+    """Fail fast (one JSON line) instead of hanging forever when the
+    axon backend is unavailable — device init/first-compile blocks
+    indefinitely during a backend outage."""
+    import threading
+
+    def bail():
+        print(json.dumps({
+            "metric": "bench unavailable: TPU backend init timed out",
+            "value": 0.0, "unit": "fps", "vs_baseline": 0.0,
+            "error": f"no device response within {timeout_s:.0f}s",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(timeout_s, bail)
+    t.daemon = True
+    t.start()
+    import jax
+    import jax.numpy as jnp
+
+    x = jax.jit(lambda a: (a @ a).sum())(jnp.ones((128, 128)))
+    assert float(x) > 0
+    t.cancel()
+
+
 if __name__ == "__main__":
+    _device_watchdog()
     if len(sys.argv) > 1 and sys.argv[1] == "breakdown":
         breakdown(sys.argv[2] if len(sys.argv) > 2 else "cornell")
     else:
