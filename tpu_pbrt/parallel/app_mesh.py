@@ -18,12 +18,18 @@ Source/App.cpp:573-654). Sharding layout:
   * SHARC update pool: sharded; the per-vertex records are all-gathered
     over ICI before the sort+segment-reduce resolve so every chip holds
     the identical resolved cache (the cache is read-only during query)
-  * denoise / TAA / bloom / tonemap: cross-pixel image filters run
-    replicated on the assembled image (cheap relative to tracing)
+  * the SVGF denoiser (temporal + à-trous) runs SHARDED with the same
+    halo contract: the temporal reprojection exchanges 8 boundary rows
+    (beyond-halo reprojection = disocclusion), each à-trous iteration
+    exchanges its own 2*step rows — filtered bands are bit-identical to
+    the single-device filter (the replicated post tail measured 31% of
+    frame FLOPs before this; tools/mesh_overhead.py)
+  * TAA upscale / bloom / tonemap: replicated on the assembled image
+    (bloom is a global pyramid; both are cheap relative to tracing)
 
-The only collectives: two ppermutes for the ReSTIR halo, one all_gather
-for SHARC records, one all_gather at the radiance boundary (implicit via
-out_specs), one psum for ray stats.
+The only collectives: ppermutes for the ReSTIR + denoiser halos, one
+all_gather for SHARC records, one all_gather at the radiance boundary
+(implicit via out_specs), one psum for ray stats.
 """
 
 from __future__ import annotations
@@ -88,14 +94,18 @@ def jit_app_sharded(app, mesh: Mesh):
         normal=Vec3(P(PIXEL_AXIS), P(PIXEL_AXIS), P(PIXEL_AXIS)),
         surface=P(PIXEL_AXIS) if pairwise_t else P(),
     )
+    spec_denoiser = denoise_mod.DenoiserState(
+        *([P(PIXEL_AXIS)] * 5))   # (H, W, ...) row bands
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(P(), P(), P(), spec_state, P()),
-        out_specs=(P(PIXEL_AXIS), P(), spec_state, P(), P(PIXEL_AXIS)),
+        in_specs=(P(), P(), P(), spec_state, P(), spec_denoiser),
+        out_specs=(P(PIXEL_AXIS), P(), spec_state, P(), spec_denoiser,
+                   P(PIXEL_AXIS)),
         check_rep=False,
     )
-    def heavy(tracer_scene, cam, frame, restir_state, sharc_state):
+    def heavy(tracer_scene, cam, frame, restir_state, sharc_state,
+              denoiser_state):
         tracer, scene = tracer_scene
         shard = jax.lax.axis_index(PIXEL_AXIS)
         rays_total = jnp.zeros((), jnp.float32)
@@ -205,36 +215,65 @@ def jit_app_sharded(app, mesh: Mesh):
         signal = radiance + di
 
         img_local = signal.to_array().reshape(rows_local, rw, 3)
-        nov = jnp.clip(vec.dot(gb.shading_normal, view), 0.0, 1.0)
-        albedo_local = denoise_mod.demodulation_albedo(
-            gb.base_color.to_array().reshape(rows_local, rw, 3),
-            gb.metallic.reshape(rows_local, rw),
-            gb.roughness.reshape(rows_local, rw),
-            nov.reshape(rows_local, rw))
         motion_local = jnp.stack([gb.motion_x.reshape(rows_local, rw),
                                   gb.motion_y.reshape(rows_local, rw)], -1)
-        depth_local = gb.depth.reshape(rows_local, rw)
-        normal_local = gb.shading_normal.to_array().reshape(rows_local, rw, 3)
-        aux_local = jnp.concatenate(
-            [albedo_local, motion_local, depth_local[..., None],
-             normal_local], -1)
+
+        # --- denoiser: sharded with per-iteration halo exchange (the
+        # replicated post tail measured 31% of frame FLOPs on the virtual
+        # mesh — tools/mesh_overhead.py; the denoiser is nearly all of it)
+        if s.post_processing.denoiser != "none":
+            def extend2d(x, pad):
+                """Band + `pad` neighbor rows each side; edge replication
+                at the global top/bottom (matches jnp.pad mode='edge').
+                Multi-band pads (tiny test images) take a tiled
+                all_gather + clamped row slice instead of multi-hop
+                permutes — same values, never hit at production sizes."""
+                if pad >= rows_local:
+                    full = jax.lax.all_gather(x, PIXEL_AXIS, axis=0,
+                                              tiled=True)
+                    idx = jnp.clip(
+                        jnp.arange(-pad, rows_local + pad) + row0, 0,
+                        rh - 1)
+                    return full[idx]
+                top, bot = x[:pad], x[rows_local - pad:]
+                up = jax.lax.ppermute(
+                    bot, PIXEL_AXIS, [(i, i + 1) for i in range(n - 1)])
+                dn = jax.lax.ppermute(
+                    top, PIXEL_AXIS, [(i + 1, i) for i in range(n - 1)])
+                up = jnp.where(shard == 0,
+                               jnp.broadcast_to(x[0:1], up.shape), up)
+                dn = jnp.where(shard == n - 1,
+                               jnp.broadcast_to(x[-1:], dn.shape), dn)
+                return jnp.concatenate([up, x, dn], axis=0)
+
+            nov = jnp.clip(vec.dot(gb.shading_normal, view), 0.0, 1.0)
+            albedo_local = denoise_mod.demodulation_albedo(
+                gb.base_color.to_array().reshape(rows_local, rw, 3),
+                gb.metallic.reshape(rows_local, rw),
+                gb.roughness.reshape(rows_local, rw),
+                nov.reshape(rows_local, rw))
+            halo_dn = {"extend2d": extend2d,
+                       "pad": min(8, rows_local - 1),
+                       "row0": row0.astype(jnp.float32), "total_h": rh}
+            img_local, denoiser_state = denoise_mod.denoise_frame(
+                denoiser_state, img_local, albedo_local,
+                gb.depth.reshape(rows_local, rw),
+                gb.shading_normal.to_array().reshape(rows_local, rw, 3),
+                motion_local,
+                iterations=s.post_processing.denoiser_iterations,
+                halo=halo_dn)
+
         return (img_local, jax.lax.psum(rays_total, PIXEL_AXIS),
-                restir_state, sharc_state, aux_local)
+                restir_state, sharc_state, denoiser_state, motion_local)
 
     def step(tracer, scene, cam, frame, history):
-        img, rays, restir_state, sharc_state, aux = heavy(
-            (tracer, scene), cam, frame, history.restir, history.sharc)
+        img, rays, restir_state, sharc_state, denoiser_state, motion = heavy(
+            (tracer, scene), cam, frame, history.restir, history.sharc,
+            history.denoiser)
         img = img.reshape(rh, rw, 3)
-        aux = aux.reshape(rh, rw, 9)
-        albedo, motion = aux[..., 0:3], aux[..., 3:5]
-        depth, normal = aux[..., 5], aux[..., 6:9]
+        motion = motion.reshape(rh, rw, 2)
 
-        # --- replicated post-processing tail (image-space filters)
-        denoiser_state = history.denoiser
-        if s.post_processing.denoiser != "none":
-            img, denoiser_state = denoise_mod.denoise_frame(
-                history.denoiser, img, albedo, depth, normal, motion,
-                iterations=s.post_processing.denoiser_iterations)
+        # --- replicated post tail: TAA upscale + bloom + tonemap
         taa_state = history.taa
         if s.post_processing.upscaler != "none":
             img, taa_state = taa_mod.resolve(

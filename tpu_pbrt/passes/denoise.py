@@ -57,20 +57,31 @@ def _bilinear_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
-def _patch_sample(img: jnp.ndarray, xy: jnp.ndarray):
+def _patch_sample(img: jnp.ndarray, xy: jnp.ndarray, clip_h=None,
+                  y_offset=0.0):
     """Returns (bilinear blend, nearest tap) of `img` at `xy` from one
     patch-row gather. `nearest` selects the patch tap with the largest
-    bilinear weight (exactly the round() texel)."""
+    bilinear weight (exactly the round() texel).
+
+    Sharded use: `img` may be a halo-extended row band taller than the
+    output. `clip_h` is the clamp height in xy's coordinate frame (the
+    GLOBAL image height, so the edge arithmetic is bit-identical to the
+    single-device path) and `y_offset` converts clamped global rows to
+    `img` rows (halo_pad - band_row0). Out-of-band rows index-clamp
+    safely; the caller's validity mask discards them."""
     h, w = img.shape[:2]
     c = img.shape[2]
+    oh, ow = xy.shape[:2]
     patch = jnp.concatenate(
         [img, _shift2d(img, 0, 1), _shift2d(img, 1, 0), _shift2d(img, 1, 1)],
         axis=-1).astype(jnp.float16).reshape(h * w, 4 * c)
     x = jnp.clip(xy[..., 0], 0.0, w - 1.001)
-    y = jnp.clip(xy[..., 1], 0.0, h - 1.001)
+    y = jnp.clip(xy[..., 1], 0.0, (h if clip_h is None else clip_h) - 1.001)
+    y = y + y_offset
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
-    rows = patch[(y0 * w + x0).reshape(-1)].astype(jnp.float32)
+    y0c = jnp.clip(y0, 0, h - 1)
+    rows = patch[(y0c * w + x0).reshape(-1)].astype(jnp.float32)
     fx = (x - x0).reshape(-1, 1)
     fy = (y - y0).reshape(-1, 1)
     p00 = rows[:, 0 * c:1 * c]
@@ -82,7 +93,7 @@ def _patch_sample(img: jnp.ndarray, xy: jnp.ndarray):
     nearest = jnp.where(
         fy > 0.5, jnp.where(fx > 0.5, p11, p10),
         jnp.where(fx > 0.5, p01, p00))
-    return (blend.reshape(h, w, c), nearest.reshape(h, w, c))
+    return (blend.reshape(oh, ow, c), nearest.reshape(oh, ow, c))
 
 
 def _nearest_sample(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
@@ -101,14 +112,26 @@ def temporal_accumulate(
     max_history: float = 32.0,
     depth_tolerance: float = 0.05,
     normal_tolerance: float = 0.9,
+    halo=None,
 ):
     """Reproject history via motion vectors, validate with depth/normal
     tests (the reference's disocclusion logic), accumulate.
+
+    With `halo` (multi-chip row bands: {"extend2d", "pad", "row0",
+    "total_h"}) all arrays are the local band; history taps ride a halo
+    exchange of `pad` boundary rows and reprojections that land beyond
+    the halo are rejected exactly like any disocclusion (same contract
+    as the ReSTIR temporal halo in parallel/app_mesh.py).
 
     Returns (accumulated color, variance, new state)."""
     h, w = color.shape[:2]
     gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
                           jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    if halo is not None:
+        gy = gy + halo["row0"]          # global row coordinates
+        total_h = halo["total_h"]
+    else:
+        total_h = h
     prev_xy = jnp.stack([gx + motion[..., 0], gy + motion[..., 1]], axis=-1)
 
     # ALL history fields ride ONE patch-row gather (f16 rows): bilinear
@@ -122,7 +145,13 @@ def temporal_accumulate(
          jnp.minimum(state.depth, 6e4)[..., None], state.normal,
          state.history_len[..., None]], axis=-1)
     packed = jnp.clip(packed, -6e4, 6e4)
-    smp_b, smp_n = _patch_sample(packed, prev_xy)
+    if halo is not None:
+        packed = halo["extend2d"](packed, halo["pad"])
+        smp_b, smp_n = _patch_sample(
+            packed, prev_xy, clip_h=total_h,
+            y_offset=halo["pad"] - halo["row0"])
+    else:
+        smp_b, smp_n = _patch_sample(packed, prev_xy)
     prev_color = smp_b[..., 0:3]
     prev_moments = smp_b[..., 3:5]
     prev_depth = smp_n[..., 5]
@@ -131,8 +160,17 @@ def temporal_accumulate(
 
     in_bounds = (
         (prev_xy[..., 0] >= 0) & (prev_xy[..., 0] <= w - 1)
-        & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] <= h - 1)
+        & (prev_xy[..., 1] >= 0) & (prev_xy[..., 1] <= total_h - 1)
     )
+    if halo is not None:
+        # beyond-halo reprojection = disocclusion (band-seam contract).
+        # Upper bound keeps the full 2x2 bilinear patch (rows y0, y0+1)
+        # inside the exchanged halo, so accepted taps are bit-identical
+        # to the single-device reprojection.
+        in_bounds = in_bounds & (
+            (prev_xy[..., 1] >= halo["row0"] - halo["pad"])
+            & (prev_xy[..., 1] <= halo["row0"] + h - 1 + halo["pad"] - 1)
+        )
     finite = jnp.isfinite(depth) & jnp.isfinite(prev_depth)
     depth_ok = jnp.abs(prev_depth - depth) <= depth_tolerance * jnp.maximum(
         jnp.abs(depth), 1e-3
@@ -195,25 +233,54 @@ def atrous_filter(
     sigma_z: float = 1.0,
     sigma_n: float = 128.0,
     sigma_l: float = 4.0,
+    halo=None,
 ):
     """Edge-stopping à-trous wavelet filter (SVGF). Separable-ish 5x5 cross
-    pattern per iteration with stride 2^i."""
+    pattern per iteration with stride 2^i.
+
+    With `halo` all arrays are a local row band: each iteration exchanges
+    its own 2*step boundary rows (true neighbor rows interior, edge
+    replication at the global top/bottom), so the filtered band is
+    bit-identical to the single-device filter — row shifts read real
+    cross-band pixels instead of clamping at the seam."""
     # miss pixels carry +inf depth; |inf - inf| = NaN would poison the
     # depth weight — clamp to a large finite sentinel (still an edge
     # against every finite depth)
     finite_depth = jnp.isfinite(depth)
     depth = jnp.where(finite_depth, depth, 1e10)
+    h = depth.shape[0]
 
     for it in range(iterations):
         step = 1 << it
+        p = 2 * step if halo is not None else 0
+        if halo is not None:
+            ext = halo["extend2d"](
+                jnp.concatenate([color, variance[..., None],
+                                 depth[..., None], normal], axis=-1), p)
+            e_color = ext[..., 0:3]
+            e_variance = ext[..., 3]
+            e_depth = ext[..., 4]
+            e_normal = ext[..., 5:8]
+        else:
+            e_color, e_variance = color, variance
+            e_depth, e_normal = depth, normal
+
+        def row_shift(a, dy, dx):
+            """Band shift: rows come from the halo-extended array (true
+            neighbor pixels), columns edge-clamp like the single-device
+            path."""
+            if halo is None:
+                return _shift2d(a, dy, dx)
+            return _shift2d(a[p + dy:p + dy + h], 0, dx)
+
         lum_c = pmath.luminance(color)
         # local variance smoothing for the luminance weight (3x3 gaussian)
-        v = variance
-        vsum = jnp.zeros_like(v)
+        vsum = jnp.zeros_like(variance)
         wsum_g = 0.0
         for dy, wy in ((-1, 0.25), (0, 0.5), (1, 0.25)):
             for dx, wx in ((-1, 0.25), (0, 0.5), (1, 0.25)):
-                vsum = vsum + _shift2d(v[..., None], dy, dx)[..., 0] * (wy * wx)
+                vsum = vsum + row_shift(
+                    e_variance[..., None], dy, dx)[..., 0] * (wy * wx)
                 wsum_g += wy * wx
         sigma_lum = sigma_l * jnp.sqrt(jnp.maximum(vsum / wsum_g, 1e-10))
 
@@ -225,10 +292,10 @@ def atrous_filter(
             for ix, wx in enumerate(_B3):
                 dx = (ix - 2) * step
                 kw = wy * wx
-                c_s = _shift2d(color, dy, dx)
-                v_s = _shift2d(variance[..., None], dy, dx)[..., 0]
-                d_s = _shift2d(depth[..., None], dy, dx)[..., 0]
-                n_s = _shift2d(normal, dy, dx)
+                c_s = row_shift(e_color, dy, dx)
+                v_s = row_shift(e_variance[..., None], dy, dx)[..., 0]
+                d_s = row_shift(e_depth[..., None], dy, dx)[..., 0]
+                n_s = row_shift(e_normal, dy, dx)
                 l_s = pmath.luminance(c_s)
 
                 w_z = jnp.exp(
@@ -279,11 +346,16 @@ def denoise_frame(
     normal: jnp.ndarray,
     motion: jnp.ndarray,
     iterations: int = 4,
+    halo=None,
 ):
-    """Full denoiser: demodulate -> temporal -> à-trous -> remodulate."""
+    """Full denoiser: demodulate -> temporal -> à-trous -> remodulate.
+
+    `halo` (see temporal_accumulate/atrous_filter) runs the whole
+    denoiser on a local row band of a sharded frame."""
     demod = radiance / albedo
     acc, variance, new_state = temporal_accumulate(
-        state, demod, depth, normal, motion
+        state, demod, depth, normal, motion, halo=halo
     )
-    filtered = atrous_filter(acc, variance, depth, normal, iterations)
+    filtered = atrous_filter(acc, variance, depth, normal, iterations,
+                             halo=halo)
     return filtered * albedo, new_state
