@@ -102,6 +102,24 @@ def test_fetch_rows_blocked_matches_gather():
         np.testing.assert_allclose(got, want, rtol=0, atol=0)
 
 
+def test_fetch_rows_pallas_matches_gather():
+    """Pallas VMEM-resident fetch == plain row gather, bit-exact
+    (HIGHEST-precision one-hot dot), incl. non-multiple T/C/R sizes
+    (interpret mode on CPU)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pbrt.ops import shade_table as st
+
+    rng = np.random.default_rng(2)
+    for t, c, r in ((37, 30, 1000), (512, 64, 257), (130, 7, 128)):
+        table = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+        slots = np.asarray(rng.integers(0, t, r), np.int32)
+        got = np.asarray(st._fetch_rows_pallas(
+            table, jnp.asarray(slots), interpret=True))
+        np.testing.assert_allclose(got, np.asarray(table)[slots].T,
+                                   rtol=0, atol=0)
+
+
 def test_fetch_rows_blocked_nonmultiple_sizes():
     import numpy as np
     import jax.numpy as jnp

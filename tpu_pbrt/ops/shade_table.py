@@ -178,6 +178,8 @@ class ShadeAttrs(NamedTuple):
 
 
 ONEHOT_MAX_ROWS = 512
+FETCH_PALLAS = False  # route small-table fetches through the Pallas
+                      # kernel below (TPU only; flipped by measurement)
 FETCH_BLOCK = 64     # table rows per block of the big-table fetch
 FETCH_CHUNK = 128    # lanes per chunk (one vector-lane width)
 FETCH_KB = 8         # blocks one-hot-fetched per chunk
@@ -204,6 +206,8 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray,
 
     tp = table.shape[0]
     if tp <= ONEHOT_MAX_ROWS:
+        if FETCH_PALLAS and jax.default_backend() == "tpu":
+            return _fetch_rows_pallas(table, slot)
         onehot = (
             slot[None, :] == jnp.arange(tp, dtype=jnp.int32)[:, None]
         ).astype(jnp.float32)                                     # (T, R)
@@ -216,6 +220,55 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray,
     # incoherent slots (e.g. CDF light draws): the chunked block fetch
     # would overflow its fallback pool — take the plain row gather
     return table[slot].T
+
+
+def _fetch_rows_pallas(table: jnp.ndarray, slot: jnp.ndarray,
+                       interpret: bool | None = None) -> jnp.ndarray:
+    """Small-table row fetch as a Pallas kernel: the (T, C) table is
+    resident in VMEM across grid steps and the one-hot selector is built
+    in-register per lane tile, so — unlike the XLA one-hot dot, whose
+    (T, R) f32 operand is materialized in HBM (~T*8 MB per 2M-lane
+    bounce; the 'fetch 41%' slice of the 1080p PT profile) — HBM traffic
+    is just the slot read + the (C, R) output write. The dot runs at
+    HIGHEST precision so the selection is exact f32, same contract as
+    `_fetch_rows`."""
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tp, c = table.shape
+    r = slot.shape[0]
+    t_pad = -(-max(tp, 128) // 128) * 128
+    c_pad = -(-c // 8) * 8
+    tab_t = jnp.zeros((c_pad, t_pad), jnp.float32).at[:c, :tp].set(
+        table.astype(jnp.float32).T)
+    # lane tile sized so the in-VMEM one-hot stays ~4 MB f32
+    tile = min(8192, max(128, ((1 << 20) // t_pad) // 128 * 128))
+    r_pad = -(-r // tile) * tile
+    slot_p = jnp.concatenate(
+        [slot, jnp.zeros((r_pad - r,), slot.dtype)]) if r_pad != r else slot
+
+    def kern(slot_ref, tab_ref, out_ref):
+        s = slot_ref[:, :]                                   # (1, tile)
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, tile), 0)
+        oh = (iota_t == s).astype(jnp.float32)               # (T, tile)
+        out_ref[:, :] = jax.lax.dot_general(
+            tab_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(r_pad // tile,),
+        in_specs=[
+            pl.BlockSpec((1, tile), lambda i: (0, i)),
+            pl.BlockSpec((c_pad, t_pad), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((c_pad, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((c_pad, r_pad), jnp.float32),
+        interpret=interpret,
+    )(slot_p[None, :], tab_t)
+    return out[:c, :r]
 
 
 def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray
