@@ -68,15 +68,13 @@ def bench_app(width=1920, height=1080, quiet=False):
             rays_per_frame)
 
 
-def bench_animated(width=1920, height=1080):
-    """BASELINE config #4: per-frame skinning + accel refit + render for a
-    5k-tri skinned tube (blocked backend). Palettes computed in-jit (a
-    two-joint bend driven by the frame index) so frames batch in one fori.
-    Returns (fps, mrays_per_sec, rays_per_frame)."""
+def _animated_setup(width=1920, height=1080):
+    """Shared setup for the animated bench/breakdown: a 5k-tri skinned
+    tube (blocked backend) and a one-frame function with in-jit palettes
+    (a two-joint bend driven by the frame index).
+    Returns (frame_fn(cam, i) -> (img, rays))."""
     import numpy as np
-    import jax
     import jax.numpy as jnp
-    from jax import lax
 
     from tpu_pbrt.models.cornell import make_cornell_camera
     from tpu_pbrt.models.material import make_table
@@ -118,7 +116,6 @@ def bench_animated(width=1920, height=1080):
 
     settings = PathTraceSettings(bounces=4, samples_per_pixel=1,
                                  count_rays=True)
-    cam = make_cornell_camera(width, height).data()
     i0 = jnp.asarray(indices[:, 0])
     i1 = jnp.asarray(indices[:, 1])
     i2 = jnp.asarray(indices[:, 2])
@@ -137,15 +134,33 @@ def bench_animated(width=1920, height=1080):
         bend = jnp.stack([c, -s, z, z, s, c, z, z, z, z, one, z])
         return jnp.stack([root, bend])
 
+    def frame_fn(c, i):
+        f = i.astype(jnp.uint32)
+        img, rc, _ = _animated_frame(
+            trc, scene, c, f, palette(i), palette(i - 1),
+            wj, posj, nrmj, tanj, i0, i1, i2,
+            width=width, height=height, settings=settings)
+        return img, rc
+
+    cam = make_cornell_camera(width, height).data()
+    return frame_fn, cam
+
+
+def bench_animated(width=1920, height=1080):
+    """BASELINE config #4: per-frame skinning + accel refit + render for a
+    5k-tri skinned tube (blocked backend). Palettes computed in-jit so
+    frames batch in one fori.
+    Returns (fps, mrays_per_sec, rays_per_frame)."""
+    import jax
+    from jax import lax
+
+    frame_fn, cam = _animated_setup(width, height)
+
     def frames(n):
         def run(c):
             def body(i, carry):
                 acc, rays = carry
-                f = i.astype(jnp.uint32)
-                img, rc, _ = _animated_frame(
-                    trc, scene, c, f, palette(i), palette(i - 1),
-                    wj, posj, nrmj, tanj, i0, i1, i2,
-                    width=width, height=height, settings=settings)
+                img, rc = frame_fn(c, i)
                 return acc + img[::64, ::64].sum(), rays + rc
             return lax.fori_loop(0, n, body, (0.0, 0.0))
         return jax.jit(run)
@@ -361,7 +376,7 @@ def breakdown(config: str = "cornell"):
     tracedir = "/tmp/tpu_pbrt_profile"
     os.system(f"rm -rf {tracedir}")
 
-    if config == "app":
+    if config in ("app", "manylight"):
         from tpu_pbrt.models.cornell import (make_cornell_box,
                                              make_cornell_camera)
         from tpu_pbrt.render.app import App
@@ -369,9 +384,22 @@ def breakdown(config: str = "cornell"):
 
         s = GraphicsSettings()
         s.raytracing.compaction_schedule = (4, 5, 6)
-        s.check()
-        scene = make_cornell_box()
-        cam = make_cornell_camera(s.width, s.height)
+        if config == "manylight":
+            import numpy as _np
+
+            from tpu_pbrt.models.manylight import make_many_light_room
+            from tpu_pbrt.render.camera import Camera
+
+            s.raytracing.regir = True
+            s.raytracing.regir_cell_size = 1.5
+            s.check()
+            scene = make_many_light_room(n_side=8)
+            cam = Camera(position=_np.asarray([0.0, 3.0, 9.0], _np.float32))
+            cam.look(180.0, 15.0)
+        else:
+            s.check()
+            scene = make_cornell_box()
+            cam = make_cornell_camera(s.width, s.height)
         app = App(scene, cam, s)
         cam_data = cam.data()
         hist = app.history
@@ -389,6 +417,20 @@ def breakdown(config: str = "cornell"):
         with jax.profiler.trace(tracedir):
             float(run(cam_data, hist)[0])
         hlo_text = run.lower(cam_data, hist).compile().as_text()
+    elif config == "animated":
+        frame_fn, cam = _animated_setup(1920, 1080)
+
+        @jax.jit
+        def run(c):
+            def body(i, acc):
+                img, _ = frame_fn(c, i)
+                return acc + img[::64, ::64].sum()
+            return lax.fori_loop(0, 3, body, jnp.zeros(()))
+
+        float(run(cam))
+        with jax.profiler.trace(tracedir):
+            float(run(cam))
+        hlo_text = run.lower(cam).compile().as_text()
     else:
         from tpu_pbrt.models.cornell import (make_cornell_box,
                                              make_cornell_camera)
@@ -437,8 +479,8 @@ def breakdown(config: str = "cornell"):
         op_scope[m.group(1)] = m.group(2)
 
     TAGS = ("traverse", "shadow", "fetch", "nee", "bsdf", "gbuffer",
-            "restir", "sharc_update", "sharc_resolve", "pathtrace",
-            "denoise", "taa", "bloom_tonemap")
+            "restir", "regir", "sharc_update", "sharc_resolve", "pathtrace",
+            "denoise", "taa", "bloom_tonemap", "skin_refit")
 
     def scope_of(op_path: str) -> str:
         best, pos = "other", -1

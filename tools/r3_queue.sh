@@ -21,4 +21,6 @@ run python bench.py manylight
 run python tools/golden_ssim.py 512 g3 app
 run python tools/diag_fetch.py
 run python bench.py breakdown
+run python bench.py breakdown manylight
+run python bench.py breakdown animated
 echo "=== queue done $(date +%H:%M:%S)" >> $LOG

@@ -145,31 +145,33 @@ def _animated_frame(tracer, scene, cam, frame, palette, prev_palette,
                     i0, i1, i2, *, width, height, settings):
     """One jitted animated frame: skin -> refit -> shade-table refresh ->
     render."""
-    posed, posed_n, _ = skinning.skin_vertices(
-        weight_matrix, palette, base_pos, base_nrm, base_tan)
-    prev_posed, _, _ = skinning.skin_vertices(
-        weight_matrix, prev_palette, base_pos, base_nrm, base_tan)
+    with jax.named_scope("skin_refit"):
+        posed, posed_n, _ = skinning.skin_vertices(
+            weight_matrix, palette, base_pos, base_nrm, base_tan)
+        prev_posed, _, _ = skinning.skin_vertices(
+            weight_matrix, prev_palette, base_pos, base_nrm, base_tan)
 
-    v0, v1, v2 = posed[i0], posed[i1], posed[i2]
-    pv0, pv1, pv2 = prev_posed[i0], prev_posed[i1], prev_posed[i2]
-    n0, n1, n2 = posed_n[i0], posed_n[i1], posed_n[i2]
+        v0, v1, v2 = posed[i0], posed[i1], posed[i2]
+        pv0, pv1, pv2 = prev_posed[i0], prev_posed[i1], prev_posed[i2]
+        n0, n1, n2 = posed_n[i0], posed_n[i1], posed_n[i2]
 
-    pad = tracer.shade_table.shape[0] - v0.shape[0]
+        pad = tracer.shade_table.shape[0] - v0.shape[0]
 
-    def padz(a):
-        return jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)]) if pad else a
+        def padz(a):
+            return (jnp.concatenate([a, jnp.zeros((pad, 3), a.dtype)])
+                    if pad else a)
 
-    table = shade_mod.update_geometry(
-        tracer.shade_table,
-        padz(v0), padz(v1 - v0), padz(v2 - v0),
-        padz(n0), padz(n1), padz(n2),
-        padz(pv0), padz(pv1 - pv0), padz(pv2 - pv0),
-    )
-    new_tracer = tracer_mod.refit(
-        tracer_mod.Tracer(tracer.kind, tracer.accel, table,
-                          tracer.light_table, tracer.light_cdf,
-                          tracer.atlas, alpha_test=tracer.alpha_test),
-        v0, v1, v2)
+        table = shade_mod.update_geometry(
+            tracer.shade_table,
+            padz(v0), padz(v1 - v0), padz(v2 - v0),
+            padz(n0), padz(n1), padz(n2),
+            padz(pv0), padz(pv1 - pv0), padz(pv2 - pv0),
+        )
+        new_tracer = tracer_mod.refit(
+            tracer_mod.Tracer(tracer.kind, tracer.accel, table,
+                              tracer.light_table, tracer.light_cdf,
+                              tracer.atlas, alpha_test=tracer.alpha_test),
+            v0, v1, v2)
     img, rays = _render_frame(new_tracer, scene, cam, frame,
                               width=width, height=height, settings=settings)
     return img, rays, new_tracer
