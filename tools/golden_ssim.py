@@ -68,7 +68,43 @@ def render_app_graph(frames, exposure, bloom_strength):
     return _np.asarray(_tm.to_srgb8(out))
 
 
+def ssim_map_report(ours_path: str):
+    """Where does the comparison lose? Writes /tmp/<name>_ssimmap.png
+    (dark = mismatch) and prints a 4x6 region table of local SSIM means,
+    so tuning targets regions instead of the scalar."""
+    from PIL import Image
+
+    from tpu_pbrt.utils.image import read_png, ssim_map, write_png
+
+    ref = read_png("/root/reference/Screenshots/Cornell Box.png")
+    ref_small = np.asarray(
+        Image.fromarray(ref).resize((W, H), Image.LANCZOS),
+        np.float32) / 255.0
+    ours = np.asarray(read_png(ours_path), np.float32) / 255.0
+    if ours.shape[:2] != (H, W):
+        ours = np.asarray(Image.fromarray(
+            (ours * 255).astype(np.uint8)).resize((W, H), Image.LANCZOS),
+            np.float32) / 255.0
+    m = ssim_map(ours, ref_small)
+    out = os.path.splitext(os.path.basename(ours_path))[0] + "_ssimmap.png"
+    write_png(f"/tmp/{out}",
+              (np.clip(m, 0, 1) * 255).astype(np.uint8)[..., None].repeat(
+                  3, axis=-1))
+    rows, cols = 4, 6
+    mh, mw = m.shape[0] // rows, m.shape[1] // cols
+    table = [[round(float(np.mean(
+        m[r * mh:(r + 1) * mh, c * mw:(c + 1) * mw])), 3)
+        for c in range(cols)] for r in range(rows)]
+    print(json.dumps({"ssim": round(float(np.mean(m)), 4),
+                      "region_table_4x6": table,
+                      "map": f"/tmp/{out}"}))
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "map":
+        ssim_map_report(sys.argv[2] if len(sys.argv) > 2
+                        else "/tmp/golden_ours.png")
+        return
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     prefix = sys.argv[2] if len(sys.argv) > 2 else "golden"
     graph = sys.argv[3] if len(sys.argv) > 3 else "pt"

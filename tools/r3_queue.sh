@@ -20,7 +20,11 @@ run python bench.py animated
 run python bench.py manylight
 run python tools/golden_ssim.py 512 g3 app
 run python tools/diag_fetch.py
+run env TPU_PBRT_FETCH_PALLAS=1 python bench.py
+run env TPU_PBRT_FETCH_PALLAS=1 python bench.py app
 run python bench.py breakdown
 run python bench.py breakdown manylight
 run python bench.py breakdown animated
+run python tools/g3_app_sweep.py 192
 echo "=== queue done $(date +%H:%M:%S)" >> $LOG
+run python tools/diag_block32.py

@@ -17,6 +17,7 @@ Source/CommonShaderData.ixx:14-40) with the TPU equivalent of one coalesced
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import numpy as np
@@ -178,8 +179,9 @@ class ShadeAttrs(NamedTuple):
 
 
 ONEHOT_MAX_ROWS = 512
-FETCH_PALLAS = False  # route small-table fetches through the Pallas
-                      # kernel below (TPU only; flipped by measurement)
+# route small-table fetches through the Pallas kernel below (TPU only;
+# default set by measurement, env-overridable for A/B runs)
+FETCH_PALLAS = _os.environ.get("TPU_PBRT_FETCH_PALLAS", "0") == "1"
 FETCH_BLOCK = 64     # table rows per block of the big-table fetch
 FETCH_CHUNK = 128    # lanes per chunk (one vector-lane width)
 FETCH_KB = 8         # blocks one-hot-fetched per chunk

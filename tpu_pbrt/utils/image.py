@@ -28,11 +28,18 @@ def rmse(a: np.ndarray, b: np.ndarray) -> float:
 def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
     """Mean SSIM with an 8x8 uniform window (classic Wang et al. 2004 with a
     box filter; no scipy dependency). Inputs (H, W) or (H, W, C) float."""
+    return float(np.mean(ssim_map(a, b, data_range)))
+
+
+def ssim_map(a: np.ndarray, b: np.ndarray,
+             data_range: float = 1.0) -> np.ndarray:
+    """Per-window local SSIM map (H-7, W-7), channel-averaged — shows
+    WHERE a comparison loses (geometry mismatch vs noise vs tone)."""
     a = np.asarray(a, np.float64)
     b = np.asarray(b, np.float64)
     if a.ndim == 3:
-        return float(np.mean([ssim(a[..., c], b[..., c], data_range)
-                              for c in range(a.shape[-1])]))
+        return np.mean([ssim_map(a[..., c], b[..., c], data_range)
+                        for c in range(a.shape[-1])], axis=0)
 
     k1, k2 = 0.01, 0.03
     c1 = (k1 * data_range) ** 2
@@ -51,4 +58,4 @@ def ssim(a: np.ndarray, b: np.ndarray, data_range: float = 1.0) -> float:
     cov = box(a * b) - mu_a * mu_b
     num = (2 * mu_a * mu_b + c1) * (2 * cov + c2)
     den = (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2)
-    return float(np.mean(num / den))
+    return num / den
