@@ -162,9 +162,13 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
 
 
 def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
-                     core_frac=0.45, hole_deg=16.0):
+                     core_frac=0.45, hole_deg=16.0, hole2_deg=0.0):
     """Perforated metal ball luminaire on a wooden base: sphere shell with
-    geometric circular holes, emissive core inside."""
+    geometric circular holes, emissive core inside.
+
+    `hole2_deg` > 0 adds a second tier of smaller holes at the
+    icosahedron edge midpoints (the reference screenshot shows two hole
+    sizes)."""
     v3, f3 = icosphere(3)     # 1280 faces: holes stay round
     # hole directions: the 12 icosahedron vertices (classic disco-ball
     # symmetry) minus the bottom cap (sits on the base)
@@ -174,6 +178,15 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
     centroid /= np.linalg.norm(centroid, axis=1, keepdims=True)
     cosang = centroid @ holes.T
     keep = (cosang.max(axis=1) < np.cos(np.radians(hole_deg)))
+    if hole2_deg > 0.0:
+        # small holes: icosahedron edge midpoints = the level-1
+        # subdivision vertices that are not original icosahedron vertices
+        v1s, _ = icosphere(1)
+        d = np.linalg.norm(v1s[:, None, :] - hv[None, :, :], axis=-1)
+        mids = v1s[d.min(axis=1) > 1e-4]
+        mids = mids[mids[:, 1] > -0.55]
+        cos2 = centroid @ mids.T
+        keep &= (cos2.max(axis=1) < np.cos(np.radians(hole2_deg)))
 
     base_h = 28.0
     cy = base_h + radius * 0.92
@@ -216,6 +229,7 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       bunny_yaw=0.0, bunny_roughness=0.45,
                       ball_center=(86.0, 200.0), ball_radius=62.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
+                      hole2_deg=0.0,
                       block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(185.0, 420.0),
@@ -244,7 +258,8 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
     meshes += make_bunny_meshes(center_xz=bunny_center, scale=bunny_scale,
                                 yaw_deg=bunny_yaw)
     meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
-                               core_frac=core_frac, hole_deg=hole_deg)
+                               core_frac=core_frac, hole_deg=hole_deg,
+                               hole2_deg=hole2_deg)
 
     geometry = build_geometry(meshes)
     wb = wall_boost
