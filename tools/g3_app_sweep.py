@@ -66,6 +66,13 @@ def main():
         ("bunny-mirror35", {"bunny_roughness": 0.35}),
         ("ball-mirror25", {"ball_roughness": 0.25}),
         ("both-mirror", {"bunny_roughness": 0.2, "ball_roughness": 0.3}),
+        # geometry candidates (CPU low-frame ranking is unreliable on
+        # mirror materials — rank them here on the denoised graph):
+        ("ball-faceholes", {"face_hole_deg": 10.0}),
+        ("ball-hole2", {"hole2_deg": 7.0}),
+        ("bunny-jitter", {"bunny_jitter": 0.10}),
+        ("bunny-jitter-mirror", {"bunny_jitter": 0.10,
+                                 "bunny_roughness": 0.25}),
     ]
     # calibration pinned to the round-3 best (exposure ~0.18, bloom
     # ~0.08): material RANKING is robust to small exposure shifts, and

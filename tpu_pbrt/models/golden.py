@@ -122,18 +122,28 @@ def flat_mesh(verts, faces, scale, rot, translate, material, object_id,
 
 
 def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
-                      yaw_deg=0.0, object_id=4):
+                      yaw_deg=0.0, object_id=4, jitter=0.0):
     """Low-poly metallic bunny facing -x (image left), sitting on the
-    floor. `scale` = body radius in classic units (~total height 2.4x)."""
+    floor. `scale` = body radius in classic units (~total height 2.4x).
+
+    `jitter` > 0 perturbs each part's sphere vertices radially +
+    tangentially by that fraction of the radius (seeded, deterministic):
+    the reference bunny is a decimated mesh whose facets are IRREGULAR,
+    while regular icosphere subdivision reads as a geodesic dome."""
     v1, f1 = icosphere(1)     # 80-face parts: the faceted look
     parts = []
     cx, cz = center_xz
     body_y = 0.95 * scale
     R = _rot_y(yaw_deg)
+    rng = np.random.default_rng(7)
 
     def place(scl, local_rot, local_off):
+        vv = v1
+        if jitter > 0.0:
+            vv = v1 + jitter * rng.standard_normal(v1.shape).astype(
+                np.float32)
         off = R @ (np.asarray(local_off, np.float32) * scale)
-        return flat_mesh(v1, f1, np.asarray(scl, np.float32) * scale,
+        return flat_mesh(vv, f1, np.asarray(scl, np.float32) * scale,
                          R @ local_rot,
                          [cx + off[0], body_y + off[1], cz + off[2]],
                          MAT_BUNNY, object_id)
@@ -162,22 +172,31 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
 
 
 def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
-                     core_frac=0.45, hole_deg=16.0, hole2_deg=0.0):
+                     core_frac=0.45, hole_deg=16.0, hole2_deg=0.0,
+                     face_hole_deg=0.0):
     """Perforated metal ball luminaire on a wooden base: sphere shell with
     geometric circular holes, emissive core inside.
 
     `hole2_deg` > 0 adds a second tier of smaller holes at the
-    icosahedron edge midpoints (the reference screenshot shows two hole
-    sizes)."""
+    icosahedron edge midpoints. `face_hole_deg` > 0 adds holes at the 20
+    icosahedron FACE centers — the reference ball shows ~13 same-size
+    holes on the visible hemisphere, about double the 12-vertex
+    disco-ball density."""
     v3, f3 = icosphere(3)     # 1280 faces: holes stay round
     # hole directions: the 12 icosahedron vertices (classic disco-ball
     # symmetry) minus the bottom cap (sits on the base)
-    hv, _ = icosphere(0)
+    hv, hf = icosphere(0)
     holes = hv[hv[:, 1] > -0.55]
     centroid = v3[f3].mean(axis=1)
     centroid /= np.linalg.norm(centroid, axis=1, keepdims=True)
     cosang = centroid @ holes.T
     keep = (cosang.max(axis=1) < np.cos(np.radians(hole_deg)))
+    if face_hole_deg > 0.0:
+        fc = hv[hf].mean(axis=1)
+        fc /= np.linalg.norm(fc, axis=1, keepdims=True)
+        fc = fc[fc[:, 1] > -0.55]
+        cosf = centroid @ fc.T
+        keep &= (cosf.max(axis=1) < np.cos(np.radians(face_hole_deg)))
     if hole2_deg > 0.0:
         # small holes: icosahedron edge midpoints = the level-1
         # subdivision vertices that are not original icosahedron vertices
@@ -227,9 +246,10 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       core_radiance=(8.0, 7.4, 6.3),
                       bunny_center=(405.0, 215.0), bunny_scale=95.0,
                       bunny_yaw=0.0, bunny_roughness=0.45,
+                      bunny_jitter=0.0,
                       ball_center=(86.0, 200.0), ball_radius=62.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
-                      hole2_deg=0.0,
+                      hole2_deg=0.0, face_hole_deg=0.0,
                       block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(185.0, 420.0),
@@ -256,10 +276,11 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
     meshes += _box([0, 0, 0], list(block_size), block_rot, block_center,
                    MAT_BLACK_MIRROR, 3)
     meshes += make_bunny_meshes(center_xz=bunny_center, scale=bunny_scale,
-                                yaw_deg=bunny_yaw)
+                                yaw_deg=bunny_yaw, jitter=bunny_jitter)
     meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
                                core_frac=core_frac, hole_deg=hole_deg,
-                               hole2_deg=hole2_deg)
+                               hole2_deg=hole2_deg,
+                               face_hole_deg=face_hole_deg)
 
     geometry = build_geometry(meshes)
     wb = wall_boost
