@@ -57,6 +57,14 @@ def render_variant(scene_kwargs, frames, exposures, blooms):
     return best
 
 
+_SIL_LAYOUT = {
+    "bunny_center": (382.0, 215.0), "bunny_yaw": -8.0,
+    "block_center": (200.0, 435.0), "block_rot": -25.0,
+    "ball_center": (98.0, 158.0), "ball_radius": 56.0,
+    "light_scale": 1.1,
+}
+
+
 def main():
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 192
     variants = [
@@ -73,11 +81,20 @@ def main():
         ("bunny-jitter", {"bunny_jitter": 0.10}),
         ("bunny-jitter-mirror", {"bunny_jitter": 0.10,
                                  "bunny_roughness": 0.25}),
+        # refined layout from tools/g3_silhouette.py (noise-free
+        # G-buffer edge chamfer 0.54 -> 1.18 with light added; the
+        # noisy CPU SSIM cannot resolve it — rank on denoised output)
+        ("layout-sil", _SIL_LAYOUT),
+        ("layout-sil-mirror", {**_SIL_LAYOUT, "bunny_roughness": 0.25}),
+        ("layout-sil-all", {**_SIL_LAYOUT, "bunny_roughness": 0.25,
+                            "ball_roughness": 0.3, "bunny_jitter": 0.10,
+                            "face_hole_deg": 10.0}),
     ]
     # calibration pinned to the round-3 best (exposure ~0.18, bloom
     # ~0.08): material RANKING is robust to small exposure shifts, and
-    # every (exposure, bloom) pair costs a fresh compile + render
-    exposures = (0.18,)
+    # every (exposure, bloom) pair costs a fresh compile + render.
+    # 0.15 added for the light_scale=1.1 layout variants (+21% flux).
+    exposures = (0.18, 0.15)
     blooms = (0.08,)
     for name, kw in variants:
         val, e, b = render_variant(kw, frames, exposures, blooms)

@@ -23,6 +23,7 @@ run python tools/diag_fetch.py
 run env TPU_PBRT_FETCH_PALLAS=1 python bench.py
 run env TPU_PBRT_FETCH_PALLAS=1 python bench.py app
 run python bench.py breakdown
+run python bench.py breakdown sphere
 run python bench.py breakdown manylight
 run python bench.py breakdown animated
 run python tools/g3_app_sweep.py 192

@@ -253,7 +253,7 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(185.0, 420.0),
-                      block_rot=-17.0) -> Scene:
+                      block_rot=-17.0, light_scale=1.0) -> Scene:
     meshes = []
     # Cornell shell (identical to models/cornell.py walls)
     meshes.append(_quad([0, 0, 0], [552.8, 0, 0], [552.8, 0, 559.2],
@@ -269,8 +269,12 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                         MAT_GREEN, 0))
     meshes.append(_quad([0, 0, 0], [0, 548.8, 0], [0, 548.8, 559.2],
                         [0, 0, 559.2], MAT_RED, 0))
-    meshes.append(_quad([213, 548.0, 227], [343, 548.0, 227],
-                        [343, 548.0, 332], [213, 548.0, 332],
+    # ceiling light, scaled about its center (the reference panel reads
+    # slightly larger than the classic 130x105 Cornell quad)
+    lx0, lx1 = 278.0 - 65.0 * light_scale, 278.0 + 65.0 * light_scale
+    lz0, lz1 = 279.5 - 52.5 * light_scale, 279.5 + 52.5 * light_scale
+    meshes.append(_quad([lx0, 548.0, lz0], [lx1, 548.0, lz0],
+                        [lx1, 548.0, lz1], [lx0, 548.0, lz1],
                         MAT_LIGHT, 1))
     # tall block, polished black (the screenshot's mirror slab)
     meshes += _box([0, 0, 0], list(block_size), block_rot, block_center,
