@@ -58,7 +58,8 @@ def render_variant(scene_kwargs, frames, exposures, blooms):
 
 
 _SIL_LAYOUT = {
-    "bunny_center": (382.0, 215.0), "bunny_yaw": -8.0,
+    "bunny_center": (382.0, 205.0), "bunny_yaw": -8.0,
+    "bunny_head_up": 1.15, "bunny_ear_tilt": 36.0, "bunny_ear_len": 0.6,
     "block_center": (200.0, 435.0), "block_rot": -25.0,
     "ball_center": (98.0, 158.0), "ball_radius": 56.0,
     "light_scale": 1.1,
@@ -85,6 +86,9 @@ def main():
         # G-buffer edge chamfer 0.54 -> 1.18 with light added; the
         # noisy CPU SSIM cannot resolve it — rank on denoised output)
         ("layout-sil", _SIL_LAYOUT),
+        ("layout-sil-defears", {**_SIL_LAYOUT, "bunny_ear_len": 1.0,
+                                "bunny_ear_tilt": -26.0,
+                                "bunny_head_up": 1.0}),
         ("layout-sil-mirror", {**_SIL_LAYOUT, "bunny_roughness": 0.25}),
         ("layout-sil-all", {**_SIL_LAYOUT, "bunny_roughness": 0.25,
                             "ball_roughness": 0.3, "bunny_jitter": 0.10,

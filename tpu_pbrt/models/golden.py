@@ -122,7 +122,8 @@ def flat_mesh(verts, faces, scale, rot, translate, material, object_id,
 
 
 def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
-                      yaw_deg=0.0, object_id=4, jitter=0.0):
+                      yaw_deg=0.0, object_id=4, jitter=0.0,
+                      ear_len=1.0, head_up=1.0, ear_tilt=-26.0):
     """Low-poly metallic bunny facing -x (image left), sitting on the
     floor. `scale` = body radius in classic units (~total height 2.4x).
 
@@ -154,15 +155,23 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
     parts.append(place((0.72, 0.72, 0.62), np.eye(3), (0.62, -0.12, 0)))
     # chest/front, raised
     parts.append(place((0.60, 0.66, 0.55), np.eye(3), (-0.68, 0.15, 0)))
-    # head: raised, reads in profile against the back wall
-    parts.append(place((0.56, 0.52, 0.46), np.eye(3), (-0.92, 1.12, 0)))
+    # head: raised, reads in profile against the back wall (`head_up`
+    # scales its height above the body)
+    parts.append(place((0.56, 0.52, 0.46), np.eye(3),
+                       (-0.92, 1.12 * head_up, 0)))
     # snout
-    parts.append(place((0.30, 0.25, 0.25), np.eye(3), (-1.32, 0.95, 0)))
-    # ears: long flattened ellipsoids, tilted back, slightly splayed
-    ear_rot_l = _rot_z(-26.0) @ _rot_x(-12.0)
-    ear_rot_r = _rot_z(-26.0) @ _rot_x(12.0)
-    parts.append(place((0.18, 0.75, 0.11), ear_rot_l, (-0.72, 2.12, -0.20)))
-    parts.append(place((0.18, 0.75, 0.11), ear_rot_r, (-0.72, 2.12, 0.20)))
+    parts.append(place((0.30, 0.25, 0.25), np.eye(3),
+                       (-1.32, 0.95 * head_up, 0)))
+    # ears: long flattened ellipsoids, slightly splayed. `ear_tilt` is
+    # the z-rotation: negative leans toward the facing (-x) direction,
+    # positive sweeps them BACK over the body (the reference pose)
+    ear_rot_l = _rot_z(ear_tilt) @ _rot_x(-12.0)
+    ear_rot_r = _rot_z(ear_tilt) @ _rot_x(12.0)
+    ear_y = (1.12 * head_up) + (2.12 - 1.12) * ear_len
+    parts.append(place((0.18, 0.75 * ear_len, 0.11), ear_rot_l,
+                       (-0.72, ear_y, -0.20)))
+    parts.append(place((0.18, 0.75 * ear_len, 0.11), ear_rot_r,
+                       (-0.72, ear_y, 0.20)))
     # tail
     parts.append(place((0.22, 0.22, 0.22), np.eye(3), (1.22, 0.05, 0)))
     # front paws
@@ -246,7 +255,8 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       core_radiance=(8.0, 7.4, 6.3),
                       bunny_center=(405.0, 215.0), bunny_scale=95.0,
                       bunny_yaw=0.0, bunny_roughness=0.45,
-                      bunny_jitter=0.0,
+                      bunny_jitter=0.0, bunny_ear_len=1.0,
+                      bunny_head_up=1.0, bunny_ear_tilt=-26.0,
                       ball_center=(86.0, 200.0), ball_radius=62.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
                       hole2_deg=0.0, face_hole_deg=0.0,
@@ -280,7 +290,10 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
     meshes += _box([0, 0, 0], list(block_size), block_rot, block_center,
                    MAT_BLACK_MIRROR, 3)
     meshes += make_bunny_meshes(center_xz=bunny_center, scale=bunny_scale,
-                                yaw_deg=bunny_yaw, jitter=bunny_jitter)
+                                yaw_deg=bunny_yaw, jitter=bunny_jitter,
+                                ear_len=bunny_ear_len,
+                                head_up=bunny_head_up,
+                                ear_tilt=bunny_ear_tilt)
     meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
                                core_frac=core_frac, hole_deg=hole_deg,
                                hole2_deg=hole2_deg,
