@@ -93,6 +93,12 @@ def main():
         ("layout-sil-all", {**_SIL_LAYOUT, "bunny_roughness": 0.25,
                             "ball_roughness": 0.3, "bunny_jitter": 0.10,
                             "face_hole_deg": 10.0}),
+        # analytic wall-color correction from the denoised CPU render's
+        # per-region means vs the reference (red wall G 1.21x too high,
+        # green wall G 0.82x too low)
+        ("layout-sil-walls", {**_SIL_LAYOUT,
+                              "red_color": (0.77, 0.035, 0.045),
+                              "green_color": (0.12, 0.55, 0.17)}),
     ]
     # calibration pinned to the round-3 best (exposure ~0.18, bloom
     # ~0.08): material RANKING is robust to small exposure shifts, and

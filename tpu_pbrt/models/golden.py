@@ -263,7 +263,9 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(185.0, 420.0),
-                      block_rot=-17.0, light_scale=1.0) -> Scene:
+                      block_rot=-17.0, light_scale=1.0,
+                      red_color=(0.65, 0.05, 0.05),
+                      green_color=(0.12, 0.45, 0.15)) -> Scene:
     meshes = []
     # Cornell shell (identical to models/cornell.py walls)
     meshes.append(_quad([0, 0, 0], [552.8, 0, 0], [552.8, 0, 559.2],
@@ -304,8 +306,10 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
     materials = make_table([
         {"base_color": (0.73 * wb, 0.73 * wb, 0.73 * wb, 1.0),
          "roughness": 1.0},
-        {"base_color": (0.65 * wb, 0.05, 0.05, 1.0), "roughness": 1.0},
-        {"base_color": (0.12, 0.45 * wb, 0.15, 1.0), "roughness": 1.0},
+        {"base_color": (red_color[0] * wb, red_color[1], red_color[2], 1.0),
+         "roughness": 1.0},
+        {"base_color": (green_color[0], green_color[1] * wb,
+                        green_color[2], 1.0), "roughness": 1.0},
         {"base_color": (0.78, 0.78, 0.78, 1.0), "roughness": 1.0,
          "emissive_color": light_radiance, "emissive_strength": 1.0},
         # faceted silver bunny
