@@ -42,4 +42,5 @@ def test_golden_scene_ssim_floor():
     assert best > FLOOR, f"golden SSIM regressed: {best:.4f}"
 
 
-FLOOR = 0.36  # measured 0.41 at this config (noise margin)
+FLOOR = 0.40  # measured 0.4619 at this config with the round-3
+#               silhouette-descent layout defaults (noise margin)

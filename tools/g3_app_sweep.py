@@ -57,12 +57,14 @@ def render_variant(scene_kwargs, frames, exposures, blooms):
     return best
 
 
-_SIL_LAYOUT = {
-    "bunny_center": (382.0, 205.0), "bunny_yaw": -8.0,
-    "bunny_head_up": 1.15, "bunny_ear_tilt": 36.0, "bunny_ear_len": 0.6,
-    "block_center": (200.0, 435.0), "block_rot": -25.0,
-    "ball_center": (98.0, 158.0), "ball_radius": 56.0,
-    "light_scale": 1.1,
+# the pre-silhouette-descent placement (now superseded as defaults) —
+# kept as an A/B variant so the denoised TPU rank can veto the bake
+_OLD_LAYOUT = {
+    "bunny_center": (405.0, 215.0), "bunny_yaw": 0.0,
+    "bunny_head_up": 1.0, "bunny_ear_tilt": -26.0, "bunny_ear_len": 1.0,
+    "block_center": (185.0, 420.0), "block_rot": -17.0,
+    "ball_center": (86.0, 200.0), "ball_radius": 62.0,
+    "light_scale": 1.0,
 }
 
 
@@ -82,29 +84,19 @@ def main():
         ("bunny-jitter", {"bunny_jitter": 0.10}),
         ("bunny-jitter-mirror", {"bunny_jitter": 0.10,
                                  "bunny_roughness": 0.25}),
-        # refined layout from tools/g3_silhouette.py (noise-free
-        # G-buffer edge chamfer 0.54 -> 1.18 with light added; the
-        # noisy CPU SSIM cannot resolve it — rank on denoised output)
-        ("layout-sil", _SIL_LAYOUT),
-        ("layout-sil-defears", {**_SIL_LAYOUT, "bunny_ear_len": 1.0,
-                                "bunny_ear_tilt": -26.0,
-                                "bunny_head_up": 1.0}),
-        ("layout-sil-mirror", {**_SIL_LAYOUT, "bunny_roughness": 0.25}),
-        ("layout-sil-all", {**_SIL_LAYOUT, "bunny_roughness": 0.25,
-                            "ball_roughness": 0.3, "bunny_jitter": 0.10,
-                            "face_hole_deg": 10.0}),
-        # analytic wall-color correction from the denoised CPU render's
-        # per-region means vs the reference (red wall G 1.21x too high,
-        # green wall G 0.82x too low)
-        ("layout-sil-walls", {**_SIL_LAYOUT,
-                              "red_color": (0.77, 0.035, 0.045),
-                              "green_color": (0.12, 0.55, 0.17)}),
+        # base now IS the silhouette-descent layout; A/B against the
+        # old placement and the ear-pose alternatives
+        ("layout-old", _OLD_LAYOUT),
+        ("tall-ears", {"bunny_ear_len": 1.0}),
+        ("all-in", {"bunny_roughness": 0.25, "ball_roughness": 0.3,
+                    "bunny_jitter": 0.10, "face_hole_deg": 10.0}),
     ]
-    # calibration pinned to the round-3 best (exposure ~0.18, bloom
-    # ~0.08): material RANKING is robust to small exposure shifts, and
-    # every (exposure, bloom) pair costs a fresh compile + render.
-    # 0.15 added for the light_scale=1.1 layout variants (+21% flux).
-    exposures = (0.18, 0.15)
+    # calibration: the light_scale=1.1 defaults peak near 0.10-0.125 on
+    # the 240x180 CPU protocol; material RANKING is robust to small
+    # exposure shifts, and every (exposure, bloom) pair costs a fresh
+    # compile + render. 0.15 covers the old layout's optimum shifted
+    # by the flux change.
+    exposures = (0.12, 0.15)
     blooms = (0.08,)
     for name, kw in variants:
         val, e, b = render_variant(kw, frames, exposures, blooms)
