@@ -94,9 +94,9 @@ def main():
     # calibration: the light_scale=1.1 defaults peak near 0.10-0.125 on
     # the 240x180 CPU protocol; material RANKING is robust to small
     # exposure shifts, and every (exposure, bloom) pair costs a fresh
-    # compile + render. 0.15 covers the old layout's optimum shifted
-    # by the flux change.
-    exposures = (0.12, 0.15)
+    # compile + render. 0.10 covers the new layout's CPU optimum, 0.15
+    # the old layout's optimum shifted by the flux change.
+    exposures = (0.10, 0.12, 0.15)
     blooms = (0.08,)
     for name, kw in variants:
         val, e, b = render_variant(kw, frames, exposures, blooms)
