@@ -8,7 +8,8 @@ washed-out white. The app graph's denoiser removes that bias — rank
 smooth-material variants on the denoised output.
 
 Self-bounded (fixed variant list x fixed frames), exits cleanly, ONE TPU
-process. Usage: python tools/g3_app_sweep.py [frames]
+process. Usage: python tools/g3_app_sweep.py [frames] [WxH]
+(WxH defaults to 480x360; pass e.g. 240x180 for the CPU protocol.)
 """
 import json
 import os
@@ -16,45 +17,103 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if os.environ.get("TPU_PBRT_CPU"):
+    # axon's platform default wins over JAX_PLATFORMS and blocks when the
+    # TPU tunnel is down (tests/conftest.py note) — force CPU explicitly
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 W, H = 480, 360
 
 
-def render_variant(scene_kwargs, frames, exposures, blooms):
-    from PIL import Image
+_REF_SMALL = None
+
+
+def _ref_small():
+    global _REF_SMALL
+    if _REF_SMALL is None:
+        from PIL import Image
+
+        from tpu_pbrt.utils.image import read_png
+
+        ref = read_png("/root/reference/Screenshots/Cornell Box.png")
+        _REF_SMALL = np.asarray(
+            Image.fromarray(ref).resize((W, H), Image.LANCZOS),
+            np.float32) / 255.0
+    return _REF_SMALL
+
+
+_APPS = {}
+
+
+def render_variant(scene_kwargs, frames):
+    """Render the variant ONCE (linear output) and sweep the display
+    calibration on the frame via golden_ssim.post_score_grid — the
+    bloom/exposure/tonemap tail is pure post (render/app.py), so this is
+    exact and costs one app jit per geometry SHAPE signature (scene and
+    tracer are traced args of App._step, so same-shape variants reuse
+    the compile by swapping them in) instead of one per calibration
+    pair."""
+    import jax
+
+    from golden_ssim import post_score_grid
 
     from tpu_pbrt.models.golden import make_golden_camera, make_golden_scene
-    from tpu_pbrt.ops import tonemap as tm
+    from tpu_pbrt.ops import tracer as tracer_mod
     from tpu_pbrt.render.app import App
     from tpu_pbrt.utils.config import GraphicsSettings
-    from tpu_pbrt.utils.image import read_png, ssim
 
-    ref = read_png("/root/reference/Screenshots/Cornell Box.png")
-    ref_small = np.asarray(
-        Image.fromarray(ref).resize((W, H), Image.LANCZOS),
-        np.float32) / 255.0
-
-    best = (-1.0, None, None)
     scene = make_golden_scene(**scene_kwargs)
-    for exposure in exposures:
-        for bl in blooms:
-            s = GraphicsSettings()
-            s.width, s.height = W, H
-            s.post_processing.tonemap_operator = "reinhard"
-            s.post_processing.exposure = exposure
-            s.post_processing.bloom_strength = bl
-            s.check()
-            cam = make_golden_camera(W, H)
-            app = App(scene, cam, s)
-            out = None
-            for _ in range(frames):
-                out, _ = app.tick()
-            ours8 = np.asarray(tm.to_srgb8(out))
-            val = ssim(np.asarray(ours8, np.float32) / 255.0, ref_small)
-            if val > best[0]:
-                best = (val, exposure, bl)
-    return best
+    sig = tuple((leaf.shape, str(leaf.dtype))
+                for leaf in jax.tree_util.tree_leaves(scene))
+    app = _APPS.get(sig)
+    if app is None:
+        s = GraphicsSettings()
+        s.width, s.height = W, H
+        s.post_processing.tonemap_operator = "none"
+        s.post_processing.bloom = False
+        s.check()
+        app = App(scene, make_golden_camera(W, H), s)
+        _APPS[sig] = app
+    else:
+        app.scene = scene
+        app.tracer = tracer_mod.build_for_scene(scene)
+        app.camera = make_golden_camera(W, H)
+        app.camera.aspect = app.out_w / app.out_h
+        app.history = app.reset_history()
+        app.frame_index = 0
+        app._last_pose = None
+    out = None
+    for _ in range(frames):
+        out, _ = app.tick()
+    val, e, b, ours8 = post_score_grid(np.asarray(out), _ref_small())
+    return val, e, b, ours8
+
+
+def region_report(ours8):
+    """Per-region RGB means (ours vs reference): red wall, green wall,
+    floor, back wall — the color-matching diagnostics."""
+    ref = _ref_small() * 255.0
+    ours = np.asarray(ours8, np.float32)
+    # fractions of the 480x360 frame so the report tracks any WxH
+    fr = {"red_wall": (0.125, 0.271, 0.333, 0.722),
+          "green_wall": (0.750, 0.896, 0.333, 0.722),
+          "floor": (0.417, 0.583, 0.833, 0.972),
+          "back_wall": (0.4375, 0.5625, 0.278, 0.444)}
+    regions = {k: (int(fx0 * W), int(fx1 * W), int(fy0 * H), int(fy1 * H))
+               for k, (fx0, fx1, fy0, fy1) in fr.items()}
+    out = {}
+    for name, (x0, x1, y0, y1) in regions.items():
+        out[name] = {
+            "ref": [round(float(v), 1)
+                    for v in ref[y0:y1, x0:x1].mean((0, 1))],
+            "ours": [round(float(v), 1)
+                     for v in ours[y0:y1, x0:x1].mean((0, 1))]}
+    return out
 
 
 # the pre-silhouette-descent placement (now superseded as defaults) —
@@ -69,7 +128,10 @@ _OLD_LAYOUT = {
 
 
 def main():
+    global W, H
     frames = int(sys.argv[1]) if len(sys.argv) > 1 else 192
+    if len(sys.argv) > 2:
+        W, H = (int(v) for v in sys.argv[2].split("x"))
     variants = [
         ("base", {}),
         ("bunny-mirror15", {"bunny_roughness": 0.15}),
@@ -90,19 +152,34 @@ def main():
         ("tall-ears", {"bunny_ear_len": 1.0}),
         ("all-in", {"bunny_roughness": 0.25, "ball_roughness": 0.3,
                     "bunny_jitter": 0.10, "face_hole_deg": 10.0}),
+        # color levers from the region diagnostics (ref vs ours channel
+        # means at matched anchors): our red wall's R reads ~25% low and
+        # the green wall's G ~19% low at matched off-channels, and the
+        # floor is blue-deficient (ref floor is NEUTRAL: R 94.9 G 87.1
+        # B 90.7) — the light is too warm.
+        ("walls-sat", {"red_color": (0.80, 0.04, 0.04),
+                       "green_color": (0.10, 0.56, 0.13)}),
+        ("light-neutral", {"light_radiance": (44.0, 43.0, 41.5),
+                           "core_radiance": (8.0, 7.7, 7.2)}),
+        ("color-all", {"red_color": (0.80, 0.04, 0.04),
+                       "green_color": (0.10, 0.56, 0.13),
+                       "light_radiance": (44.0, 43.0, 41.5),
+                       "core_radiance": (8.0, 7.7, 7.2)}),
     ]
-    # calibration: the light_scale=1.1 defaults peak near 0.10-0.125 on
-    # the 240x180 CPU protocol; material RANKING is robust to small
-    # exposure shifts, and every (exposure, bloom) pair costs a fresh
-    # compile + render. 0.10 covers the new layout's CPU optimum, 0.15
-    # the old layout's optimum shifted by the flux change.
-    exposures = (0.10, 0.12, 0.15)
-    blooms = (0.08,)
+    # calibration (exposure x bloom) is swept on the rendered linear
+    # frame (one post jit), so variants cost ONE app render each and the
+    # grid can be wide — see golden_ssim.post_score_grid defaults.
+    best_overall = (-1.0, None)
     for name, kw in variants:
-        val, e, b = render_variant(kw, frames, exposures, blooms)
-        print(json.dumps({"v": name, "ssim": round(val, 4),
-                          "exposure": e, "bloom": b, "frames": frames}),
-              flush=True)
+        val, e, b, ours8 = render_variant(kw, frames)
+        row = {"v": name, "ssim": round(val, 4), "exposure": e,
+               "bloom": b, "frames": frames}
+        if val > best_overall[0]:
+            best_overall = (val, name)
+            row["regions"] = region_report(ours8)
+        print(json.dumps(row), flush=True)
+    print(json.dumps({"BEST": best_overall[1],
+                      "ssim": round(best_overall[0], 4)}), flush=True)
     print("DONE", flush=True)
 
 

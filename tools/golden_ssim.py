@@ -19,11 +19,21 @@ ticks with a static camera and scores the final displayed frame.
 Writes /tmp/<prefix>_ours.png, /tmp/<prefix>_ref.png, prints SSIM JSON.
 """
 
+import functools
 import json
 import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("TPU_PBRT_CPU"):
+    # the preconfigured axon platform's default wins over JAX_PLATFORMS
+    # (see tests/conftest.py) and its backend init BLOCKS when the TPU
+    # tunnel is down — force the CPU protocol explicitly
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 
@@ -43,29 +53,67 @@ def render_converged(frames):
     return np.asarray(hdr), r
 
 
-def render_app_graph(frames, exposure, bloom_strength):
-    """Final displayed frame of the full App graph after `frames` ticks."""
+def render_app_graph(frames, scene=None):
+    """LINEAR final frame of the full App graph after `frames` ticks.
+
+    Display calibration (bloom strength + exposure + tonemap) is swept
+    separately on the returned linear frame via `post_score_grid` — it is
+    a pure tail after TAA (render/app.py `bloom_tonemap` scope), so
+    rendering once per scene and re-posting is exact and saves an
+    app-graph recompile per calibration pair."""
     from tpu_pbrt.models.golden import make_golden_scene, make_golden_camera
     from tpu_pbrt.render.app import App
     from tpu_pbrt.utils.config import GraphicsSettings
 
     s = GraphicsSettings()
     s.width, s.height = W, H
-    s.post_processing.tonemap_operator = "reinhard"
-    s.post_processing.exposure = exposure
-    s.post_processing.bloom_strength = bloom_strength
+    s.post_processing.tonemap_operator = "none"
+    s.post_processing.bloom = False
     s.check()
-    scene = make_golden_scene()
+    if scene is None:
+        scene = make_golden_scene()
     cam = make_golden_camera(W, H)
     app = App(scene, cam, s)
     out = None
     for _ in range(frames):
         out, _ = app.tick()
-    import numpy as _np
+    return np.asarray(out)
 
-    from tpu_pbrt.ops import tonemap as _tm
 
-    return _np.asarray(_tm.to_srgb8(out))
+def post_score_grid(linear_hdr, ref_small,
+                    exposures=(0.08, 0.10, 0.125, 0.15, 0.18, 0.22, 0.27),
+                    blooms=(0.0, 0.05, 0.08, 0.11),
+                    operators=("reinhard", "aces")):
+    """Sweep display calibration over a LINEAR rendered frame: bloom →
+    tonemap → sRGB8, exposure/strength as TRACED scalars so the whole
+    grid shares one jit per operator (the reference app defaults to ACES,
+    MyAppData.h tonemap default; the golden screenshot's curve is
+    unknown, so both film curves are tried).
+    Returns (best_ssim, (operator, exposure), bloom, img8)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_pbrt.ops import tonemap as tm
+    from tpu_pbrt.passes import bloom as bloom_mod
+    from tpu_pbrt.utils.image import ssim
+
+    curves = {"reinhard": tm.reinhard, "aces": tm.aces_filmic}
+
+    @functools.partial(jax.jit, static_argnums=3)
+    def post(img, exposure, strength, op):
+        img = bloom_mod.apply(img, strength)
+        return tm.to_srgb8(curves[op](img, exposure))
+
+    img = jnp.asarray(linear_hdr)
+    best = (-1.0, None, None, None)
+    for op in operators:
+        for bl in blooms:
+            for exp in exposures:
+                ours8 = np.asarray(post(img, exp, bl, op))
+                val = ssim(np.asarray(ours8, np.float32) / 255.0, ref_small)
+                if val > best[0]:
+                    best = (float(val), (op, exp), bl, ours8)
+    return best
 
 
 def ssim_map_report(ours_path: str):
@@ -110,23 +158,15 @@ def main():
     graph = sys.argv[3] if len(sys.argv) > 3 else "pt"
 
     if graph == "app":
-        from tpu_pbrt.utils.image import read_png, ssim, write_png
+        from tpu_pbrt.utils.image import read_png, write_png
         from PIL import Image
 
         ref = read_png("/root/reference/Screenshots/Cornell Box.png")
         ref_small = np.asarray(
             Image.fromarray(ref).resize((W, H), Image.LANCZOS),
             np.float32) / 255.0
-        best = (-1.0, None, None, None)
-        # light_scale=1.1 layout defaults peak near 0.10 on the CPU
-        # protocol; 0.15 covers the upper side
-        for exposure in (0.10, 0.12, 0.15):
-            for bl in (0.05, 0.1):
-                ours8 = render_app_graph(frames, exposure, bl)
-                val = ssim(np.asarray(ours8, np.float32) / 255.0,
-                           ref_small)
-                if val > best[0]:
-                    best = (val, exposure, bl, ours8)
+        linear = render_app_graph(frames)
+        best = post_score_grid(linear, ref_small)
         write_png(f"/tmp/{prefix}_app_ours.png", best[3])
         print(json.dumps({"ssim_vs_reference_golden": round(best[0], 4),
                           "graph": "app", "exposure": best[1],
