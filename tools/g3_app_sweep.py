@@ -76,6 +76,8 @@ def render_variant(scene_kwargs, frames):
         s.width, s.height = W, H
         s.post_processing.tonemap_operator = "none"
         s.post_processing.bloom = False
+        # quality protocol: full internal res (see golden_ssim)
+        s.post_processing.super_resolution_scale = 1.0
         s.check()
         app = App(scene, make_golden_camera(W, H), s)
         _APPS[sig] = app

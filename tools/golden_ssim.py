@@ -69,6 +69,10 @@ def render_app_graph(frames, scene=None):
     s.width, s.height = W, H
     s.post_processing.tonemap_operator = "none"
     s.post_processing.bloom = False
+    # quality protocol: full internal resolution (the 0.5 default is the
+    # realtime perf config; TAA-upscaled 2x is visibly softer than the
+    # reference screenshot and costs SSIM structure)
+    s.post_processing.super_resolution_scale = 1.0
     s.check()
     if scene is None:
         scene = make_golden_scene()
