@@ -232,11 +232,20 @@ def bench_manylight(width=1920, height=1080):
     return 1.0 / per_frame, rpf / per_frame / 1e6, rpf
 
 
-def _write_sphere_glb(path: str, textured: bool):
-    """Author the BASELINE #3 bench asset as a REAL .glb (25k-tri UV
-    sphere, PBR material, embedded 256^2 checker base-color PNG when
-    textured) so the bench exercises the production glTF pipeline
-    (models/gltf.py), matching the reference's glTF-loaded mesh config."""
+def _write_sphere_glb(path: str, textured: bool, shape: str = "sphere"):
+    """Author the BASELINE #3 bench asset as a REAL .glb (25k-tri mesh,
+    PBR material, embedded 256^2 checker base-color PNG when textured) so
+    the bench exercises the production glTF pipeline (models/gltf.py),
+    matching the reference's glTF-loaded mesh config.
+
+    shape="sphere": the round-2 UV sphere (kept for measurement
+    continuity). shape="helmet": a Damaged-Helmet-class hard-surface mesh
+    — the reference's BASELINE #3 asset is not shipped and there is no
+    network, so the helmet is AUTHORED: open bottom, smoothed visor
+    indentation, brim flare, crown vent ridges and asymmetric surface
+    detail over the same 160x80 grid. Unlike the perfect sphere it has
+    concave regions, a boundary edge and non-uniform triangle density —
+    the traversal/shading workload class of a real scanned asset."""
     import io
     import json as _json
     import struct as _struct
@@ -244,11 +253,32 @@ def _write_sphere_glb(path: str, textured: bool):
     import numpy as _np
 
     nu, nv = 160, 80
-    theta = _np.linspace(0, _np.pi, nv)
+    theta_max = _np.pi if shape == "sphere" else 0.82 * _np.pi
+    theta = _np.linspace(0, theta_max, nv)
     phi = _np.linspace(0, 2 * _np.pi, nu, endpoint=False)
     tt, pp = _np.meshgrid(theta, phi, indexing="ij")
-    pos = _np.stack([_np.sin(tt) * _np.cos(pp), _np.cos(tt),
-                     _np.sin(tt) * _np.sin(pp)], -1).reshape(-1, 3)
+    unit = _np.stack([_np.sin(tt) * _np.cos(pp), _np.cos(tt),
+                      _np.sin(tt) * _np.sin(pp)], -1)
+    if shape == "sphere":
+        r = _np.ones_like(tt)
+    else:
+        def _smooth(x):
+            x = _np.clip(x, 0.0, 1.0)
+            return x * x * (3.0 - 2.0 * x)
+
+        t = tt / theta_max
+        dphi = _np.angle(_np.exp(1j * (pp - _np.pi / 2)))  # wrap to ±π
+        r = _np.ones_like(tt)
+        # visor: smoothed frontal indentation
+        r -= 0.12 * (_smooth((t - 0.30) / 0.12) * _smooth((0.68 - t) / 0.12)
+                     * _smooth((0.85 - _np.abs(dphi)) / 0.35))
+        # brim flare at the open bottom
+        r += 0.08 * _smooth((t - 0.86) / 0.12)
+        # crown vent ridges
+        r += 0.012 * _np.cos(14.0 * pp) * _smooth((0.30 - t) / 0.18)
+        # asymmetric organic detail (scanned-surface stand-in)
+        r += 0.008 * _np.sin(5.0 * tt) * _np.cos(3.0 * pp + 1.7)
+    pos = (r[..., None] * unit).reshape(-1, 3)
     idx = []
     for i in range(nv - 1):
         for j in range(nu):
@@ -258,12 +288,26 @@ def _write_sphere_glb(path: str, textured: bool):
             e = (i + 1) * nu + (j + 1) % nu
             idx += [[a, b, c], [b, e, c]]
     idx = _np.asarray(idx, _np.uint32).reshape(-1)
-    # equirect UVs so the base-color texture wraps the sphere
+    # equirect UVs so the base-color texture wraps the mesh
     uvs = _np.stack([pp.reshape(-1) / (2 * _np.pi),
                      tt.reshape(-1) / _np.pi], -1).astype(_np.float32)
     pos = pos.astype(_np.float32)
 
-    parts = [pos.tobytes(), pos.tobytes(), uvs.tobytes(), idx.tobytes()]
+    if shape == "sphere":
+        normals = pos
+    else:
+        # area-weighted smooth vertex normals (the surface is no longer
+        # a unit sphere, so position != normal)
+        tri = idx.reshape(-1, 3)
+        fn = _np.cross(pos[tri[:, 1]] - pos[tri[:, 0]],
+                       pos[tri[:, 2]] - pos[tri[:, 0]])
+        normals = _np.zeros_like(pos)
+        for k in range(3):
+            _np.add.at(normals, tri[:, k], fn)
+        nl = _np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = (normals / _np.maximum(nl, 1e-12)).astype(_np.float32)
+
+    parts = [pos.tobytes(), normals.tobytes(), uvs.tobytes(), idx.tobytes()]
     if textured:
         from PIL import Image
 
@@ -328,10 +372,12 @@ def _write_sphere_glb(path: str, textured: bool):
         f.write(blob)
 
 
-def _sphere_setup(textured: bool, height: int = 1080):
-    """25k-tri glTF sphere scene for BASELINE config #3 benches: authors
-    a real .glb and loads it through the production glTF path. Returns
-    (scene, settings, textures, texture_srgb)."""
+def _sphere_setup(textured: bool, height: int = 1080,
+                  shape: str = "sphere"):
+    """25k-tri glTF mesh scene for BASELINE config #3 benches: authors
+    a real .glb (sphere or helmet-class hard-surface mesh — see
+    _write_sphere_glb) and loads it through the production glTF path.
+    Returns (scene, settings, textures, texture_srgb)."""
     import numpy as _np
 
     from tpu_pbrt.models import gltf
@@ -340,8 +386,8 @@ def _sphere_setup(textured: bool, height: int = 1080):
     from tpu_pbrt.models.scene import make_environment, make_scene
     from tpu_pbrt.passes.pathtrace import PathTraceSettings
 
-    glb = f"/tmp/tpu_pbrt_bench_sphere_{int(textured)}.glb"
-    _write_sphere_glb(glb, textured)
+    glb = f"/tmp/tpu_pbrt_bench_{shape}_{int(textured)}.glb"
+    _write_sphere_glb(glb, textured, shape)
     model = gltf.load(glb)
     geometry = build_geometry(gltf.to_geometry_meshes(model))
     mats = make_table(model.materials)
@@ -438,9 +484,11 @@ def breakdown(config: str = "cornell"):
         from tpu_pbrt.passes.pathtrace import PathTraceSettings
         from tpu_pbrt.render.renderer import _render_frame
 
-        if config in ("sphere", "sphere-textured"):
+        if config in ("sphere", "sphere-textured", "helmet",
+                      "helmet-textured"):
             scene, settings, textures, tex_srgb = _sphere_setup(
-                config == "sphere-textured")
+                config.endswith("-textured"),
+                shape="helmet" if config.startswith("helmet") else "sphere")
             trc = tracer_mod.build_for_scene(scene, textures=textures,
                                              texture_srgb=tex_srgb)
         else:
@@ -572,13 +620,17 @@ def main(config: str = "cornell"):
                                      count_rays=True,
                                      compaction_schedule=(4, 5, 6))
         label = "Cornell metal/glass 1080p, 4 SPP, 8 bounces"
-    elif config in ("sphere", "sphere-textured"):
-        # BASELINE config #3 stand-in: 25k-tri mesh via the culled tracer;
-        # "sphere-textured" adds a mip-mapped base-color map
+    elif config in ("sphere", "sphere-textured", "helmet",
+                    "helmet-textured"):
+        # BASELINE config #3: 25k-tri glTF mesh via the culled tracer;
+        # "helmet" is the Damaged-Helmet-class authored mesh (concave
+        # visor, open bottom, non-uniform tri density); "-textured" adds
+        # a mip-mapped base-color map
+        shape = "helmet" if config.startswith("helmet") else "sphere"
+        textured = config.endswith("-textured")
         scene, settings, textures, tex_srgb = _sphere_setup(
-            config == "sphere-textured", height)
-        textured = config == "sphere-textured"
-        label = (f"25k-tri {'textured ' if textured else ''}sphere 1080p, "
+            textured, height, shape)
+        label = (f"25k-tri {'textured ' if textured else ''}{shape} 1080p, "
                  "1 SPP, 4 bounces (culled tracer"
                  + (" + mip-mapped base color)" if textured else ")"))
     elif config == "cornell-nofold":

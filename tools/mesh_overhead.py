@@ -111,32 +111,40 @@ def main():
         cost = cost[0]
     flops = float(cost.get("flops", 0.0))
 
-    # post tail alone (replicated part): denoise+TAA+bloom+tonemap at 1080p
+    # Post-tail split. The SVGF denoiser is SHARDED over the pixel mesh
+    # since the halo-exchange commit (passes/denoise.py halo kwargs via
+    # parallel/app_mesh.py), so the replicated tail is only
+    # TAA+sharpen+bloom+tonemap; the denoiser cost is reported separately
+    # as the (sharded) heavy-post figure.
     from tpu_pbrt.passes import bloom as bloom_mod
     from tpu_pbrt.passes import denoise as denoise_mod
     from tpu_pbrt.passes import taa as taa_mod
     from tpu_pbrt.ops import tonemap
 
-    def post(img, albedo, depth, normal, motion, dstate, tstate):
-        img, dstate = denoise_mod.denoise_frame(
+    def _flops(fn, *args):
+        c = jax.jit(fn).lower(*args).compile().cost_analysis()
+        if isinstance(c, list):
+            c = c[0]
+        return float(c.get("flops", 0.0))
+
+    def denoise_only(img, albedo, depth, normal, motion, dstate):
+        return denoise_mod.denoise_frame(
             dstate, img, albedo, depth, normal, motion,
             iterations=s.post_processing.denoiser_iterations)
+
+    def post(img, motion, tstate):
         img, tstate = taa_mod.resolve(tstate, img, motion, app.out_h,
                                       app.out_w)
         img = taa_mod.sharpen(img, s.post_processing.sharpness)
         img = bloom_mod.apply(img, s.post_processing.bloom_strength)
         return tonemap.apply(img, "aces", s.post_processing.exposure), \
-            dstate, tstate
+            tstate
 
     rw, rh = app.render_w, app.render_h
     img = jnp.zeros((rh, rw, 3))
-    post_c = jax.jit(post).lower(
-        img, img, jnp.zeros((rh, rw)), img, jnp.zeros((rh, rw, 2)),
-        app.history.denoiser, app.history.taa).compile()
-    pcost = post_c.cost_analysis()
-    if isinstance(pcost, list):
-        pcost = pcost[0]
-    pflops = float(pcost.get("flops", 0.0))
+    dflops = _flops(denoise_only, img, img, jnp.zeros((rh, rw)), img,
+                    jnp.zeros((rh, rw, 2)), app.history.denoiser)
+    pflops = _flops(post, img, jnp.zeros((rh, rw, 2)), app.history.taa)
 
     by_kind = {}
     for r in rows:
@@ -152,7 +160,8 @@ def main():
         "total_MB_per_frame": round(total / 1e6, 2),
         "est_ici_ms_v5e": round(ici_ms, 3),
         "flops_per_frame_G": round(flops / 1e9, 2),
-        "post_tail_flops_G": round(pflops / 1e9, 2),
+        "denoiser_flops_G_sharded": round(dflops / 1e9, 2),
+        "replicated_post_flops_G": round(pflops / 1e9, 2),
         "replicated_post_fraction": round(pflops / max(flops, 1.0), 4),
     }
     print(json.dumps(report, indent=1))
