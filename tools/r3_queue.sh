@@ -14,6 +14,8 @@ run() {
 
 run python bench.py sphere
 run python bench.py sphere-textured
+run python bench.py helmet
+run python bench.py helmet-textured
 run python bench.py app
 run python bench.py
 run python bench.py animated
