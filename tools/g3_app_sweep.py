@@ -8,8 +8,9 @@ washed-out white. The app graph's denoiser removes that bias — rank
 smooth-material variants on the denoised output.
 
 Self-bounded (fixed variant list x fixed frames), exits cleanly, ONE TPU
-process. Usage: python tools/g3_app_sweep.py [frames] [WxH]
-(WxH defaults to 480x360; pass e.g. 240x180 for the CPU protocol.)
+process. Usage: python tools/g3_app_sweep.py [frames] [WxH] [names]
+(WxH defaults to 480x360 — pass e.g. 240x180 for the CPU protocol;
+names: comma-separated variant filter, e.g. base,light-neutral.)
 """
 import json
 import os
@@ -167,7 +168,23 @@ def main():
                        "green_color": (0.10, 0.56, 0.13),
                        "light_radiance": (44.0, 43.0, 41.5),
                        "core_radiance": (8.0, 7.7, 7.2)}),
+        # full-res+aces protocol diagnostics (base regions, 240x180x96f):
+        # floor/back-wall B reads ~12-23 LOW (light too warm) while the
+        # red wall's G/B and green wall's R/B also read low (walls a
+        # touch over-saturated) — correct the LIGHT first, then mildly
+        # desaturate the walls
+        ("light-cool", {"light_radiance": (43.0, 42.5, 44.0),
+                        "core_radiance": (7.7, 7.6, 7.9)}),
+        ("walls-desat", {"red_color": (0.65, 0.08, 0.09),
+                         "green_color": (0.14, 0.45, 0.18)}),
+        ("cool-desat", {"light_radiance": (43.0, 42.5, 44.0),
+                        "core_radiance": (7.7, 7.6, 7.9),
+                        "red_color": (0.65, 0.08, 0.09),
+                        "green_color": (0.14, 0.45, 0.18)}),
     ]
+    if len(sys.argv) > 3:
+        keep = set(sys.argv[3].split(","))
+        variants = [v for v in variants if v[0] in keep]
     # calibration (exposure x bloom) is swept on the rendered linear
     # frame (one post jit), so variants cost ONE app render each and the
     # grid can be wide — see golden_ssim.post_score_grid defaults.
@@ -176,9 +193,10 @@ def main():
         val, e, b, ours8 = render_variant(kw, frames)
         row = {"v": name, "ssim": round(val, 4), "exposure": e,
                "bloom": b, "frames": frames}
+        if val > best_overall[0] or len(variants) <= 8:
+            row["regions"] = region_report(ours8)
         if val > best_overall[0]:
             best_overall = (val, name)
-            row["regions"] = region_report(ours8)
         print(json.dumps(row), flush=True)
     print(json.dumps({"BEST": best_overall[1],
                       "ssim": round(best_overall[0], 4)}), flush=True)
