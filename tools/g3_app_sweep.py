@@ -155,32 +155,19 @@ def main():
         ("tall-ears", {"bunny_ear_len": 1.0}),
         ("all-in", {"bunny_roughness": 0.25, "ball_roughness": 0.3,
                     "bunny_jitter": 0.10, "face_hole_deg": 10.0}),
-        # color levers from the region diagnostics (ref vs ours channel
-        # means at matched anchors): our red wall's R reads ~25% low and
-        # the green wall's G ~19% low at matched off-channels, and the
-        # floor is blue-deficient (ref floor is NEUTRAL: R 94.9 G 87.1
-        # B 90.7) — the light is too warm.
-        ("walls-sat", {"red_color": (0.80, 0.04, 0.04),
-                       "green_color": (0.10, 0.56, 0.13)}),
-        ("light-neutral", {"light_radiance": (44.0, 43.0, 41.5),
-                           "core_radiance": (8.0, 7.7, 7.2)}),
-        ("color-all", {"red_color": (0.80, 0.04, 0.04),
-                       "green_color": (0.10, 0.56, 0.13),
-                       "light_radiance": (44.0, 43.0, 41.5),
-                       "core_radiance": (8.0, 7.7, 7.2)}),
-        # full-res+aces protocol diagnostics (base regions, 240x180x96f):
-        # floor/back-wall B reads ~12-23 LOW (light too warm) while the
-        # red wall's G/B and green wall's R/B also read low (walls a
-        # touch over-saturated) — correct the LIGHT first, then mildly
-        # desaturate the walls
-        ("light-cool", {"light_radiance": (43.0, 42.5, 44.0),
-                        "core_radiance": (7.7, 7.6, 7.9)}),
-        ("walls-desat", {"red_color": (0.65, 0.08, 0.09),
-                         "green_color": (0.14, 0.45, 0.18)}),
-        ("cool-desat", {"light_radiance": (43.0, 42.5, 44.0),
-                        "core_radiance": (7.7, 7.6, 7.9),
-                        "red_color": (0.65, 0.08, 0.09),
-                        "green_color": (0.14, 0.45, 0.18)}),
+        # Color-descent step 1 (CPU 240x180x96f, full-res+aces protocol,
+        # 2026-08-19): base 0.6699 -> light-neutral 0.6752 -> light-cool
+        # 0.6778 -> walls-desat 0.6813 -> cool-desat 0.6841 (winner,
+        # BAKED as models/golden.py defaults). Step-2 levers from
+        # cool-desat's residual regions: floor reads (+7.7,+6.7,+0.3)
+        # bright-warm, back wall (-5.5,-7.8,-8.4) dark — floor and back
+        # wall now carry independent tints.
+        ("floor-dim", {"floor_tint": (0.93, 0.93, 1.0)}),
+        ("back-bright", {"back_tint": (1.05, 1.07, 1.08)}),
+        ("floor-back", {"floor_tint": (0.93, 0.93, 1.0),
+                        "back_tint": (1.05, 1.07, 1.08)}),
+        ("floor-back2", {"floor_tint": (0.90, 0.90, 1.0),
+                         "back_tint": (1.08, 1.10, 1.12)}),
     ]
     if len(sys.argv) > 3:
         keep = set(sys.argv[3].split(","))

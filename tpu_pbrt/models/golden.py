@@ -41,6 +41,8 @@ MAT_BLACK_MIRROR = 5
 MAT_BALL = 6
 MAT_WOOD = 7
 MAT_CORE = 8
+MAT_FLOOR = 9
+MAT_BACK = 10
 
 
 # ---------------------------------------------------------------------------
@@ -251,8 +253,8 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
 # scene + camera
 # ---------------------------------------------------------------------------
 
-def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
-                      core_radiance=(8.0, 7.4, 6.3),
+def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
+                      core_radiance=(7.7, 7.6, 7.9),
                       bunny_center=(382.0, 205.0), bunny_scale=95.0,
                       bunny_yaw=-8.0, bunny_roughness=0.45,
                       bunny_jitter=0.0, bunny_ear_len=0.6,
@@ -264,22 +266,27 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
                       wall_boost=1.18,
                       block_center=(200.0, 435.0),
                       block_rot=-25.0, light_scale=1.1,
-                      red_color=(0.65, 0.05, 0.05),
-                      green_color=(0.12, 0.45, 0.15)) -> Scene:
+                      red_color=(0.65, 0.08, 0.09),
+                      green_color=(0.14, 0.45, 0.18),
+                      floor_tint=(1.0, 1.0, 1.0),
+                      back_tint=(1.0, 1.0, 1.0)) -> Scene:
     # Placement defaults = the round-3 silhouette-descent winner
     # (tools/g3_silhouette.py: noise-free G-buffer edge chamfer vs the
     # screenshot, 0.54 -> 1.18), confirmed on the denoised app graph
     # (240x180x96f CPU: 0.596 vs 0.593 at matched effective exposure).
     meshes = []
-    # Cornell shell (identical to models/cornell.py walls)
+    # Cornell shell (identical to models/cornell.py walls; floor and back
+    # wall carry their OWN material slots so the screenshot's relative
+    # white-surface levels can be matched independently — the reference's
+    # actual materials are unknown, this is reconstruction-to-image)
     meshes.append(_quad([0, 0, 0], [552.8, 0, 0], [552.8, 0, 559.2],
-                        [0, 0, 559.2], MAT_WHITE, 0, flip=True))
+                        [0, 0, 559.2], MAT_FLOOR, 0, flip=True))
     meshes.append(_quad([0, 548.8, 0], [0, 548.8, 559.2],
                         [556, 548.8, 559.2], [556, 548.8, 0],
                         MAT_WHITE, 0, flip=True))
     meshes.append(_quad([0, 0, 559.2], [552.8, 0, 559.2],
                         [552.8, 548.8, 559.2], [0, 548.8, 559.2],
-                        MAT_WHITE, 0, flip=True))
+                        MAT_BACK, 0, flip=True))
     meshes.append(_quad([552.8, 0, 0], [552.8, 0, 559.2],
                         [552.8, 548.8, 559.2], [552.8, 548.8, 0],
                         MAT_GREEN, 0))
@@ -330,6 +337,11 @@ def make_golden_scene(light_radiance=(44.0, 42.0, 36.5),
         # emissive core of the luminaire
         {"base_color": (1.0, 1.0, 1.0, 1.0), "roughness": 1.0,
          "emissive_color": core_radiance, "emissive_strength": 1.0},
+        # floor / back wall: independent white levels (see shell comment)
+        {"base_color": (0.73 * wb * floor_tint[0], 0.73 * wb * floor_tint[1],
+                        0.73 * wb * floor_tint[2], 1.0), "roughness": 1.0},
+        {"base_color": (0.73 * wb * back_tint[0], 0.73 * wb * back_tint[1],
+                        0.73 * wb * back_tint[2], 1.0), "roughness": 1.0},
     ])
     env = make_environment(color=(0.0, 0.0, 0.0, 1.0))
     return make_scene(geometry, materials, env)
