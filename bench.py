@@ -11,6 +11,11 @@ import os
 import sys
 import time
 
+# Persistent compilation cache: axon-tunnel compiles are slow (the 1080p
+# frame graph can take minutes cold); cache them across bench processes.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 
 def bench_app(width=1920, height=1080, quiet=False):
     """The flagship BASELINE metric: 1080p FPS at 1 SPP with the FULL frame
