@@ -13,14 +13,33 @@ import time
 
 # Persistent compilation cache: axon-tunnel compiles are slow (the 1080p
 # frame graph can take minutes cold); cache them across bench processes.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_comp")
+_CACHE_DIR = os.path.join(
+    os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
+    "jax_comp")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE_DIR)
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
 
 
-def bench_app(width=1920, height=1080, quiet=False):
+def _ensure_cache():
+    """Make the compilation cache robust to import order: if another module
+    imported jax before us, the env vars above were inert — set the config
+    directly (advisor round-3 finding)."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass  # older jax without these config names
+
+
+def bench_app(width=1920, height=1080, quiet=False, scale=None):
     """The flagship BASELINE metric: 1080p FPS at 1 SPP with the FULL frame
     graph — ReSTIR DI + SHARC + denoise + TAA + bloom + tonemap
     (reference golden config: README.md:59-64; metric def: BASELINE.json).
+    `scale` overrides super_resolution_scale (1.0 = native-res DLAA
+    analogue, the reference's golden config; default = settings default).
     Returns (fps, mrays_per_sec, rays_per_frame)."""
     import jax
     import jax.numpy as jnp
@@ -32,6 +51,8 @@ def bench_app(width=1920, height=1080, quiet=False):
 
     s = GraphicsSettings()
     s.width, s.height = width, height
+    if scale is not None:
+        s.post_processing.super_resolution_scale = scale
     s.raytracing.compaction_schedule = tuple(
         int(x) for x in os.environ.get("BENCH_FOLD", "4,5,6").split(",") if x)
     s.check()
@@ -591,12 +612,16 @@ def main(config: str = "cornell"):
     from tpu_pbrt.passes.pathtrace import PathTraceSettings
     from tpu_pbrt.render.renderer import _render_frame
 
-    if config in ("app", "animated", "manylight"):
-        fn = {"app": bench_app, "animated": bench_animated,
+    if config in ("app", "app-native", "animated", "manylight"):
+        fn = {"app": bench_app,
+              "app-native": lambda: bench_app(scale=1.0),
+              "animated": bench_animated,
               "manylight": bench_manylight}[config]
         labels = {
             "app": ("1080p fps, 1 SPP, full frame graph "
                     "(ReSTIR DI + SHARC + denoise + TAA + bloom)"),
+            "app-native": ("1080p fps, 1 SPP, NATIVE internal res (DLAA "
+                           "analogue), full frame graph"),
             "animated": ("1080p fps: per-frame skinning + blocked refit "
                          "+ 4-bounce PT (5k-tri skinned tube)"),
             "manylight": ("1080p fps, 64-light interior: ReGIR + ReSTIR "
@@ -754,6 +779,7 @@ def _device_watchdog(timeout_s: float = 600.0):
 
 
 if __name__ == "__main__":
+    _ensure_cache()
     _device_watchdog()
     if len(sys.argv) > 1 and sys.argv[1] == "breakdown":
         breakdown(sys.argv[2] if len(sys.argv) > 2 else "cornell")

@@ -210,3 +210,51 @@ class TestSharcRender:
 
         ref = np.asarray(r.render_mean(cam, 12, frame_offset=100)).mean()
         assert abs(sharc_mean / ref - 1.0) < 0.35, (sharc_mean, ref)
+
+
+class TestResolveEquivalence:
+    """The round-4 update-pool-only resolve (P-sized sorts + one unique-slot
+    scatter) must reproduce the round-3 sort-only resolve exactly."""
+
+    def _assert_states_equal(self, a, b):
+        np.testing.assert_array_equal(np.asarray(a.key_lo),
+                                      np.asarray(b.key_lo))
+        np.testing.assert_array_equal(np.asarray(a.key_hi),
+                                      np.asarray(b.key_hi))
+        np.testing.assert_allclose(np.asarray(a.radiance),
+                                   np.asarray(b.radiance), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.count), np.asarray(b.count),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a.stale), np.asarray(b.stale),
+                                   atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(a.qdata),
+                                      np.asarray(b.qdata))
+
+    def test_random_streams_match_sorted_resolve(self):
+        s = sharc.SHARCSettings(capacity_log2=6)   # tiny: force collisions
+        rng = np.random.default_rng(7)
+        st_new = sharc.init_state(s)
+        st_old = sharc.init_state(s)
+        for frame in range(8):
+            n = 256
+            # small key space so slots collide and keys repeat across frames
+            raw = rng.integers(0, 160, n).astype(np.uint32)
+            keys = sharc.VoxelKey(lo=jnp.asarray(raw),
+                                  hi=jnp.asarray(raw * np.uint32(2654435761)))
+            rad = v3(rng.random((n, 3)).astype(np.float32) * 3.0)
+            valid = jnp.asarray(rng.random(n) < 0.8)
+            st_new = sharc.resolve(st_new, keys, rad, valid, s)
+            st_old = sharc.resolve_sorted(st_old, keys, rad, valid, s)
+            self._assert_states_equal(st_new, st_old)
+
+    def test_empty_update_pool(self):
+        s = sharc.SHARCSettings(capacity_log2=6)
+        st = sharc.init_state(s)
+        k = keys_of([3, 4])
+        st = sharc.resolve(st, k, v3([[1, 1, 1], [2, 2, 2]]),
+                           jnp.ones((2,), bool), s)
+        before = np.asarray(st.count).sum()
+        st2 = sharc.resolve(st, keys_of([0, 0]), v3([[9, 9, 9]] * 2),
+                            jnp.zeros((2,), bool), s)
+        assert np.asarray(st2.count).sum() == before       # nothing merged
+        assert np.asarray(st2.stale).max() == 1.0          # but aged

@@ -180,8 +180,10 @@ class ShadeAttrs(NamedTuple):
 
 ONEHOT_MAX_ROWS = 512
 # route small-table fetches through the Pallas kernel below (TPU only;
-# default set by measurement, env-overridable for A/B runs)
-FETCH_PALLAS = _os.environ.get("TPU_PBRT_FETCH_PALLAS", "0") == "1"
+# default ON by measurement — tools/diag_fetch.py, v5e, 2M lanes, 30 cols:
+# XLA one-hot dot 2.24 ms vs Pallas VMEM-resident 0.62 ms (3.6×), both
+# exact; env-overridable for A/B runs)
+FETCH_PALLAS = _os.environ.get("TPU_PBRT_FETCH_PALLAS", "1") == "1"
 FETCH_BLOCK = 64     # table rows per block of the big-table fetch
 FETCH_CHUNK = 128    # lanes per chunk (one vector-lane width)
 FETCH_KB = 8         # blocks one-hot-fetched per chunk

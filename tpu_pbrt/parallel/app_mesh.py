@@ -49,6 +49,7 @@ from ..passes import bloom as bloom_mod
 from ..passes import denoise as denoise_mod
 from ..passes import gbuffer as gbuffer_mod
 from ..passes import pathtrace
+from ..passes import regir as regir_mod
 from ..passes import restir as restir_mod
 from ..passes import sharc as sharc_mod
 from ..passes import taa as taa_mod
@@ -146,12 +147,20 @@ def jit_app_sharded(app, mesh: Mesh):
 
             halo = {"extend": halo_extend, "pad": pad,
                     "row0": row0.astype(jnp.float32), "total_h": rh}
+            # ReGIR grid: world-space and pixel-independent, so each chip
+            # builds the identical grid from replicated inputs (65k-lane
+            # build; cheaper than shipping it over ICI)
+            regir = None
+            if app.regir_settings is not None:
+                regir = (regir_mod.build(scene, cam.position, frame,
+                                         app.regir_settings),
+                         app.regir_settings)
             ((di_diff, di_spec), restir_state,
              restir_rays) = restir_mod.render_direct_lighting(
                 scene, gb, view, tracer, restir_state, px, py, frame,
                 rw, rows_local, app.restir_settings, py_grid=py_local,
                 cam_pos=cam.position, cam_prev=cam.prev_position,
-                halo=halo)
+                halo=halo, regir=regir)
             di = di_diff + di_spec
             di_valid = (di.x > 0.0) | (di.y > 0.0) | (di.z > 0.0)
             rays_total = rays_total + restir_rays

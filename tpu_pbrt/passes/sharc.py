@@ -178,11 +178,148 @@ def _pack_qdata(key_lo, key_hi, radiance, live) -> jnp.ndarray:
     return jnp.stack([klo, khi, rg, b], axis=-1)
 
 
+def _aggregate_records(nk_lo, nk_hi, new_radiance: Vec3, new_valid,
+                       cmask: jnp.ndarray):
+    """Sort the update-pool records by 64-bit key and segment-sum each
+    voxel's radiance/count (Hillis-Steele segmented suffix sums — exact,
+    scatter-free; TPU scatters with duplicate indices serialize and a
+    cumsum-difference form would catastrophically cancel on f32 over ~1M
+    records). Returns key-sorted arrays where rows flagged `agg_live`
+    hold one aggregate per distinct voxel."""
+    sk_lo, sk_hi, srx, sry, srz, sv = lax.sort(
+        (nk_lo, nk_hi, new_radiance.x, new_radiance.y, new_radiance.z,
+         new_valid.astype(jnp.float32)), dimension=0, num_keys=2)
+    srx = srx * sv
+    sry = sry * sv
+    srz = srz * sv
+    same_key = lambda a_lo, a_hi, b_lo, b_hi: (a_lo == b_lo) & (a_hi == b_hi)
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool),
+         ~same_key(sk_lo[1:], sk_hi[1:], sk_lo[:-1], sk_hi[:-1])])
+    p = sk_lo.shape[0]
+
+    def seg_suffix_sums(vals):
+        d = 1
+        vals = list(vals)
+        while d < p:
+            same = jnp.concatenate(
+                [same_key(sk_lo[d:], sk_hi[d:], sk_lo[:-d], sk_hi[:-d]),
+                 jnp.zeros((d,), bool)])
+            for i, v in enumerate(vals):
+                shifted = jnp.concatenate([v[d:], jnp.zeros((d,), v.dtype)])
+                vals[i] = v + jnp.where(same, shifted, 0)
+            d *= 2
+        return vals
+
+    t_cnt, t_r0, t_r1, t_r2 = seg_suffix_sums([sv, srx, sry, srz])
+    agg_live = first & (sk_lo != EMPTY_KEY) & (t_cnt > 0)
+    agg_cnt = jnp.where(agg_live, t_cnt, 0.0)
+    agg_sums = (jnp.where(agg_live, t_r0, 0.0),
+                jnp.where(agg_live, t_r1, 0.0),
+                jnp.where(agg_live, t_r2, 0.0))
+    return sk_lo, sk_hi, agg_live, agg_cnt, agg_sums
+
+
 def resolve(state: SHARCState, new_keys: VoxelKey, new_radiance: Vec3,
             new_valid: jnp.ndarray, settings: SHARCSettings) -> SHARCState:
     """Merge new (key, radiance) records into the direct-mapped table.
-    Sort-only (see module docstring); the SHARC.hlsl resolve/compaction
-    pair in TPU form."""
+
+    Update-pool-only resolve (round 4): all sorts are P-sized (P = update
+    records, ~rw*rh/16), the C-sized table is touched only by elementwise
+    aging plus ONE row scatter at unique, sorted slots. This removes the
+    (C+P)-row multi-operand sort wall that forced the round-3 capacity
+    clamp, so the reference's 2^22 capacity (Source/SHARC.ixx:48-57) fits
+    in the frame budget. Semantics are identical to `resolve_sorted`
+    (tested): per-slot winner = the aggregate with the highest sample
+    count; 64-bit key match accumulates, slot collision evicts by count.
+    """
+    c = state.key_lo.shape[0]
+    cmask = _U32(c - 1)
+
+    nk_lo = jnp.where(new_valid, new_keys.lo, EMPTY_KEY)
+    nk_hi = jnp.where(new_valid, new_keys.hi, EMPTY_KEY)
+
+    # --- 1. aggregate the new records by 64-bit key (P-sized sort)
+    sk_lo, sk_hi, agg_live, agg_cnt, (a_sx, a_sy, a_sz) = _aggregate_records(
+        nk_lo, nk_hi, new_radiance, new_valid, cmask)
+    agg_slot = jnp.where(agg_live, (sk_lo & cmask).astype(jnp.int32), c)
+
+    # --- 2. one winner per slot: sort aggregates by (slot, -count); the
+    # stable sort breaks count ties in key order, matching resolve_sorted
+    (w_slot, _, w_lo, w_hi, w_sx, w_sy, w_sz, w_cnt) = lax.sort(
+        (agg_slot, -agg_cnt, sk_lo, sk_hi, a_sx, a_sy, a_sz, agg_cnt),
+        dimension=0, num_keys=2)
+    win = (jnp.concatenate([jnp.ones((1,), bool),
+                            w_slot[1:] != w_slot[:-1]])
+           & (w_slot < c) & (w_cnt > 0))
+    # losers scatter out of bounds and are dropped
+    idx = jnp.where(win, w_slot, c)
+
+    # --- 3. age + evict existing entries (C-sized, elementwise only)
+    stale = state.stale + 1.0
+    keep = ((state.key_lo != EMPTY_KEY) & (state.count > 0)
+            & (stale <= settings.max_stale_frames))
+    aged_lo = jnp.where(keep, state.key_lo, EMPTY_KEY)
+    aged_hi = jnp.where(keep, state.key_hi, EMPTY_KEY)
+    aged_cnt = state.count * keep
+    aged_sum = state.radiance * aged_cnt[:, None]
+    aged_stl = jnp.where(keep, stale, 0.0)
+
+    # --- 4. combine winners with their table rows in P-space: gather the
+    # aged row at each winner's slot, merge branchlessly, scatter back
+    gi = jnp.minimum(w_slot, c - 1)
+    g_lo = aged_lo[gi]
+    g_hi = aged_hi[gi]
+    g_sx = aged_sum[gi, 0]
+    g_sy = aged_sum[gi, 1]
+    g_sz = aged_sum[gi, 2]
+    g_cnt = aged_cnt[gi]
+    g_stl = aged_stl[gi]
+    g_live = (g_lo != EMPTY_KEY) & (g_cnt > 0)
+    match = g_live & (g_lo == w_lo) & (g_hi == w_hi)
+    # eviction on a slot collision: the busier voxel wins (count-capped
+    # history vs this frame's sample count — hysteresis favors established
+    # entries, but a hot new voxel still displaces a cold one)
+    adopt = ~g_live | (~match & (w_cnt > g_cnt))
+
+    n_lo = jnp.where(adopt, w_lo, g_lo)
+    n_hi = jnp.where(adopt, w_hi, g_hi)
+    n_sx = jnp.where(adopt, w_sx, g_sx + jnp.where(match, w_sx, 0.0))
+    n_sy = jnp.where(adopt, w_sy, g_sy + jnp.where(match, w_sy, 0.0))
+    n_sz = jnp.where(adopt, w_sz, g_sz + jnp.where(match, w_sz, 0.0))
+    n_cnt = jnp.where(adopt, w_cnt, g_cnt + jnp.where(match, w_cnt, 0.0))
+    n_stl = jnp.where(adopt | match, 0.0, g_stl)
+
+    def put(dst, val):
+        return dst.at[idx].set(val, mode="drop", unique_indices=True,
+                               indices_are_sorted=True)
+
+    f_lo = put(aged_lo, n_lo)
+    f_hi = put(aged_hi, n_hi)
+    f_sum = put(aged_sum, jnp.stack([n_sx, n_sy, n_sz], axis=-1))
+    f_cnt = put(aged_cnt, n_cnt)
+    f_stl = put(aged_stl, n_stl)
+
+    mean = f_sum / jnp.maximum(f_cnt, 1e-8)[:, None]
+    live = (f_lo != EMPTY_KEY) & (f_cnt > 0)
+    mean = jnp.where(live[:, None], mean, 0.0)
+    f_cnt = jnp.minimum(f_cnt, settings.accumulation_frames) * live
+
+    return SHARCState(
+        key_lo=jnp.where(live, f_lo, EMPTY_KEY),
+        key_hi=jnp.where(live, f_hi, EMPTY_KEY),
+        radiance=mean,
+        count=f_cnt,
+        stale=f_stl * live,
+        qdata=_pack_qdata(f_lo, f_hi, mean, live),
+    )
+
+
+def resolve_sorted(state: SHARCState, new_keys: VoxelKey,
+                   new_radiance: Vec3, new_valid: jnp.ndarray,
+                   settings: SHARCSettings) -> SHARCState:
+    """Round-3 sort-only resolve kept for A/B: two (C+P)-row multi-operand
+    sorts; the SHARC.hlsl resolve/compaction pair in TPU form."""
     c = state.key_lo.shape[0]
     cmask = _U32(c - 1)
 

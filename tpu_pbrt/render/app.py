@@ -45,7 +45,7 @@ from .camera import Camera, CameraData, generate_rays
 
 
 # module-level so deployments with memory/time budget can raise it
-SHARC_CAPACITY_CAP = 20
+SHARC_CAPACITY_CAP = 22
 
 
 class FrameHistory(NamedTuple):
@@ -78,10 +78,10 @@ class App:
         tex, tex_srgb = (self.textures if self.textures else (None, None))
         self.tracer = tracer_mod.build_for_scene(
             self.scene, textures=tex, texture_srgb=tex_srgb)
-        # SHARC resolve is a sort over (capacity + update-pool) keys per
-        # frame; above 2^SHARC_CAPACITY_CAP the sort dominates the frame on
-        # v5e, so larger requests are clamped — loudly, not silently
-        # (reference default is 2^22, Source/SHARC.ixx:48-57).
+        # the update-pool-only resolve (passes/sharc.py) costs O(P log P)
+        # sorts + one row scatter regardless of capacity, so the reference
+        # default 2^22 (Source/SHARC.ixx:48-57) ships as-is; above the cap
+        # only table memory grows (~45 B/entry), clamped loudly.
         if s.raytracing.sharc_capacity_log2 > SHARC_CAPACITY_CAP:
             import warnings
 
@@ -108,12 +108,17 @@ class App:
             spatial_bias_correction=(
                 s.raytracing.restir_spatial_bias_correction),
         )
+        # ReGIR_RIS is the reference's default local-light mode
+        # (MyAppData.h:212); the grid build is skipped when the scene has
+        # no local lights — there is nothing to presample and the initial
+        # sampler's power-CDF fallback is exact in that case.
+        has_local_lights = int(np.asarray(self.scene.lights.count)) > 0
         self.regir_settings = (regir_mod.ReGIRSettings(
             cells_per_axis=s.raytracing.regir_cells_per_axis,
             lights_per_cell=s.raytracing.regir_lights_per_cell,
             build_candidates=s.raytracing.regir_build_candidates,
             cell_size=s.raytracing.regir_cell_size,
-        ) if s.raytracing.regir else None)
+        ) if (s.raytracing.regir and has_local_lights) else None)
         self.pt_settings = pathtrace.PathTraceSettings(
             bounces=s.raytracing.bounces,
             samples_per_pixel=s.raytracing.samples_per_pixel,

@@ -47,12 +47,11 @@ class RaytracingSettings:
     restir_temporal_bias_correction: str = "basic"
     restir_spatial_bias_correction: str = "basic"
     # ReGIR world-space presampled light grid (RTXDI ReGIR block;
-    # reference: Shaders/ReGIRPresampling.hlsl). DEVIATION: the reference
-    # ships LocalLightSamplingMode=ReGIR_RIS by default
-    # (MyAppData.h:209-214); here the grid defaults OFF because its
-    # per-frame build costs more than it returns below ~dozens of lights
-    # (measured; the many-light bench enables it). Cell size world units.
-    regir: bool = False
+    # reference: Shaders/ReGIRPresampling.hlsl). Defaults ON for parity
+    # with the reference's LocalLightSamplingMode=ReGIR_RIS default
+    # (MyAppData.h:209-214); the App skips the grid build on scenes with
+    # no local lights (nothing to presample). Cell size in world units.
+    regir: bool = True
     regir_cells_per_axis: int = 16
     regir_lights_per_cell: int = 16
     regir_build_candidates: int = 8
