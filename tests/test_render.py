@@ -120,6 +120,59 @@ def test_fetch_rows_pallas_matches_gather():
                                    rtol=0, atol=0)
 
 
+def test_fetch_bounce_fused_matches_unfused():
+    """The fused Pallas bounce-fetch (dot + unpack in-kernel) must
+    reproduce the XLA fetch_bounce path on every ShadeAttrs field it
+    populates (interpret mode on CPU; real scene table, hit-consistent
+    and arbitrary slots)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pbrt.models.cornell import make_cornell_box
+    from tpu_pbrt.ops import shade_table as st
+    from tpu_pbrt.ops import tracer as tracer_mod
+    from tpu_pbrt.ops.vec import Vec3
+
+    scene = make_cornell_box()
+    trc = tracer_mod.build_for_scene(scene)
+    table = trc.shade_table
+    tp = table.shape[0]
+    rng = np.random.default_rng(5)
+    r = 700
+    slot = jnp.asarray(rng.integers(0, tp, r, dtype=np.int32))
+    o = Vec3(*(jnp.asarray(rng.normal(size=r) * 200 + 275, jnp.float32)
+               for _ in range(3)))
+    dn = rng.normal(size=(3, r))
+    dn /= np.linalg.norm(dn, axis=0, keepdims=True)
+    d = Vec3(*(jnp.asarray(c, jnp.float32) for c in dn))
+
+    want = st.fetch_bounce(table, slot, o, d)
+    sub = table[:, jnp.asarray(st._BOUNCE_COLS, jnp.int32)]
+    got = st._fetch_bounce_fused(sub, slot, o, d, interpret=True)
+
+    for name in ("position", "flat_normal", "shading_normal"):
+        for ax in "xyz":
+            np.testing.assert_allclose(
+                np.asarray(getattr(getattr(got, name), ax)),
+                np.asarray(getattr(getattr(want, name), ax)),
+                rtol=0, atol=2e-5, err_msg=f"{name}.{ax}")
+    for name in ("base_color", "emission"):
+        for ax in "xyz":
+            np.testing.assert_array_equal(
+                np.asarray(getattr(getattr(got, name), ax)),
+                np.asarray(getattr(getattr(want, name), ax)),
+                err_msg=f"{name}.{ax}")
+    for name in ("metallic", "roughness", "ior", "transmission",
+                 "light_pdf_area", "tri"):
+        np.testing.assert_array_equal(np.asarray(getattr(got, name)),
+                                      np.asarray(getattr(want, name)),
+                                      err_msg=name)
+    np.testing.assert_allclose(np.asarray(got.light_cos),
+                               np.asarray(want.light_cos),
+                               rtol=0, atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(got.is_front_face),
+                                  np.asarray(want.is_front_face))
+
+
 def test_fetch_rows_blocked_nonmultiple_sizes():
     import numpy as np
     import jax.numpy as jnp

@@ -79,6 +79,14 @@ def main():
     # plain row gather baseline (the thing one-hot beat 7x in round 1)
     variants["row_gather"] = lambda s: sub[s].T
 
+    # round-4 fused dot+unpack kernel (returns the post-unpack block, so
+    # err columns don't apply — time only)
+    from tpu_pbrt.ops.vec import Vec3 as _V3
+    _o = _V3(*(jnp.full((R,), 275.0) for _ in range(3)))
+    _d = _V3(jnp.zeros((R,)), jnp.zeros((R,)), jnp.ones((R,)))
+    variants["fused_unpack"] = lambda s: st._fetch_bounce_fused_pallas(
+        sub, s, _o, _d)
+
     ref = None
     for name, f in variants.items():
         fn = jax.jit(f)

@@ -68,9 +68,12 @@ def render_variant(scene_kwargs, frames):
     from tpu_pbrt.render.app import App
     from tpu_pbrt.utils.config import GraphicsSettings
 
+    scene_kwargs = dict(scene_kwargs)
+    settings_kwargs = scene_kwargs.pop("_settings", {})
     scene = make_golden_scene(**scene_kwargs)
     sig = tuple((leaf.shape, str(leaf.dtype))
                 for leaf in jax.tree_util.tree_leaves(scene))
+    sig = (sig, tuple(sorted(settings_kwargs.items())))
     app = _APPS.get(sig)
     if app is None:
         s = GraphicsSettings()
@@ -79,6 +82,12 @@ def render_variant(scene_kwargs, frames):
         s.post_processing.bloom = False
         # quality protocol: full internal res (see golden_ssim)
         s.post_processing.super_resolution_scale = 1.0
+        for k, v in settings_kwargs.items():
+            obj = s
+            parts = k.split(".")
+            for p in parts[:-1]:
+                obj = getattr(obj, p)
+            setattr(obj, parts[-1], v)
         s.check()
         app = App(scene, make_golden_camera(W, H), s)
         _APPS[sig] = app
@@ -168,6 +177,22 @@ def main():
                         "back_tint": (1.05, 1.07, 1.08)}),
         ("floor-back2", {"floor_tint": (0.90, 0.90, 1.0),
                          "back_tint": (1.08, 1.10, 1.12)}),
+        # Round-4: the 0.7268 app-mode frame's walls carry low-frequency
+        # mottle the 2-iteration à-trous cannot reach (reference
+        # NRD-class denoisers run ~5 levels) — rank deeper chains, plus
+        # coarser SHARC voxels (smoother GI) and the combo with the
+        # mirror-bunny candidate
+        ("dn4", {"_settings": {"post_processing.denoiser_iterations": 4}}),
+        ("dn5", {"_settings": {"post_processing.denoiser_iterations": 5}}),
+        ("sharc-coarse", {"_settings": {"raytracing.sharc_scene_scale":
+                                        25.0}}),
+        ("dn5-mirror", {"bunny_roughness": 0.25,
+                        "_settings": {
+                            "post_processing.denoiser_iterations": 5}}),
+        ("dn5-all", {"bunny_roughness": 0.25, "ball_roughness": 0.3,
+                     "_settings": {
+                         "post_processing.denoiser_iterations": 5,
+                         "raytracing.sharc_scene_scale": 25.0}}),
     ]
     if len(sys.argv) > 3:
         keep = set(sys.argv[3].split(","))

@@ -86,15 +86,18 @@ def main():
     sa = tuple(np.asarray(x) for x in sa)
     n_live = int(sa[8])
 
-    for u1 in (8, 12, 16, 24):
-        def f_sweep(ox, oy, oz, dx, dy, dz, t0, t1, u1=u1):
+    for u1, ks_extra in ((8, 2), (12, 2), (16, 2), (24, 2),
+                         (16, 4), (16, 8), (24, 6), (32, 8)):
+        def f_sweep(ox, oy, oz, dx, dy, dz, t0, t1, u1=u1, ke=ks_extra):
             return tc._sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1,
-                             u1, False, n_live=jnp.int32(n_live))[3]
+                             u1, False, n_live=jnp.int32(n_live),
+                             ks_extra=ke)[3]
 
         js = jax.jit(f_sweep)
         n_unc = int(np.asarray(js(*sa[:8])).sum())
         t_ms = slope_time(js, *sa[:8])
-        print(f"sweep1 U1={u1}: {t_ms:.1f} ms  n_unc={n_unc}", flush=True)
+        print(f"sweep1 U1={u1} ks+{ks_extra}: {t_ms:.1f} ms  "
+              f"n_unc={n_unc}", flush=True)
 
     # --- end to end
     def f_full(ox, oy, oz, dx, dy, dz, t0, t1):

@@ -275,6 +275,157 @@ def _fetch_rows_pallas(table: jnp.ndarray, slot: jnp.ndarray,
     return out[:c, :r]
 
 
+# fused bounce-fetch: dot + unpack math in ONE Pallas kernel (staged —
+# default set by frame-level A/B, like FETCH_PALLAS above). The round-4
+# profile localized the PT frame's biggest slice in the unpack AROUND the
+# fetch dot, not the dot: with the Pallas row fetch on, `fetch/pallas_call`
+# is ~2 ms/frame while the fetch-scope slice fusions (MT re-derivation,
+# normal interpolation + normalizes over the materialized (30, R) block)
+# still cost ~12 ms/frame at 1080p. Fusing the unpack into the kernel
+# removes the (30, R) HBM round-trip entirely: traffic drops to the
+# slot/ray reads plus one (24, R) post-unpack output.
+FETCH_FUSED = _os.environ.get("TPU_PBRT_FETCH_FUSED", "1") == "1"
+
+# fused-output row layout ((FB_ROWS, R) f32, post-unpack values)
+_FB_POS = 0       # 3: hit position
+_FB_FLAT = 3      # 3: oriented flat normal
+_FB_SHAD = 6      # 3: front-resolved shading normal
+_FB_LCOS = 9      # emitting-side cosine (pre-orientation flat vs -ray)
+_FB_FRONT = 10    # 1.0 = front face
+_FB_BASE = 11     # 3
+_FB_EMIT = 14     # 3
+_FB_METAL = 17
+_FB_ROUGH = 18
+_FB_IOR = 19
+_FB_TRANS = 20
+_FB_LPDF = 21
+_FB_TRI = 22      # f32-carried triangle id
+FB_ROWS = 24
+
+# _BOUNCE_COLS positions inside the untextured sub-table (see below)
+_SB_P0, _SB_E1, _SB_E2 = 0, 3, 6
+_SB_N0 = 9
+_SB_EMIT, _SB_BASE = 18, 21
+_SB_METAL, _SB_ROUGH, _SB_IOR, _SB_TRANS, _SB_LPDF, _SB_TRI = (
+    24, 25, 26, 27, 28, 29)
+
+
+def _fetch_bounce_fused_pallas(sub: jnp.ndarray, slot: jnp.ndarray,
+                               o: Vec3, d: Vec3,
+                               interpret: bool | None = None) -> jnp.ndarray:
+    """(T, 30) untextured bounce sub-table + slots + rays -> (FB_ROWS, R)
+    post-unpack block: one one-hot MXU row fetch (exact, HIGHEST) plus the
+    whole `fetch_bounce` unpack (Möller–Trumbore barycentric re-derivation,
+    flat/shading normal construction, front-face resolution) on VMEM
+    operands."""
+    from jax.experimental import pallas as pl
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    tp, c = sub.shape
+    r = slot.shape[0]
+    t_pad = -(-max(tp, 128) // 128) * 128
+    c_pad = -(-c // 8) * 8
+    tab_t = jnp.zeros((c_pad, t_pad), jnp.float32).at[:c, :tp].set(
+        sub.astype(jnp.float32).T)
+    tile = min(8192, max(128, ((1 << 20) // t_pad) // 128 * 128))
+    r_pad = -(-r // tile) * tile
+
+    def padlane(a):
+        return (jnp.concatenate([a, jnp.zeros((r_pad - r,), a.dtype)])
+                if r_pad != r else a)
+
+    slot_p = padlane(slot)
+    lanes = [padlane(x) for x in (o.x, o.y, o.z, d.x, d.y, d.z)]
+
+    def kern(slot_ref, ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref,
+             tab_ref, out_ref):
+        s = slot_ref[:, :]                                   # (1, tile)
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (t_pad, tile), 0)
+        oh = (iota_t == s).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            tab_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)             # (C, tile)
+
+        def g(i):
+            return rows[i:i + 1, :]                          # (1, tile)
+
+        ox, oy, oz = ox_ref[:, :], oy_ref[:, :], oz_ref[:, :]
+        dx, dy, dz = dx_ref[:, :], dy_ref[:, :], dz_ref[:, :]
+        p0x, p0y, p0z = g(_SB_P0), g(_SB_P0 + 1), g(_SB_P0 + 2)
+        e1x, e1y, e1z = g(_SB_E1), g(_SB_E1 + 1), g(_SB_E1 + 2)
+        e2x, e2y, e2z = g(_SB_E2), g(_SB_E2 + 1), g(_SB_E2 + 2)
+
+        # Möller–Trumbore barycentrics (ops/intersect.py semantics)
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
+        inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-12, det, 1.0)
+        tvx, tvy, tvz = ox - p0x, oy - p0y, oz - p0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        u = jnp.clip(u, 0.0, 1.0)
+        v = jnp.clip(v, 0.0, 1.0)
+        w = 1.0 - u - v
+
+        out_ref[_FB_POS:_FB_POS + 3, :] = jnp.concatenate(
+            [p0x + e1x * u + e2x * v,
+             p0y + e1y * u + e2y * v,
+             p0z + e1z * u + e2z * v], axis=0)
+
+        fx = e1y * e2z - e1z * e2y
+        fy = e1z * e2x - e1x * e2z
+        fz = e1x * e2y - e1y * e2x
+        finv = jax.lax.rsqrt(jnp.maximum(fx * fx + fy * fy + fz * fz,
+                                         1e-20))
+        fx, fy, fz = fx * finv, fy * finv, fz * finv
+
+        sx = g(_SB_N0) * w + g(_SB_N0 + 3) * u + g(_SB_N0 + 6) * v
+        sy = (g(_SB_N0 + 1) * w + g(_SB_N0 + 4) * u + g(_SB_N0 + 7) * v)
+        sz = (g(_SB_N0 + 2) * w + g(_SB_N0 + 5) * u + g(_SB_N0 + 8) * v)
+        sinv = jax.lax.rsqrt(jnp.maximum(sx * sx + sy * sy + sz * sz,
+                                         1e-20))
+        sx, sy, sz = sx * sinv, sy * sinv, sz * sinv
+
+        lcos = -(fx * dx + fy * dy + fz * dz)
+        flip = (fx * sx + fy * sy + fz * sz) < 0.0
+        fx = jnp.where(flip, -fx, fx)
+        fy = jnp.where(flip, -fy, fy)
+        fz = jnp.where(flip, -fz, fz)
+        front = (fx * dx + fy * dy + fz * dz) < 0.0
+        sx = jnp.where(front, sx, -sx)
+        sy = jnp.where(front, sy, -sy)
+        sz = jnp.where(front, sz, -sz)
+
+        out_ref[_FB_FLAT:_FB_FLAT + 3, :] = jnp.concatenate(
+            [fx, fy, fz], axis=0)
+        out_ref[_FB_SHAD:_FB_SHAD + 3, :] = jnp.concatenate(
+            [sx, sy, sz], axis=0)
+        out_ref[_FB_LCOS:_FB_LCOS + 1, :] = lcos
+        out_ref[_FB_FRONT:_FB_FRONT + 1, :] = front.astype(jnp.float32)
+        out_ref[_FB_BASE:_FB_BASE + 3, :] = rows[_SB_BASE:_SB_BASE + 3, :]
+        out_ref[_FB_EMIT:_FB_EMIT + 3, :] = rows[_SB_EMIT:_SB_EMIT + 3, :]
+        out_ref[_FB_METAL:_FB_TRI + 1, :] = rows[_SB_METAL:_SB_TRI + 1, :]
+        out_ref[_FB_TRI + 1:FB_ROWS, :] = jnp.zeros(
+            (FB_ROWS - _FB_TRI - 1, tile), jnp.float32)
+
+    out = pl.pallas_call(
+        kern,
+        grid=(r_pad // tile,),
+        in_specs=[pl.BlockSpec((1, tile), lambda i: (0, i))] * 7
+        + [pl.BlockSpec((c_pad, t_pad), lambda i: (0, 0))],
+        out_specs=pl.BlockSpec((FB_ROWS, tile), lambda i: (0, i)),
+        out_shape=jax.ShapeDtypeStruct((FB_ROWS, r_pad), jnp.float32),
+        interpret=interpret,
+    )(slot_p[None, :], *(x[None, :] for x in lanes), tab_t)
+    return out[:, :r]
+
+
 def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray
                         ) -> jnp.ndarray:
     """Big-table row fetch as MXU matmuls: lanes are processed in chunks
@@ -484,6 +635,9 @@ def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     textured = atlas is not None
     cols = _BOUNCE_COLS_TEX if textured else _BOUNCE_COLS
     sub = table[:, jnp.asarray(cols, jnp.int32)]   # (T, C') — tiny gather
+    if (not textured and FETCH_FUSED and table.shape[0] <= ONEHOT_MAX_ROWS
+            and jax.default_backend() == "tpu"):
+        return _fetch_bounce_fused(sub, slot, ray_origin, ray_dir)
     row = _fetch_rows(sub, slot)                   # (C', R)
     pos_of = {c: i for i, c in enumerate(cols)}
 
@@ -558,6 +712,49 @@ def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     if textured:
         attrs = apply_textures(atlas, attrs, footprint=footprint)
     return attrs
+
+
+def _fetch_bounce_fused(sub: jnp.ndarray, slot: jnp.ndarray,
+                        ray_origin: Vec3, ray_dir: Vec3,
+                        interpret: bool | None = None) -> ShadeAttrs:
+    """`fetch_bounce`'s untextured path through the fused Pallas kernel:
+    identical ShadeAttrs contract, built from the (FB_ROWS, R) post-unpack
+    block (dummy tangent/uv/tex fields, as in the XLA path)."""
+    out = _fetch_bounce_fused_pallas(sub, slot, ray_origin, ray_dir,
+                                     interpret=interpret)
+
+    def v3(i):
+        return Vec3(out[i], out[i + 1], out[i + 2])
+
+    r = slot.shape[0]
+    zeros = jnp.zeros((r,))
+    neg1 = jnp.full((r,), -1, jnp.int32)
+    return ShadeAttrs(
+        position=v3(_FB_POS),
+        prev_position=v3(_FB_POS),
+        flat_normal=v3(_FB_FLAT),
+        shading_normal=v3(_FB_SHAD),
+        tangent=Vec3(jnp.ones((r,)), zeros, zeros),
+        uv_u=zeros,
+        uv_v=zeros,
+        is_front_face=out[_FB_FRONT] > 0.5,
+        material=neg1,
+        object_id=neg1,
+        tri=out[_FB_TRI].astype(jnp.int32),
+        base_color=v3(_FB_BASE),
+        emission=v3(_FB_EMIT),
+        metallic=out[_FB_METAL],
+        roughness=out[_FB_ROUGH],
+        ior=out[_FB_IOR],
+        transmission=out[_FB_TRANS],
+        light_pdf_area=out[_FB_LPDF],
+        light_cos=out[_FB_LCOS],
+        tex_base=neg1,
+        tex_emit=neg1,
+        tex_mr=neg1,
+        tex_nrm=neg1,
+        uv_density=zeros,
+    )
 
 
 _ALPHA_COLS = (

@@ -58,7 +58,7 @@ from jax import lax
 
 from .bvh import morton3d
 from .traverse import Hit
-from .traverse_dense import _mt_chunk_T
+from .traverse_dense import _mt_chunk_T  # noqa: F401 (re-exported for diag tools)
 from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
@@ -69,6 +69,7 @@ U1 = 16             # pass-1 blocks per chunk (A/B: 12 -> 16 halves unc)
 U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
+KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -88,7 +89,17 @@ class CulledTris(NamedTuple):
 
 
 def _pack_table(sv0, sv1, sv2, sid, sop):
-    """(B, BLOCK*COLS) rows: per tri [v0, e1, e2, id, opacity, 0]."""
+    """(B, COLS*BLOCK) rows, COMPONENT-MAJOR within each block: column
+    group c holds that component for all BLOCK triangles —
+    [v0x×B | v0y×B | v0z×B | e1x×B | … | id×B | op×B | pad×B].
+
+    Why component-major: the per-chunk sweep consumes the fetched rows as
+    SoA vectors. The original tri-major layout ([v0 e1 e2 id op] per tri)
+    forced the consumer through a (k*BLOCK, 12) reshape with the 12
+    components on the MINOR axis — the measured ~90× anti-pattern (see
+    .claude verify notes / ops/shade_table.py) that made pass-1 sweeps run
+    at ~7% of the dense sweep's MT rate (r4 diag: 880 ms per 2M-ray
+    sweep). Component-major keeps every post-fetch slice contiguous."""
     xp = jnp if isinstance(sv0, jnp.ndarray) else np
     tp = sv0.shape[0]
     nb = tp // BLOCK
@@ -96,8 +107,55 @@ def _pack_table(sv0, sv1, sv2, sid, sop):
         [sv0, sv1 - sv0, sv2 - sv0,
          sid.astype(xp.float32)[:, None],
          sop.astype(xp.float32)[:, None],
-         xp.zeros((tp, 1), xp.float32)], axis=1)
-    return cols.reshape(nb, BLOCK * COLS)
+         xp.zeros((tp, 1), xp.float32)], axis=1)      # (tp, COLS) tri-major
+    return (cols.reshape(nb, BLOCK, COLS)
+            .transpose(0, 2, 1)
+            .reshape(nb, COLS * BLOCK))
+
+
+def _table_comps(fetched):
+    """(..., k, COLS*BLOCK) fetched block rows -> tuple of COLS component
+    vectors, each (..., k*BLOCK): the block axis merges into the triangle
+    axis (works under vmap: leading dims preserved)."""
+    lead = fetched.shape[:-2]
+    k = fetched.shape[-2]
+    parts = fetched.reshape(lead + (k, COLS, BLOCK))
+    return tuple(parts[..., c, :].reshape(lead + (k * BLOCK,))
+                 for c in range(COLS))
+
+
+def _mt_comp_T(o: Vec3, d: Vec3, v0x, v0y, v0z, e1x, e1y, e1z,
+               e2x, e2y, e2z, t_min, t_max):
+    """Transposed Möller–Trumbore on COMPONENT vectors: C triangles as
+    (C,) SoA components (broadcast to sublanes) against R rays on lanes.
+    Returns t (C, R), inf where missed — the SoA twin of
+    traverse_dense._mt_chunk_T without the (C, 3) minor-axis slices."""
+    ox, oy, oz = o.x[None, :], o.y[None, :], o.z[None, :]
+    dx, dy, dz = d.x[None, :], d.y[None, :], d.z[None, :]
+    v0x, v0y, v0z = v0x[:, None], v0y[:, None], v0z[:, None]
+    e1x, e1y, e1z = e1x[:, None], e1y[:, None], e1z[:, None]
+    e2x, e2y, e2z = e2x[:, None], e2y[:, None], e2z[:, None]
+
+    pvx = dy * e2z - dz * e2y
+    pvy = dz * e2x - dx * e2z
+    pvz = dx * e2y - dy * e2x
+    det = e1x * pvx + e1y * pvy + e1z * pvz
+    valid = jnp.abs(det) > 1e-12
+    inv = 1.0 / jnp.where(valid, det, 1.0)
+    tvx = ox - v0x
+    tvy = oy - v0y
+    tvz = oz - v0z
+    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv
+    qvx = tvy * e1z - tvz * e1y
+    qvy = tvz * e1x - tvx * e1z
+    qvz = tvx * e1y - tvy * e1x
+    v = (dx * qvx + dy * qvy + dz * qvz) * inv
+    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv
+    hit = (
+        valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min[None, :]) & (t < t_max[None, :])
+    )
+    return jnp.where(hit, t, INF)
 
 
 def _super_bounds(bmin, bmax):
@@ -200,7 +258,7 @@ def refit(tris: CulledTris, v0, v1, v2) -> CulledTris:
     sv1 = jnp.where(valid, jnp.asarray(v1, jnp.float32)[tid], 0.0)
     sv2 = jnp.where(valid, jnp.asarray(v2, jnp.float32)[tid], 0.0)
     nb = tris.block_min.shape[0]
-    op = tris.table.reshape(nb * BLOCK, COLS)[:, 10]
+    op = _table_comps(tris.table)[10].reshape(-1)
     tri_min = jnp.minimum(jnp.minimum(sv0, sv1), sv2).reshape(nb, BLOCK, 3)
     tri_max = jnp.maximum(jnp.maximum(sv0, sv1), sv2).reshape(nb, BLOCK, 3)
     v3 = valid.reshape(nb, BLOCK, 1)
@@ -277,7 +335,7 @@ def _touched(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1):
 
 
 def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
-                 any_mode: bool):
+                 any_mode: bool, ks_extra: int | None = None):
     """One chunk (CHUNK rays) against its top-`u_blocks` blocks, selected
     through a SUPERBLOCK pre-level: slab-test the S supers, expand the
     top ceil(u/SUPER)+2 supers' child-block bounds with a one-hot dot,
@@ -291,7 +349,9 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
     table = tris.table
     nb = tris.block_min.shape[0]
     ns = tris.super_min.shape[0]
-    ks = min((u_blocks + SUPER - 1) // SUPER + 2, ns)
+    if ks_extra is None:
+        ks_extra = KS_EXTRA
+    ks = min((u_blocks + SUPER - 1) // SUPER + ks_extra, ns)
 
     smask, slo = _slab_mask(o, d, t0, t1, tris.super_min,
                             tris.super_max)              # (S, CHUNK)
@@ -326,16 +386,13 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
     fetched = lax.dot_general(
         onehot.astype(jnp.float32), table,
         (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST)                 # (k, BLOCK*COLS)
-    rows = fetched.reshape(k * BLOCK, COLS)
-    cv0 = rows[:, 0:3]
-    ce1 = rows[:, 3:6]
-    ce2 = rows[:, 6:9]
-    ids = rows[:, 9]
-    op = rows[:, 10]
+        precision=lax.Precision.HIGHEST)                 # (k, COLS*BLOCK)
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+     ids, op, _) = _table_comps(fetched)                 # (k*BLOCK,) SoA
     # padded/degenerate rows (id < 0 or all-zero fetch) never hit: e1=e2=0
     # makes det 0 -> invalid in the MT kernel.
-    t, _, _ = _mt_chunk_T(o, d, cv0, ce1, ce2, t0, t1)   # (k*BLOCK, CHUNK)
+    t = _mt_comp_T(o, d, v0x, v0y, v0z, e1x, e1y, e1z,
+                   e2x, e2y, e2z, t0, t1)                # (k*BLOCK, CHUNK)
     live_row = (ids >= 0.0)[:, None]
     t = jnp.where(live_row, t, INF)
 
@@ -370,7 +427,7 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
 
 
 def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
-           any_mode: bool, n_live=None):
+           any_mode: bool, n_live=None, ks_extra: int | None = None):
     """Batched chunk sweep over a whole (padded) pool laid out row-major
     as chunks of CHUNK rays. Returns flat (key, id, occ, uncovered).
 
@@ -391,7 +448,8 @@ def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
         def one(c):
             o = Vec3(c[0], c[1], c[2])
             d = Vec3(c[3], c[4], c[5])
-            return _chunk_query(tris, o, d, c[6], c[7], u_blocks, any_mode)
+            return _chunk_query(tris, o, d, c[6], c[7], u_blocks, any_mode,
+                                ks_extra=ks_extra)
 
         return jax.vmap(one)(jnp.stack(list(args), axis=1))
 
@@ -435,8 +493,8 @@ def _dense_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
     pool/CHUNK full-table chunk sweeps, so keep the pool ~rp/32.
     `in_play` flags let idle groups skip, so the pool can be the full
     (padded) ray array when only a handful of groups still need it."""
-    rows = tris.table.reshape(-1, COLS)
-    ids = rows[:, 9]
+    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+     ids, op, _) = _table_comps(tris.table)
     live = (ids >= 0.0)[:, None]
     n = ox.shape[0]
     nc = n // CHUNK
@@ -451,12 +509,12 @@ def _dense_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
         def one(c):
             o = Vec3(c[0], c[1], c[2])
             d = Vec3(c[3], c[4], c[5])
-            t, _, _ = _mt_chunk_T(o, d, rows[:, 0:3], rows[:, 3:6],
-                                  rows[:, 6:9], c[6], c[7])
+            t = _mt_comp_T(o, d, v0x, v0y, v0z, e1x, e1y, e1z,
+                           e2x, e2y, e2z, c[6], c[7])
             t = jnp.where(live, t, INF)
             if any_mode:
                 occ = jnp.any(jnp.isfinite(t)
-                              & (rows[:, 10][:, None] >= 0.5), axis=0)
+                              & (op[:, None] >= 0.5), axis=0)
                 return (jnp.full((CHUNK,), _UMAX), jnp.zeros((CHUNK,)),
                         occ)
             tm = jnp.min(t, axis=0)
@@ -497,18 +555,18 @@ def _dense_all(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
     nb = tris.block_min.shape[0]
     o = Vec3(ox, oy, oz)
     d = Vec3(dx, dy, dz)
-    rows_all = tris.table.reshape(nb * BLOCK, COLS)
 
     def body(bi, carry):
         best, rid, occ = carry
-        rows = lax.dynamic_slice(rows_all, (bi * BLOCK, 0), (BLOCK, COLS))
-        ids = rows[:, 9]
-        t, _, _ = _mt_chunk_T(o, d, rows[:, 0:3], rows[:, 3:6],
-                              rows[:, 6:9], t0,
-                              jnp.where(occ, -INF, t1) if any_mode else t1)
+        row = lax.dynamic_slice(tris.table, (bi, 0), (1, COLS * BLOCK))
+        (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
+         ids, op, _) = _table_comps(row)
+        t = _mt_comp_T(o, d, v0x, v0y, v0z, e1x, e1y, e1z,
+                       e2x, e2y, e2z, t0,
+                       jnp.where(occ, -INF, t1) if any_mode else t1)
         t = jnp.where((ids >= 0.0)[:, None], t, INF)
         if any_mode:
-            occ = occ | jnp.any(jnp.isfinite(t) & (rows[:, 10][:, None] >= 0.5),
+            occ = occ | jnp.any(jnp.isfinite(t) & (op[:, None] >= 0.5),
                                 axis=0)
             return best, rid, occ
         row_iota = lax.broadcasted_iota(jnp.uint32, t.shape, 0)
