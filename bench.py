@@ -34,7 +34,8 @@ def _ensure_cache():
         pass  # older jax without these config names
 
 
-def bench_app(width=1920, height=1080, quiet=False, scale=None):
+def bench_app(width=1920, height=1080, quiet=False, scale=None,
+              regir=None, sharc_log2=None):
     """The flagship BASELINE metric: 1080p FPS at 1 SPP with the FULL frame
     graph — ReSTIR DI + SHARC + denoise + TAA + bloom + tonemap
     (reference golden config: README.md:59-64; metric def: BASELINE.json).
@@ -53,6 +54,15 @@ def bench_app(width=1920, height=1080, quiet=False, scale=None):
     s.width, s.height = width, height
     if scale is not None:
         s.post_processing.super_resolution_scale = scale
+    # A/B toggles for defaults-regression hunts (env for queue scripts)
+    regir = (os.environ.get("BENCH_REGIR", "") or None) if regir is None \
+        else regir
+    if regir is not None:
+        s.raytracing.regir = bool(int(regir))
+    sharc_log2 = (os.environ.get("BENCH_SHARC_LOG2", "") or None) \
+        if sharc_log2 is None else sharc_log2
+    if sharc_log2 is not None:
+        s.raytracing.sharc_capacity_log2 = int(sharc_log2)
     s.raytracing.compaction_schedule = tuple(
         int(x) for x in os.environ.get("BENCH_FOLD", "4,5,6").split(",") if x)
     s.check()
@@ -258,7 +268,8 @@ def bench_manylight(width=1920, height=1080):
     return 1.0 / per_frame, rpf / per_frame / 1e6, rpf
 
 
-def _write_sphere_glb(path: str, textured: bool, shape: str = "sphere"):
+def _write_sphere_glb(path: str, textured: bool, shape: str = "sphere",
+                      nu: int = 160, nv: int = 80):
     """Author the BASELINE #3 bench asset as a REAL .glb (25k-tri mesh,
     PBR material, embedded 256^2 checker base-color PNG when textured) so
     the bench exercises the production glTF pipeline (models/gltf.py),
@@ -278,7 +289,6 @@ def _write_sphere_glb(path: str, textured: bool, shape: str = "sphere"):
 
     import numpy as _np
 
-    nu, nv = 160, 80
     theta_max = _np.pi if shape == "sphere" else 0.82 * _np.pi
     theta = _np.linspace(0, theta_max, nv)
     phi = _np.linspace(0, 2 * _np.pi, nu, endpoint=False)
@@ -399,7 +409,7 @@ def _write_sphere_glb(path: str, textured: bool, shape: str = "sphere"):
 
 
 def _sphere_setup(textured: bool, height: int = 1080,
-                  shape: str = "sphere"):
+                  shape: str = "sphere", nu: int = 160, nv: int = 80):
     """25k-tri glTF mesh scene for BASELINE config #3 benches: authors
     a real .glb (sphere or helmet-class hard-surface mesh — see
     _write_sphere_glb) and loads it through the production glTF path.
@@ -412,8 +422,8 @@ def _sphere_setup(textured: bool, height: int = 1080,
     from tpu_pbrt.models.scene import make_environment, make_scene
     from tpu_pbrt.passes.pathtrace import PathTraceSettings
 
-    glb = f"/tmp/tpu_pbrt_bench_{shape}_{int(textured)}.glb"
-    _write_sphere_glb(glb, textured, shape)
+    glb = f"/tmp/tpu_pbrt_bench_{shape}_{nu}x{nv}_{int(textured)}.glb"
+    _write_sphere_glb(glb, textured, shape, nu=nu, nv=nv)
     model = gltf.load(glb)
     geometry = build_geometry(gltf.to_geometry_meshes(model))
     mats = make_table(model.materials)
@@ -576,7 +586,9 @@ def breakdown(config: str = "cornell"):
 
     by_scope = defaultdict(float)
     by_name = defaultdict(float)
+    bytes_scope = defaultdict(float)
     total = 0.0
+    total_bytes = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
             continue
@@ -591,7 +603,26 @@ def breakdown(config: str = "cornell"):
         cat = e.get("args", {}).get("hlo_category", "?")
         by_name[f"{name} [{cat}] {op_path[-70:]}"] += e["dur"]
         total += e["dur"]
+        # roofline: bytes_accessed tells whether a scope is BW-bound
+        # (v5e HBM ~820 GB/s). Stage-local compute wins that do not cut
+        # bytes cannot move a BW-bound frame — measured r4: three fetch
+        # implementations, identical 42 ms frames.
+        try:
+            b = float(e.get("args", {}).get("bytes_accessed", 0) or 0)
+        except (TypeError, ValueError):
+            b = 0.0
+        bytes_scope[sc] += b
+        total_bytes += b
 
+    gbs = total_bytes / 1e9
+    print(f"== roofline: {gbs:.1f} GB accessed / 3 frames = "
+          f"{gbs / 3:.1f} GB/frame -> {gbs * 1e3 / max(total, 1):.0f} GB/s "
+          "achieved (v5e HBM ~820 GB/s) ==", file=sys.stderr)
+    for sc in sorted(bytes_scope, key=lambda s: -bytes_scope[s]):
+        us = by_scope.get(sc, 0.0)
+        bw = bytes_scope[sc] / max(us, 1.0) * 1e-3   # GB/s
+        print(f"  {sc:<16} {bytes_scope[sc] / 1e9:7.2f} GB  "
+              f"@ {bw:6.0f} GB/s", file=sys.stderr)
     print("== by scope (us, 3 frames) ==", file=sys.stderr)
     for k, v in sorted(by_scope.items(), key=lambda kv: -kv[1]):
         print(f"  {k:16s} {v:12.0f}  ({100 * v / max(total, 1):.1f}%)",
@@ -599,7 +630,9 @@ def breakdown(config: str = "cornell"):
     print("== top ops ==", file=sys.stderr)
     for k, v in sorted(by_name.items(), key=lambda kv: -kv[1])[:30]:
         print(f"  {v:12.0f}  {k[:150]}", file=sys.stderr)
-    print(json.dumps({"total_us": total, "by_scope": dict(by_scope)}))
+    print(json.dumps({"total_us": total, "by_scope": dict(by_scope),
+                      "total_bytes": total_bytes,
+                      "bytes_by_scope": dict(bytes_scope)}))
 
 
 def main(config: str = "cornell"):
@@ -651,17 +684,20 @@ def main(config: str = "cornell"):
                                      compaction_schedule=(4, 5, 6))
         label = "Cornell metal/glass 1080p, 4 SPP, 8 bounces"
     elif config in ("sphere", "sphere-textured", "helmet",
-                    "helmet-textured"):
+                    "helmet-textured", "helmet-100k"):
         # BASELINE config #3: 25k-tri glTF mesh via the culled tracer;
         # "helmet" is the Damaged-Helmet-class authored mesh (concave
         # visor, open bottom, non-uniform tri density); "-textured" adds
-        # a mip-mapped base-color map
+        # a mip-mapped base-color map; "helmet-100k" densifies the grid
+        # to 101,760 tris (the >=100k-tri production-path config)
         shape = "helmet" if config.startswith("helmet") else "sphere"
         textured = config.endswith("-textured")
+        nu, nv = (320, 160) if config == "helmet-100k" else (160, 80)
         scene, settings, textures, tex_srgb = _sphere_setup(
-            textured, height, shape)
-        label = (f"25k-tri {'textured ' if textured else ''}{shape} 1080p, "
-                 "1 SPP, 4 bounces (culled tracer"
+            textured, height, shape, nu=nu, nv=nv)
+        ntri = 2 * (nv - 1) * nu
+        label = (f"{ntri // 1000}k-tri {'textured ' if textured else ''}"
+                 f"{shape} 1080p, 1 SPP, 4 bounces (culled tracer"
                  + (" + mip-mapped base color)" if textured else ")"))
     elif config == "cornell-nofold":
         # default config without stochastic pool compaction (A/B reference)
