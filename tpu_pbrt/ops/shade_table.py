@@ -24,6 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from . import sampling
 from .vec import Vec3
 
 # column layout
@@ -883,7 +884,7 @@ def fetch_light(table: jnp.ndarray, cdf: jnp.ndarray, u0, bary_u, bary_v) -> Lig
     the NEE consumer, eliminating the (16, R) HBM materialization + its
     T(1,128) unpack fusion (profiled at ~5 ms/frame at 1080p)."""
     nl = table.shape[0]
-    li = jnp.clip(jnp.searchsorted(cdf, u0), 0, nl - 1).astype(jnp.int32)
+    li = jnp.clip(sampling.draw_cdf(cdf, u0), 0, nl - 1)
     return fetch_light_by_index(table, li, bary_u, bary_v)
 
 

@@ -52,6 +52,8 @@ from functools import partial
 from typing import NamedTuple
 
 import numpy as np
+import os
+
 import jax
 import jax.numpy as jnp
 from jax import lax
@@ -70,6 +72,7 @@ U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
 KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
+PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "1") == "1"
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -335,7 +338,8 @@ def _touched(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1):
 
 
 def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
-                 any_mode: bool, ks_extra: int | None = None):
+                 any_mode: bool, ks_extra: int | None = None,
+                 preselect: bool | None = None):
     """One chunk (CHUNK rays) against its top-`u_blocks` blocks, selected
     through a SUPERBLOCK pre-level: slab-test the S supers, expand the
     top ceil(u/SUPER)+2 supers' child-block bounds with a one-hot dot,
@@ -344,44 +348,63 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
     biggest slice of the pass-1 profile after the MT sweep. Exactness is
     preserved: rays touching an unchosen super or an unchosen candidate
     block are flagged uncovered and re-swept by the cascade.
+    `preselect=False` skips the super pre-level: slab ALL blocks + one
+    top_k (the pre-superblock structure, kept A/B-able — two vmapped
+    top_k + two slab phases vs one wide slab).
     Returns (key (CHUNK,) u32 packed [t | row], id (CHUNK,) f32,
     occluded (CHUNK,) bool, uncovered (CHUNK,) bool)."""
     table = tris.table
     nb = tris.block_min.shape[0]
     ns = tris.super_min.shape[0]
+    if preselect is None:
+        preselect = PRESELECT
     if ks_extra is None:
         ks_extra = KS_EXTRA
-    ks = min((u_blocks + SUPER - 1) // SUPER + ks_extra, ns)
 
-    smask, slo = _slab_mask(o, d, t0, t1, tris.super_min,
-                            tris.super_max)              # (S, CHUNK)
-    scounts = smask.sum(axis=1).astype(jnp.int32)
-    _, s_chosen = lax.top_k(scounts, ks)                 # (ks,)
-    iota_s = lax.broadcasted_iota(jnp.int32, (ks, ns), 1)
-    onehot_s = (iota_s == s_chosen[:, None])
-    super_in = onehot_s.any(axis=0)                      # (S,)
-    cand = lax.dot_general(
-        onehot_s.astype(jnp.float32), tris.super_blocks,
-        (((1,), (0,)), ((), ())),
-        precision=lax.Precision.HIGHEST)                 # (ks, SUPER*8)
-    cand = cand.reshape(ks * SUPER, 8)
-    cvalid = cand[:, 6] > 0.5
-    cblk = (s_chosen[:, None] * SUPER
-            + jnp.arange(SUPER, dtype=jnp.int32)[None, :]).reshape(-1)
+    if preselect:
+        ks = min((u_blocks + SUPER - 1) // SUPER + ks_extra, ns)
+        smask, slo = _slab_mask(o, d, t0, t1, tris.super_min,
+                                tris.super_max)              # (S, CHUNK)
+        scounts = smask.sum(axis=1).astype(jnp.int32)
+        _, s_chosen = lax.top_k(scounts, ks)                 # (ks,)
+        iota_s = lax.broadcasted_iota(jnp.int32, (ks, ns), 1)
+        onehot_s = (iota_s == s_chosen[:, None])
+        super_in = onehot_s.any(axis=0)                      # (S,)
+        cand = lax.dot_general(
+            onehot_s.astype(jnp.float32), tris.super_blocks,
+            (((1,), (0,)), ((), ())),
+            precision=lax.Precision.HIGHEST)                 # (ks, SUPER*8)
+        cand = cand.reshape(ks * SUPER, 8)
+        cvalid = cand[:, 6] > 0.5
+        cblk = (s_chosen[:, None] * SUPER
+                + jnp.arange(SUPER, dtype=jnp.int32)[None, :]).reshape(-1)
 
-    mask, mlo = _slab_mask(o, d, t0, t1, cand[:, 0:3],
-                           cand[:, 3:6])                 # (ks*8, CHUNK)
-    mask = mask & cvalid[:, None]
-    counts = mask.sum(axis=1).astype(jnp.int32)          # (ks*8,)
-    k = min(u_blocks, ks * SUPER, nb)
-    _, ci = lax.top_k(counts, k)                         # (k,) cand index
-    iota_c = lax.broadcasted_iota(jnp.int32, (k, ks * SUPER), 1)
-    onehot_c = (iota_c == ci[:, None])
-    cand_in = onehot_c.any(axis=0)                       # (ks*8,)
-    missed = mask & ~cand_in[:, None]                    # cands not swept
-    chosen = cblk[ci]                                    # (k,) global ids
-    iota_b = lax.broadcasted_iota(jnp.int32, (k, nb), 1)
-    onehot = (iota_b == chosen[:, None])
+        mask, mlo = _slab_mask(o, d, t0, t1, cand[:, 0:3],
+                               cand[:, 3:6])                 # (ks*8, CHUNK)
+        mask = mask & cvalid[:, None]
+        counts = mask.sum(axis=1).astype(jnp.int32)          # (ks*8,)
+        k = min(u_blocks, ks * SUPER, nb)
+        _, ci = lax.top_k(counts, k)                         # (k,) cand index
+        iota_c = lax.broadcasted_iota(jnp.int32, (k, ks * SUPER), 1)
+        onehot_c = (iota_c == ci[:, None])
+        cand_in = onehot_c.any(axis=0)                       # (ks*8,)
+        missed = mask & ~cand_in[:, None]                    # cands not swept
+        chosen = cblk[ci]                                    # (k,) global ids
+        iota_b = lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+        onehot = (iota_b == chosen[:, None])
+    else:
+        mask, mlo = _slab_mask(o, d, t0, t1, tris.block_min,
+                               tris.block_max)               # (B, CHUNK)
+        counts = mask.sum(axis=1).astype(jnp.int32)          # (B,)
+        k = min(u_blocks, nb)
+        _, chosen = lax.top_k(counts, k)                     # (k,) block ids
+        iota_b = lax.broadcasted_iota(jnp.int32, (k, nb), 1)
+        onehot = (iota_b == chosen[:, None])
+        block_in = onehot.any(axis=0)                        # (B,)
+        missed = mask & ~block_in[:, None]
+        smask = jnp.zeros((1, mask.shape[1]), bool)          # no super level
+        slo = jnp.full((1, mask.shape[1]), INF)
+        super_in = jnp.ones((1,), bool)
 
     fetched = lax.dot_general(
         onehot.astype(jnp.float32), table,
@@ -427,7 +450,8 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
 
 
 def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
-           any_mode: bool, n_live=None, ks_extra: int | None = None):
+           any_mode: bool, n_live=None, ks_extra: int | None = None,
+           preselect: bool | None = None, group: int | None = None):
     """Batched chunk sweep over a whole (padded) pool laid out row-major
     as chunks of CHUNK rays. Returns flat (key, id, occ, uncovered).
 
@@ -439,7 +463,7 @@ def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
     skipping at ~44 ms/query fixed cost; a bounded while pays zero)."""
     n = ox.shape[0]
     nc = n // CHUNK
-    g = min(GROUP, nc)
+    g = min(GROUP if group is None else group, nc)
     while nc % g:
         g -= 1
     arrays = (ox, oy, oz, dx, dy, dz, t0, t1)
@@ -449,7 +473,7 @@ def _sweep(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1, u_blocks,
             o = Vec3(c[0], c[1], c[2])
             d = Vec3(c[3], c[4], c[5])
             return _chunk_query(tris, o, d, c[6], c[7], u_blocks, any_mode,
-                                ks_extra=ks_extra)
+                                ks_extra=ks_extra, preselect=preselect)
 
         return jax.vmap(one)(jnp.stack(list(args), axis=1))
 

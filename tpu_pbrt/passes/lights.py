@@ -15,7 +15,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..models.scene import EmissiveLights
-from ..ops import vec
+from ..ops import sampling, vec
 from ..ops.vec import Vec3
 
 
@@ -30,7 +30,7 @@ class LightSample(NamedTuple):
 def sample(lights: EmissiveLights, u3) -> LightSample:
     """Pick a light ~ power, then a uniform point on it. u3: a tuple of
     (R,) uniforms (SoA RNG)."""
-    li = jnp.searchsorted(lights.cdf, u3[0]).astype(jnp.int32)
+    li = sampling.draw_cdf(lights.cdf, u3[0])
     li = jnp.clip(li, 0, lights.power.shape[0] - 1)
 
     s = jnp.sqrt(u3[1])

@@ -30,7 +30,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from ..models.scene import Scene
-from ..ops import rng, vec
+from ..ops import rng, sampling, vec
 from ..ops.vec import Vec3
 
 _LANE_SALT = 0x9E3779B9
@@ -90,7 +90,7 @@ def build(scene: Scene, center, frame,
 
     for k in range(s.build_candidates):
         u4 = rng.uniform4(lanes, jnp.uint32(_LANE_SALT), frame, 9000 + k)
-        li = jnp.searchsorted(scene.lights.cdf, u4[0]).astype(jnp.int32)
+        li = sampling.draw_cdf(scene.lights.cdf, u4[0])
         li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
         p_src = scene.lights.power[li] / total
         lpos = vec.gather(centroid, li)

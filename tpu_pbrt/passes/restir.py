@@ -34,7 +34,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.scene import Scene
-from ..ops import bxdf, rng, vec
+from ..ops import bxdf, rng, sampling, vec
 from ..ops import shade_table as shade_mod
 from ..ops.vec import Vec3
 from .gbuffer import GBuffer
@@ -222,8 +222,7 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
             pdf_area = 1.0 / jnp.maximum(
                 nl * scene.lights.area[li], 1e-20)
         else:
-            li = jnp.searchsorted(scene.lights.cdf, u_cdf).astype(
-                jnp.int32)
+            li = sampling.draw_cdf(scene.lights.cdf, u_cdf)
             li = jnp.clip(li, 0, nl - 1)
             pdf_area = _light_area_pdf(scene, li)
         if regir is not None:
