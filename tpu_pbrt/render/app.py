@@ -22,6 +22,7 @@ per SURVEY.md §2.3: TAA upscale, sharpen, SVGF-class denoiser.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple
 
 import numpy as np
@@ -320,8 +321,11 @@ class App:
                     tracer, scene, uo, ud, ut0, ut1, upx, upy, frame, upd,
                     self.sharc_settings, cam.position)
             with jax.named_scope("sharc_resolve"):
-                sharc_state = sharc_mod.resolve(history.sharc, keys, records,
-                                                valid, self.sharc_settings)
+                resolve_fn = (sharc_mod.resolve_sorted
+                              if os.environ.get("TPU_PBRT_SHARC_RESOLVE")
+                              == "sorted" else sharc_mod.resolve)
+                sharc_state = resolve_fn(history.sharc, keys, records,
+                                         valid, self.sharc_settings)
             rays_total = rays_total + uw * uh * (upd.bounces + 1)
 
         # --- path trace (indirect + env; DI handled above when enabled)
