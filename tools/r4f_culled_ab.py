@@ -45,8 +45,12 @@ def main():
         return ox, oy, oz, dx, dy, dz, st0, st1, jnp.sum(
             touched.astype(jnp.int32))
 
-    sa = tuple(np.asarray(x) for x in jax.jit(sorted_args)())
-    n_live = int(sa[8])
+    # keep args DEVICE-RESIDENT: numpy args re-upload 64 MB per call
+    # through the ~130 MB/s axon tunnel (~0.5 s/call), which poisoned every
+    # r4_culled_diag stage number (they measured the tunnel, not compute)
+    sa_dev = jax.jit(sorted_args)()
+    n_live = int(np.asarray(sa_dev[8]))
+    sa = tuple(jax.device_put(x) for x in sa_dev[:8])
     print(f"n_live={n_live}", flush=True)
 
     variants = [
@@ -81,8 +85,9 @@ def main():
             return hit.t.sum()
 
         jf = jax.jit(f_full)
-        t_ms = slope_time(jf, *((o.x, o.y, o.z, d.x, d.y, d.z, t0, t1)),
-                          iters=4)
+        dev_raw = tuple(jax.device_put(x)
+                        for x in (o.x, o.y, o.z, d.x, d.y, d.z, t0, t1))
+        t_ms = slope_time(jf, *dev_raw, iters=4)
         print(f"closest_hit full pre={int(pre)}: {t_ms:.1f} ms  "
               f"({R / t_ms / 1e3:.1f} Mrays/s)", flush=True)
     print("DONE", flush=True)

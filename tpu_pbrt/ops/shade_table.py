@@ -814,7 +814,8 @@ _LE2 = 6
 _LN = 9
 _LRAD = 12
 _LPDFA = 15
-LIGHT_COLS = 16
+_LAREA = 16
+LIGHT_COLS = 17
 
 
 def build_light_table(lights) -> np.ndarray:
@@ -830,6 +831,7 @@ def build_light_table(lights) -> np.ndarray:
     area = np.asarray(lights.area, np.float32)
     total = max(float(power.sum()), 1e-20)
     out[:, _LPDFA] = power / total / np.maximum(area, 1e-20)
+    out[:, _LAREA] = area
     return out
 
 
@@ -857,6 +859,19 @@ def _light_rows(table: jnp.ndarray, li: jnp.ndarray):
 
         return [col(c) for c in range(LIGHT_COLS)]
     return _fetch_rows(table, li, coherent=False)   # (COLS, R)
+
+
+def fetch_light_pdf_area(table: jnp.ndarray, li: jnp.ndarray):
+    """Area-measure selection pdf column for explicit light indices —
+    rides the same row fetch as fetch_light_by_index (XLA CSE merges the
+    two when both appear in one jit), so it costs zero extra gathers."""
+    return _light_rows(table, jnp.maximum(li, 0))[_LPDFA]
+
+
+def fetch_light_area(table: jnp.ndarray, li: jnp.ndarray):
+    """Triangle area column (the ReGIR chained-RIS weight needs 1/(W*area)
+    without a per-lane gather)."""
+    return _light_rows(table, jnp.maximum(li, 0))[_LAREA]
 
 
 def fetch_light_by_index(table: jnp.ndarray, li: jnp.ndarray,
@@ -916,6 +931,7 @@ def refresh_light_table(light_table: jnp.ndarray, light_tri: jnp.ndarray,
     table = table.at[:, _LE2:_LE2 + 3].set(le2)
     table = table.at[:, _LN:_LN + 3].set(normal)
     table = table.at[:, _LPDFA].set(pdfa)
+    table = table.at[:, _LAREA].set(area)
 
     tri_lpdf = jnp.zeros((num_tris,), jnp.float32).at[li].set(
         jnp.where(light_tri >= 0, pdfa, 0.0))

@@ -136,10 +136,15 @@ def _target_pdf(scene: Scene, b: bxdf.BSDF, sv: bxdf.SurfaceVectors,
             wi, dist, cos_light)
 
 
-def _light_area_pdf(scene: Scene, light):
+def _light_area_pdf(scene: Scene, light, ltable=None):
     """Area-measure pdf of drawing `light` + a uniform point on it via
-    power sampling (the light-candidate source distribution)."""
+    power sampling (the light-candidate source distribution). With
+    `ltable` the pdf rides the packed light-row fetch (CSE-merged with
+    the _target_pdf fetch — zero extra gathers) instead of two per-lane
+    gathers (power[li], area[li])."""
     li = jnp.maximum(light, 0)
+    if ltable is not None:
+        return shade_mod.fetch_light_pdf_area(ltable, li)
     total = jnp.sum(scene.lights.power)
     select_pdf = scene.lights.power[li] / jnp.maximum(total, 1e-20)
     return select_pdf / jnp.maximum(scene.lights.area[li], 1e-20)
@@ -224,7 +229,7 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
         else:
             li = sampling.draw_cdf(scene.lights.cdf, u_cdf)
             li = jnp.clip(li, 0, nl - 1)
-            pdf_area = _light_area_pdf(scene, li)
+            pdf_area = _light_area_pdf(scene, li, ltable)
         if regir is not None:
             li_g, w_slot = regir_mod.sample(grid, rs, cell, inside, u4[0])
             use_g = li_g >= 0
@@ -234,7 +239,9 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
             pdf_area = jnp.where(
                 use_g,
                 1.0 / jnp.maximum(
-                    w_slot * scene.lights.area[jnp.maximum(li, 0)], 1e-20),
+                    w_slot * (shade_mod.fetch_light_area(ltable, li)
+                              if ltable is not None else
+                              scene.lights.area[jnp.maximum(li, 0)]), 1e-20),
                 pdf_area)
 
         p_hat, wi, dist, cos_l = _target_pdf(scene, b, sv, view, gb.position,
@@ -289,7 +296,7 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
         p_b_sa = bxdf.pdf_combined(b, sv, d, view, weights)
         p_b_area = p_b_sa * jnp.maximum(cos_l, 0.0) / jnp.maximum(
             dist * dist, 1e-12)
-        p_mix = mixture_pdf(_light_area_pdf(scene, li), p_b_area)
+        p_mix = mixture_pdf(_light_area_pdf(scene, li, ltable), p_b_area)
         w = jnp.where(found & (p_mix > 0),
                       p_hat / jnp.maximum(p_mix, 1e-20), 0.0)
         res = _merge(res, li, cand_u, cand_v, w, u4[3])
