@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from ..models.scene import Scene
 from ..ops import rng, sampling, vec
+from ..ops import shade_table as shade_mod
 from ..ops.vec import Vec3
 
 _LANE_SALT = 0x9E3779B9
@@ -79,9 +80,13 @@ def build(scene: Scene, center, frame,
         (cz - half + 0.5) * s.cell_size + center[2],
     )
 
-    # light centroids for the distance term
+    # light centroids for the distance term — packed as a tiny (L, 4)
+    # table so each candidate draw fetches (power, centroid) via ONE
+    # one-hot dot instead of four per-lane gathers over the grid pool
     centroid = scene.lights.v0 + (scene.lights.e1 + scene.lights.e2) * (1 / 3)
     total = jnp.maximum(jnp.sum(scene.lights.power), 1e-20)
+    ptab = jnp.stack([scene.lights.power, centroid.x, centroid.y,
+                      centroid.z], axis=1)                     # (L, 4)
     r2_min = (0.5 * s.cell_size * 3.0 ** 0.5) ** 2  # cell bounding radius²
 
     light = jnp.full((n,), -1, jnp.int32)
@@ -92,11 +97,13 @@ def build(scene: Scene, center, frame,
         u4 = rng.uniform4(lanes, jnp.uint32(_LANE_SALT), frame, 9000 + k)
         li = sampling.draw_cdf(scene.lights.cdf, u4[0])
         li = jnp.clip(li, 0, scene.lights.power.shape[0] - 1)
-        p_src = scene.lights.power[li] / total
-        lpos = vec.gather(centroid, li)
+        prow = shade_mod._fetch_rows(ptab, li, coherent=False)             if ptab.shape[0] > shade_mod.ONEHOT_MAX_ROWS             else shade_mod._fetch_rows(ptab, li)               # (4, n)
+        power_li = prow[0]
+        p_src = power_li / total
+        lpos = Vec3(prow[1], prow[2], prow[3])
         d = lpos - ccenter
         dist2 = jnp.maximum(vec.dot(d, d), r2_min)
-        target = scene.lights.power[li] / dist2
+        target = power_li / dist2
         w = jnp.where(p_src > 0, target / jnp.maximum(p_src, 1e-20), 0.0)
         w_sum_new = w_sum + w
         take = (u4[1] * jnp.maximum(w_sum_new, 1e-20)) < w
