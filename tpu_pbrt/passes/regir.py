@@ -85,8 +85,9 @@ def build(scene: Scene, center, frame,
     # one-hot dot instead of four per-lane gathers over the grid pool
     centroid = scene.lights.v0 + (scene.lights.e1 + scene.lights.e2) * (1 / 3)
     total = jnp.maximum(jnp.sum(scene.lights.power), 1e-20)
-    ptab = jnp.stack([scene.lights.power, centroid.x, centroid.y,
-                      centroid.z], axis=1)                     # (L, 4)
+    cnp = jnp.asarray(centroid)
+    ptab = jnp.stack([scene.lights.power, cnp[:, 0], cnp[:, 1],
+                      cnp[:, 2]], axis=1)                      # (L, 4)
     r2_min = (0.5 * s.cell_size * 3.0 ** 0.5) ** 2  # cell bounding radius²
 
     light = jnp.full((n,), -1, jnp.int32)
