@@ -268,8 +268,8 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       block_rot=-25.0, light_scale=1.1,
                       red_color=(0.65, 0.08, 0.09),
                       green_color=(0.14, 0.45, 0.18),
-                      floor_tint=(1.0, 1.0, 1.0),
-                      back_tint=(1.0, 1.0, 1.0)) -> Scene:
+                      floor_tint=(0.90, 0.90, 1.0),
+                      back_tint=(1.08, 1.10, 1.12)) -> Scene:
     # Placement defaults = the round-3 silhouette-descent winner
     # (tools/g3_silhouette.py: noise-free G-buffer edge chamfer vs the
     # screenshot, 0.54 -> 1.18), confirmed on the denoised app graph

@@ -111,7 +111,7 @@ class PostProcessingSettings:
     denoiser: str = "temporal_atrous"   # none | temporal_atrous
     # each bilateral iteration costs a few % energy on spiky 1-SPP input
     # (converged input is unaffected); 2 is the realtime sweet spot
-    denoiser_iterations: int = 2
+    denoiser_iterations: int = 4
     upscaler: str = "taa"               # none | taa
     # Default 0.5: render at half resolution per axis and TAA-upscale to
     # the output size — the reference ships with DLSS super resolution ON
