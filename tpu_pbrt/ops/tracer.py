@@ -16,6 +16,8 @@ specializes to one backend with zero dispatch overhead.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -146,8 +148,9 @@ def build_for_scene(scene, kind: str | None = None, textures=None,
     geometry = scene.geometry
     t = geometry.num_tris
     if kind is None:
-        kind = ("dense" if t <= DENSE_MAX_TRIS
-                else "blocked" if t < CULLED_MIN_TRIS else "culled")
+        kind = os.environ.get("TPU_PBRT_FORCE_TRACER") or (
+            "dense" if t <= DENSE_MAX_TRIS
+            else "blocked" if t < CULLED_MIN_TRIS else "culled")
 
     table = shade_mod.build(geometry, scene.materials, scene.lights)
     table = shade_mod.pad(table)
