@@ -165,3 +165,27 @@ def test_regir_through_app_frame():
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_sample_from_rows_matches_sample():
+    """The packed cell-row draw (one fetch + in-register slot select) is
+    exactly the per-lane pool-gather `sample`."""
+    from tpu_pbrt.models.cornell import make_cornell_box
+    from tpu_pbrt.passes import regir
+
+    rs = regir.ReGIRSettings(cells_per_axis=4, lights_per_cell=8,
+                             build_candidates=4, cell_size=2.0)
+    scene = make_cornell_box()
+    grid = regir.build(scene, np.zeros(3, np.float32), 3, rs)
+    r = np.random.RandomState(5)
+    n = 700
+    pos = Vec3(*[jnp.asarray(r.uniform(-6, 6, n).astype(np.float32))
+                 for _ in range(3)])
+    cell, inside = regir.cell_of(grid, rs, pos)
+    u = jnp.asarray(r.uniform(0, 1, n).astype(np.float32))
+    li_ref, w_ref = regir.sample(grid, rs, cell, inside, u)
+    rows = regir.fetch_cell_rows(grid, rs, cell)
+    li, w = regir.sample_from_rows(rows, rs, inside, u)
+    np.testing.assert_array_equal(np.asarray(li), np.asarray(li_ref))
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), rtol=1e-6)
+    assert (np.asarray(li_ref) >= 0).any()

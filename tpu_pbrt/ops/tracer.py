@@ -72,6 +72,27 @@ class Tracer:
             kind, alpha_test = aux, False
         return cls(kind, *children, alpha_test=alpha_test)
 
+    def supports_fused_shade(self) -> bool:
+        """Static: can bounces go through the fused traverse+fetch+unpack
+        Pallas megakernel? (dense backend, untextured, small tables, TPU —
+        see ops/trace_shade_fused.py)."""
+        from . import trace_shade_fused
+
+        return (self.kind == "dense" and not self.alpha_test
+                and jax.default_backend() == "tpu"
+                and trace_shade_fused.supported(
+                    self.accel, self.shade_table, self.atlas))
+
+    def closest_hit_shade(self, origin, direction, t_min, t_max):
+        """Fused closest hit + shade fetch: (Hit, ShadeAttrs) from ONE
+        Pallas kernel. Caller must have checked supports_fused_shade()."""
+        from . import trace_shade_fused
+
+        sub = self.shade_table[
+            :, jnp.asarray(shade_mod._BOUNCE_COLS, jnp.int32)]
+        return trace_shade_fused.closest_hit_shade(
+            self.accel, sub, origin, direction, t_min, t_max)
+
     def _closest_raw(self, origin, direction, t_min, t_max) -> traverse.Hit:
         if self.kind == "dense":
             return traverse_dense.closest_hit(
@@ -116,6 +137,15 @@ class Tracer:
             # (the baked per-triangle opacity can't see texture alpha)
             return self.closest_hit(origin, direction, t_min, t_max).mask
         if self.kind == "dense":
+            from . import trace_shade_fused
+
+            if (trace_shade_fused.TRACE_FUSED
+                    and jax.default_backend() == "tpu"
+                    and self.accel.v0.shape[0]
+                    <= trace_shade_fused.MAX_TRIS_PAD):
+                return trace_shade_fused.any_hit(
+                    self.accel, origin, direction, t_min, t_max
+                )
             return traverse_dense.any_hit(
                 self.accel, origin, direction, t_min, t_max
             )

@@ -72,7 +72,12 @@ U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
 KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
-PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "1") == "1"
+# superblock pre-level default OFF: the r4f A/B (tools/r4f_culled_ab.py,
+# v5e, 25k-tri sphere, 2M rays) measured full closest_hit 95.3 ms (22.0
+# Mrays/s) with preselect off vs 998.8 ms (2.1) on — the pre-level's
+# pass-1 is ~8% faster but it flags 37% of rays uncovered (vs 0.5%),
+# and the cascade re-sweep eats the win 10x over. Keep A/B-able by env.
+PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "0") == "1"
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 

@@ -226,25 +226,28 @@ def trace(
     zero3 = Vec3.splat(0.0)
 
     def shade(bounce, state: _PathState, hit: Hit,
-              px, py, di_valid) -> _PathState:
+              px, py, di_valid, attrs=None) -> _PathState:
         """Everything after traversal: miss env, emission MIS, NEE, BSDF
         sample, RR, cutoff, continuation ray. px/py/di_valid are explicit
-        (not closures) so compaction can hand in the folded pool's views."""
+        (not closures) so compaction can hand in the folded pool's views.
+        `attrs` (if given) is the pre-fetched ShadeAttrs from the fused
+        traverse+fetch megakernel — skips the separate fetch."""
         r = state.t_min.shape[0]
         is_hit = hit.mask & state.active
 
         # --- hit shading: ONE packed row-gather of the compact
         # bounce-column subset (textures applied inside when present)
-        with jax.named_scope("fetch"):
-            fp = None
-            if settings.cone_spread > 0.0:
-                fp = settings.cone_spread * (
-                    state.path_t + jnp.maximum(hit.t, 0.0))
-            attrs = shade_table.fetch_bounce(
-                tracer.shade_table, jnp.maximum(hit.tri, 0),
-                state.origin, state.direction, atlas=tracer.atlas,
-                footprint=fp,
-            )
+        if attrs is None:
+            with jax.named_scope("fetch"):
+                fp = None
+                if settings.cone_spread > 0.0:
+                    fp = settings.cone_spread * (
+                        state.path_t + jnp.maximum(hit.t, 0.0))
+                attrs = shade_table.fetch_bounce(
+                    tracer.shade_table, jnp.maximum(hit.tri, 0),
+                    state.origin, state.direction, atlas=tracer.atlas,
+                    footprint=fp,
+                )
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
 
@@ -427,9 +430,19 @@ def trace(
     def make_body(px, py, di_valid):
         """Bounce body bound to one pool's pixel streams/DI mask — rebuilt
         after each compaction fold so the closures track the halved pool."""
+        fused = tracer.supports_fused_shade()
+
         def bounce_body(bounce, state: _PathState):
             # inactive lanes traverse with an empty interval so their walk
             # degenerates to nothing (cheap lock-step idling)
+            if fused:
+                with jax.named_scope("traverse_shade"):
+                    hit, attrs = tracer.closest_hit_shade(
+                        state.origin, state.direction, state.t_min,
+                        jnp.where(state.active, state.t_max, -jnp.inf),
+                    )
+                return shade(bounce, state, hit, px, py, di_valid,
+                             attrs=attrs)
             with jax.named_scope("traverse"):
                 hit = tracer.closest_hit(
                     state.origin, state.direction, state.t_min,
@@ -560,13 +573,18 @@ def trace_sharc_update(
 
     keys, contribs, thrs, valids = [], [], [], []
 
+    fused = tracer.supports_fused_shade()
     for bounce in range(settings.bounces + 1):
-        hit = tracer.closest_hit(o, d, tmin,
-                                 jnp.where(active, tmax, -jnp.inf))
+        if fused:
+            hit, attrs = tracer.closest_hit_shade(
+                o, d, tmin, jnp.where(active, tmax, -jnp.inf))
+        else:
+            hit = tracer.closest_hit(o, d, tmin,
+                                     jnp.where(active, tmax, -jnp.inf))
+            attrs = shade_table.fetch_bounce(
+                tracer.shade_table, jnp.maximum(hit.tri, 0), o, d,
+                atlas=tracer.atlas)
         is_hit = hit.mask & active
-        attrs = shade_table.fetch_bounce(
-            tracer.shade_table, jnp.maximum(hit.tri, 0), o, d,
-            atlas=tracer.atlas)
         b = _bsdf_from_attrs(attrs)
         b = b._replace(roughness=jnp.maximum(
             b.roughness, sharc_settings.roughness_threshold))

@@ -56,6 +56,12 @@ class ReGIRGrid(NamedTuple):
     light: jnp.ndarray   # (cells * slots,) i32 light index, -1 empty
     w: jnp.ndarray       # (cells * slots,) f32 slot RIS weight (inv pdf)
     center: jnp.ndarray  # (3,) grid center (camera position at build)
+    # packed per-cell row table (cells, 2*slots): [w_0..w_{s-1},
+    # light_0..light_{s-1} as f32]. One blocked row fetch per surface
+    # replaces 2 per-lane pool gathers PER candidate draw (measured rule:
+    # each loop-body gather costs ~25 ms per 2M lanes — with 8 local
+    # samples that was 16 gathers/pixel, the app graph's 35% ReGIR cost).
+    rows: jnp.ndarray | None = None
 
 
 def build(scene: Scene, center, frame,
@@ -119,8 +125,12 @@ def build(scene: Scene, center, frame,
         0.0,
     )
     light = jnp.where(w_slot > 0, light, -1)
+    rows = jnp.concatenate([
+        w_slot.reshape(s.num_cells, s.lights_per_cell),
+        light.astype(jnp.float32).reshape(s.num_cells, s.lights_per_cell),
+    ], axis=1)                                     # (cells, 2*slots)
     return ReGIRGrid(light=light, w=w_slot,
-                     center=jnp.asarray(center, jnp.float32))
+                     center=jnp.asarray(center, jnp.float32), rows=rows)
 
 
 def cell_of(grid: ReGIRGrid, settings: ReGIRSettings, position):
@@ -152,5 +162,31 @@ def sample(grid: ReGIRGrid, settings: ReGIRSettings, cell, inside, u):
     idx = cell * s.lights_per_cell + slot
     li = grid.light[idx]
     w = grid.w[idx]
+    ok = inside & (li >= 0) & (w > 0)
+    return jnp.where(ok, li, -1), jnp.where(ok, w, 0.0)
+
+
+def fetch_cell_rows(grid: ReGIRGrid, settings: ReGIRSettings, cell):
+    """ONE row fetch of each surface's cell row (2*slots cols): small
+    grids go through the one-hot MXU dot, larger through the blocked
+    coherent fetch (neighboring pixels share cells). Returns
+    (2*slots, R) — hoist out of the candidate loop and draw all k slots
+    from it with `sample_from_rows`."""
+    return shade_mod._fetch_rows(grid.rows, cell)
+
+
+def sample_from_rows(rows, settings: ReGIRSettings, inside, u):
+    """`sample` from a prefetched (2*slots, R) cell-row block: the slot
+    pick is an in-register compare/select over the row — no gathers."""
+    s = settings
+    slot = jnp.minimum(
+        (u * s.lights_per_cell).astype(jnp.int32), s.lights_per_cell - 1)
+    w = jnp.zeros_like(u)
+    lf = jnp.full(u.shape, -1.0)
+    for j in range(s.lights_per_cell):
+        sel = slot == j
+        w = jnp.where(sel, rows[j], w)
+        lf = jnp.where(sel, rows[s.lights_per_cell + j], lf)
+    li = lf.astype(jnp.int32)
     ok = inside & (li >= 0) & (w > 0)
     return jnp.where(ok, li, -1), jnp.where(ok, w, 0.0)

@@ -210,6 +210,9 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
         grid, rs = regir
         cell, inside = regir_mod.cell_of(grid, rs, gb.position)
         inside = inside & gb.valid
+        # ONE cell-row fetch serves all n_l candidate draws (the per-draw
+        # pool gathers were the app graph's 35% ReGIR overhead)
+        cell_rows = regir_mod.fetch_cell_rows(grid, rs, cell)
 
     for k in range(n_l):
         u4 = rng.uniform4(px, py, frame, 100 + k)
@@ -231,7 +234,8 @@ def initial_sampling(scene: Scene, gb: GBuffer, view: Vec3, tracer,
             li = jnp.clip(li, 0, nl - 1)
             pdf_area = _light_area_pdf(scene, li, ltable)
         if regir is not None:
-            li_g, w_slot = regir_mod.sample(grid, rs, cell, inside, u4[0])
+            li_g, w_slot = regir_mod.sample_from_rows(
+                cell_rows, rs, inside, u4[0])
             use_g = li_g >= 0
             li = jnp.where(use_g, li_g, li)
             # chained RIS: slot W is the inverse light-selection pdf;
