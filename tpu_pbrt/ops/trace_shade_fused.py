@@ -38,8 +38,15 @@ from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
 
-# staged default-on gate (A/B'd at frame level like TPU_PBRT_FETCH_PALLAS)
-TRACE_FUSED = _os.environ.get("TPU_PBRT_TRACE_FUSED", "1") == "1"
+# default OFF by measurement (tools/r4g_kbench.py, v5e, 2M lanes, Cornell):
+# the XLA dense sweeps are already compute-optimal — any_hit 0.58 ms vs
+# 2.19-4.23 fused, closest+fetch 2.58 ms vs 3.42-3.58 fused across lane
+# tiles 2048-8192; at frame level the fused build measured 53.4 ms vs
+# 41.3 unfused (bench.py breakdown, 2026-08-19). Mosaic's lowering of the
+# (T_pad, tile) broadcast sweep loses to XLA's own fusion here. Kept
+# functional (tests/test_trace_fused.py) for the negative-result record
+# and for revisiting when the sweep shape changes.
+TRACE_FUSED = _os.environ.get("TPU_PBRT_TRACE_FUSED", "0") == "1"
 
 # largest padded triangle count the VMEM-resident sweep supports: beyond
 # this the (T, tile) intermediates force tiles too small to pipeline well
@@ -60,10 +67,18 @@ _G_OPACITY = 9
 _G_COLS = 16
 
 
+# sweepable lane-tile override for micro-benchmarks (tools/r4g_kbench.py)
+TILE_OVERRIDE: int | None = None
+
+
 def _tile_for(t_pad: int) -> int:
-    """Lane-tile size: keep each (T_pad, tile) f32 sweep intermediate
-    ≤ 1 MB so the ~8 live at once fit VMEM (~16 MB) with headroom."""
-    return max(128, min(2048, (1 << 18) // t_pad // 128 * 128))
+    """Lane-tile size: ~(1<<19)/T_pad budget keeps each (T_pad, tile) f32
+    sweep intermediate ≤ 2 MB (VMEM ~16 MB, a few live at once) while
+    amortizing per-grid-step overhead — small soups (Cornell T_pad=40)
+    take the full 8192-lane tile; T_pad=512 drops to 1024."""
+    if TILE_OVERRIDE is not None:
+        return TILE_OVERRIDE
+    return max(512, min(8192, (1 << 19) // t_pad // 128 * 128))
 
 
 def _geom_block(tris: DenseTris) -> jnp.ndarray:

@@ -25,6 +25,7 @@ path); the ReSTIR DI pass composites on top exactly like the reference's
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import NamedTuple
 
 import jax
@@ -36,6 +37,21 @@ from ..models.scene import Scene, environment_radiance
 from ..ops import bxdf, rng, shade_table, vec
 from ..ops.traverse import Hit
 from ..ops.vec import Vec3
+
+# Fusion-stage isolation: without barriers XLA fuses the dense traversal /
+# fetch / shadow sweeps into the surrounding shade chain and the resulting
+# mega-fusions run ~1.6-2.3x slower than the same sweeps isolated
+# (tools/r4g_loopbench.py, v5e, 2M lanes: 4.97 -> 4.19 ms per bounce with
+# barriers on a bounce-shaped toy body). Stage outputs are passed through
+# lax.optimization_barrier at the scope boundaries; env-gated for A/B.
+STAGE_BARRIERS = _os.environ.get("TPU_PBRT_STAGE_BARRIERS", "1") == "1"
+
+
+def _bar(x):
+    """optimization_barrier over a pytree (no-op when disabled)."""
+    if not STAGE_BARRIERS:
+        return x
+    return lax.optimization_barrier(x)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -248,6 +264,7 @@ def trace(
                     state.origin, state.direction, atlas=tracer.atlas,
                     footprint=fp,
                 )
+        attrs = _bar(attrs)
         b = _bsdf_from_attrs(attrs)
         emission = attrs.emission
 
@@ -341,10 +358,10 @@ def trace(
                 attrs.position, attrs.flat_normal, wi
             )
             with jax.named_scope("shadow"):
-                occluded = tracer.any_hit(
-                    shadow_o, wi, 0.0,
+                occluded = _bar(tracer.any_hit(
+                    *_bar((shadow_o, wi)), 0.0,
                     jnp.where(valid_nee, dist * (1.0 - 1e-3), -jnp.inf),
-                )
+                ))
             w_mis = pdf_sa / jnp.maximum(pdf_sa + p_b, 1e-20)
             contrib = (
                 state.throughput * f_nee * ls.radiance
@@ -444,10 +461,10 @@ def trace(
                 return shade(bounce, state, hit, px, py, di_valid,
                              attrs=attrs)
             with jax.named_scope("traverse"):
-                hit = tracer.closest_hit(
+                hit = _bar(tracer.closest_hit(
                     state.origin, state.direction, state.t_min,
                     jnp.where(state.active, state.t_max, -jnp.inf),
-                )
+                ))
             return shade(bounce, state, hit, px, py, di_valid)
         return bounce_body
 
