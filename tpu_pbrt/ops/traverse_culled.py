@@ -78,6 +78,10 @@ KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
 # pass-1 is ~8% faster but it flags 37% of rays uncovered (vs 0.5%),
 # and the cascade re-sweep eats the win 10x over. Keep A/B-able by env.
 PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "0") == "1"
+# pass-1 block ranking: "count" (most-touched) | "entry" (nearest slab
+# entry first — pairs with the t_cull uncovered test; A/B in
+# tools/r4h_culled_rank.py)
+RANK = os.environ.get("TPU_PBRT_CULLED_RANK", "count")
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -400,9 +404,19 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
     else:
         mask, mlo = _slab_mask(o, d, t0, t1, tris.block_min,
                                tris.block_max)               # (B, CHUNK)
-        counts = mask.sum(axis=1).astype(jnp.int32)          # (B,)
         k = min(u_blocks, nb)
-        _, chosen = lax.top_k(counts, k)                     # (k,) block ids
+        if RANK == "entry" and not any_mode:
+            # nearest-entry ranking: sweep the k blocks the chunk's rays
+            # ENTER first. A far block skipped this way usually fails the
+            # post-sweep `mlo <= t_cull` test (the found hit already
+            # precedes it), so it never becomes uncovered — unlike
+            # popularity ranking, which can leave a NEAR block unswept
+            # and force the cascade.
+            entry = jnp.min(jnp.where(mask, mlo, INF), axis=1)   # (B,)
+            _, chosen = lax.top_k(-entry, k)                 # (k,) block ids
+        else:
+            counts = mask.sum(axis=1).astype(jnp.int32)      # (B,)
+            _, chosen = lax.top_k(counts, k)                 # (k,) block ids
         iota_b = lax.broadcasted_iota(jnp.int32, (k, nb), 1)
         onehot = (iota_b == chosen[:, None])
         block_in = onehot.any(axis=0)                        # (B,)
