@@ -321,9 +321,18 @@ class App:
                     tracer, scene, uo, ud, ut0, ut1, upx, upy, frame, upd,
                     self.sharc_settings, cam.position)
             with jax.named_scope("sharc_resolve"):
+                # auto: full sorted resolve up to 2^20 capacity (r4f A/B:
+                # 9.87 vs 9.09 fps at 2^20 — the sorted canonical table
+                # beats the pool resolve when the sort fits the budget);
+                # the update-pool-only resolve above that (it is what
+                # makes the reference's 2^22 capacity affordable).
+                mode = os.environ.get("TPU_PBRT_SHARC_RESOLVE", "auto")
+                if mode == "auto":
+                    mode = ("sorted"
+                            if history.sharc.key_lo.shape[0] <= (1 << 20)
+                            else "pool")
                 resolve_fn = (sharc_mod.resolve_sorted
-                              if os.environ.get("TPU_PBRT_SHARC_RESOLVE")
-                              == "sorted" else sharc_mod.resolve)
+                              if mode == "sorted" else sharc_mod.resolve)
                 sharc_state = resolve_fn(history.sharc, keys, records,
                                          valid, self.sharc_settings)
             rays_total = rays_total + uw * uh * (upd.bounces + 1)
