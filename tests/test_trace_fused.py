@@ -106,16 +106,24 @@ def test_any_hit_matches_dense():
 
 def test_supported_gating():
     tracer, _ = _cornell_tracer()
-    assert trace_shade_fused.supported(
-        tracer.accel, tracer.shade_table, None)
-    assert not trace_shade_fused.supported(
-        tracer.accel, tracer.shade_table, object())  # textured
-    # oversized soup is rejected
-    v0, v1, v2 = _random_soup(trace_shade_fused.MAX_TRIS_PAD + 8)
-    big = traverse_dense.prepare(jnp.asarray(v0), jnp.asarray(v1),
-                                 jnp.asarray(v2))
-    big_table = jnp.zeros((shade_table.ONEHOT_MAX_ROWS + 128, 64))
-    assert not trace_shade_fused.supported(big, big_table, None)
+    old = trace_shade_fused.TRACE_FUSED
+    try:
+        trace_shade_fused.TRACE_FUSED = True   # measured default is off
+        assert trace_shade_fused.supported(
+            tracer.accel, tracer.shade_table, None)
+        assert not trace_shade_fused.supported(
+            tracer.accel, tracer.shade_table, object())  # textured
+        # oversized soup is rejected
+        v0, v1, v2 = _random_soup(trace_shade_fused.MAX_TRIS_PAD + 8)
+        big = traverse_dense.prepare(jnp.asarray(v0), jnp.asarray(v1),
+                                     jnp.asarray(v2))
+        big_table = jnp.zeros((shade_table.ONEHOT_MAX_ROWS + 128, 64))
+        assert not trace_shade_fused.supported(big, big_table, None)
+        trace_shade_fused.TRACE_FUSED = False
+        assert not trace_shade_fused.supported(
+            tracer.accel, tracer.shade_table, None)
+    finally:
+        trace_shade_fused.TRACE_FUSED = old
 
 
 @pytest.mark.parametrize("n_tris", [9, 130])

@@ -193,6 +193,24 @@ def main():
                      "_settings": {
                          "post_processing.denoiser_iterations": 5,
                          "raytracing.sharc_scene_scale": 25.0}}),
+        # Round-4h: side-by-side vs the screenshot (see PARITY) shows
+        # (a) the black slab's reflection is a faint smudge — as black
+        # METAL the reflection is tinted to 5%; the reference reads as
+        # piano-black dielectric (untinted Fresnel) or dark chrome;
+        # (b) our ceiling is washed bright where the reference's is dim.
+        ("block-dielectric", {"block_metallic": 0.0,
+                              "block_base": (0.02, 0.02, 0.022),
+                              "block_rough": 0.02}),
+        ("block-chrome30", {"block_base": (0.30, 0.30, 0.32),
+                            "block_rough": 0.03}),
+        ("block-chrome50", {"block_base": (0.50, 0.50, 0.52),
+                            "block_rough": 0.05}),
+        ("ceil-dim", {"ceil_tint": (0.85, 0.85, 0.88)}),
+        ("ceil-dim2", {"ceil_tint": (0.70, 0.70, 0.74)}),
+        ("block-ceil", {"block_metallic": 0.0,
+                        "block_base": (0.02, 0.02, 0.022),
+                        "block_rough": 0.02,
+                        "ceil_tint": (0.85, 0.85, 0.88)}),
     ]
     if len(sys.argv) > 3:
         keep = set(sys.argv[3].split(","))

@@ -50,7 +50,7 @@ def main():
 
     for rank in ("count", "entry"):
         tc.RANK = rank
-        for u in (8, 12, 16):
+        for u in (4, 6, 8, 12, 16):
             def f_sweep(ox, oy, oz, dx, dy, dz, t0, t1, u=u):
                 key, rid, occ, unc = tc._sweep(
                     tris, ox, oy, oz, dx, dy, dz, t0, t1, u, False,
@@ -87,6 +87,7 @@ def main():
     full("entry", 16)
     full("entry", 12)
     full("entry", 8)
+    full("entry", 6)
 
 
 if __name__ == "__main__":

@@ -43,6 +43,7 @@ MAT_WOOD = 7
 MAT_CORE = 8
 MAT_FLOOR = 9
 MAT_BACK = 10
+MAT_CEIL = 11
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +270,11 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       red_color=(0.65, 0.08, 0.09),
                       green_color=(0.14, 0.45, 0.18),
                       floor_tint=(0.90, 0.90, 1.0),
-                      back_tint=(1.08, 1.10, 1.12)) -> Scene:
+                      back_tint=(1.08, 1.10, 1.12),
+                      ceil_tint=(1.0, 1.0, 1.0),
+                      block_metallic=1.0,
+                      block_base=(0.05, 0.05, 0.055),
+                      block_rough=0.02) -> Scene:
     # Placement defaults = the round-3 silhouette-descent winner
     # (tools/g3_silhouette.py: noise-free G-buffer edge chamfer vs the
     # screenshot, 0.54 -> 1.18), confirmed on the denoised app graph
@@ -283,7 +288,7 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                         [0, 0, 559.2], MAT_FLOOR, 0, flip=True))
     meshes.append(_quad([0, 548.8, 0], [0, 548.8, 559.2],
                         [556, 548.8, 559.2], [556, 548.8, 0],
-                        MAT_WHITE, 0, flip=True))
+                        MAT_CEIL, 0, flip=True))
     meshes.append(_quad([0, 0, 559.2], [552.8, 0, 559.2],
                         [552.8, 548.8, 559.2], [0, 548.8, 559.2],
                         MAT_BACK, 0, flip=True))
@@ -326,9 +331,13 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
         # faceted silver bunny
         {"base_color": (0.93, 0.93, 0.92, 1.0), "metallic": 1.0,
          "roughness": bunny_roughness},
-        # polished black mirror slab
-        {"base_color": (0.05, 0.05, 0.055, 1.0), "metallic": 1.0,
-         "roughness": 0.02},
+        # polished black slab. NOTE: as a black METAL the reflection is
+        # tinted by base_color (5% -> faint smudge); the screenshot shows
+        # a BRIGHT bunny reflection, which reads as piano-black
+        # dielectric (untinted Fresnel) or dark chrome — swept in
+        # tools/g3_app_sweep.py (block-* variants).
+        {"base_color": (*block_base, 1.0), "metallic": block_metallic,
+         "roughness": block_rough},
         # brushed metal ball shell
         {"base_color": (0.82, 0.80, 0.78, 1.0), "metallic": 1.0,
          "roughness": ball_roughness},
@@ -342,6 +351,10 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                         0.73 * wb * floor_tint[2], 1.0), "roughness": 1.0},
         {"base_color": (0.73 * wb * back_tint[0], 0.73 * wb * back_tint[1],
                         0.73 * wb * back_tint[2], 1.0), "roughness": 1.0},
+        # ceiling: the screenshot's ceiling reads darker than the side
+        # whites (flush downward panel; little direct light up there)
+        {"base_color": (0.73 * wb * ceil_tint[0], 0.73 * wb * ceil_tint[1],
+                        0.73 * wb * ceil_tint[2], 1.0), "roughness": 1.0},
     ])
     env = make_environment(color=(0.0, 0.0, 0.0, 1.0))
     return make_scene(geometry, materials, env)
