@@ -101,11 +101,18 @@ def test_blocked_scene_render():
     mats = make_table([{"base_color": (0.7, 0.5, 0.3, 1.0),
                         "roughness": 0.4, "metallic": 0.8}])
     scene = make_scene(geometry, mats, make_environment())  # procedural sky
-    assert geometry.num_tris > 2048  # must select the blocked tracer
+    assert geometry.num_tris > 2048  # above the dense window
 
     cam = Camera()
     cam.position = np.asarray([0, 0.3, -3.2], np.float32)
-    r = Renderer(scene, 48, 48, PathTraceSettings(bounces=2))
+    # the shipping default above the dense window is now culled (r4h A/B);
+    # force the blocked backend — this test covers that path end to end
+    import os
+    os.environ["TPU_PBRT_FORCE_TRACER"] = "blocked"
+    try:
+        r = Renderer(scene, 48, 48, PathTraceSettings(bounces=2))
+    finally:
+        del os.environ["TPU_PBRT_FORCE_TRACER"]
     assert r.tracer.kind == "blocked"
     img = np.asarray(r.render(cam, 0))
     assert np.isfinite(img).all()

@@ -27,10 +27,12 @@ from . import shade_table as shade_mod
 from . import traverse, traverse_blocked, traverse_culled, traverse_dense
 
 DENSE_MAX_TRIS = 2048
-# above this, per-ray culling beats the blocked packet sweep (measured:
-# the 25k-tri sphere runs ~15x faster culled; at a few thousand tris the
-# mask/sort overheads lose to the straight dense sweep)
-CULLED_MIN_TRIS = 6144
+# above the dense window, per-ray culling wins everywhere measured: the
+# 25k-tri sphere runs ~15x faster culled than blocked (round 3), and the
+# 5k-tri animated tube 2.2x (r4h A/B: 2.19 vs 1.01 fps incl. per-frame
+# refit) — the blocked packet sweep's cond-per-tile serialization loses
+# at every size tried. Blocked remains via TPU_PBRT_FORCE_TRACER=blocked.
+CULLED_MIN_TRIS = DENSE_MAX_TRIS + 1
 
 
 # re-intersection passes for textured alpha cutouts: up to K-1 transparent

@@ -42,14 +42,25 @@ from ..ops.vec import Vec3
 # fetch / shadow sweeps into the surrounding shade chain and the resulting
 # mega-fusions run ~1.6-2.3x slower than the same sweeps isolated
 # (tools/r4g_loopbench.py, v5e, 2M lanes: 4.97 -> 4.19 ms per bounce with
-# barriers on a bounce-shaped toy body). Stage outputs are passed through
+# barriers on a bounce-shaped toy body; frame level 48.86 -> 41.25 ms,
+# tools/r4g_ptframe.py). Stage outputs are passed through
 # lax.optimization_barrier at the scope boundaries; env-gated for A/B.
 STAGE_BARRIERS = _os.environ.get("TPU_PBRT_STAGE_BARRIERS", "1") == "1"
+# extra isolation of the pure-VPU shade stages (bsdf sample, NEE light
+# fetch) — staged separately for the frame-level A/B
+STAGE_BARRIERS_SHADE = _os.environ.get(
+    "TPU_PBRT_STAGE_BARRIERS_SHADE", "0") == "1"
 
 
 def _bar(x):
     """optimization_barrier over a pytree (no-op when disabled)."""
     if not STAGE_BARRIERS:
+        return x
+    return lax.optimization_barrier(x)
+
+
+def _bar_shade(x):
+    if not STAGE_BARRIERS_SHADE:
         return x
     return lax.optimization_barrier(x)
 
@@ -330,10 +341,10 @@ def trace(
         nee_rays = jnp.zeros((r,), jnp.float32)
         if settings.next_event_estimation:
             u3 = draw(px, py, bounce, 2)
-            ls = shade_table.fetch_light(
+            ls = _bar_shade(shade_table.fetch_light(
                 tracer.light_table, tracer.light_cdf,
                 u3[0], u3[1], u3[2],
-            )
+            ))
             to_l = ls.position - attrs.position
             dist = vec.length(to_l)
             wi = to_l * (1.0 / jnp.maximum(dist, 1e-8))
@@ -379,6 +390,7 @@ def trace(
             l, lobe, valid = bxdf.sample(b, sv, v, u4)
             pdf = bxdf.pdf_sampled_lobe(b, sv, l, v, weights, lobe)
             f = bxdf.evaluate_sampled_lobe(b, sv, l, v, weights, lobe)
+            l, lobe, valid, pdf, f = _bar_shade((l, lobe, valid, pdf, f))
 
         ok = valid & (pdf > 0.0) & ((f.x != 0.0) | (f.y != 0.0) | (f.z != 0.0))
         throughput = state.throughput * vec.where(
