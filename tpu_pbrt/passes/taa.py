@@ -13,8 +13,42 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+from jax import lax
 
 from .denoise import _bilinear_sample, _shift2d
+
+# uniform-motion fast path headroom: the padded shift serves offsets up
+# to this many pixels; larger uniform motion falls back to the gather
+_UNIFORM_PAD = 4
+
+
+def _bilinear_shift(img: jnp.ndarray, mx, my) -> jnp.ndarray:
+    """Bilinear sample of `img` at (x + mx, y + my) for SCALAR (traced)
+    offsets: edge-replicate pad + two dynamic slices + lerp — pure vector
+    ops, no per-lane gather. Matches `_bilinear_sample`'s interior math
+    (f16 taps, f32 blend); edges replicate-clamp like its coordinate
+    clip. Offsets must satisfy |m| <= _UNIFORM_PAD (caller guards)."""
+    h, w = img.shape[:2]
+    p = _UNIFORM_PAD
+    mx = jnp.clip(mx, -p, p)
+    my = jnp.clip(my, -p, p)
+    x0 = jnp.floor(mx).astype(jnp.int32)
+    y0 = jnp.floor(my).astype(jnp.int32)
+    fx = (mx - x0).astype(jnp.float32)
+    fy = (my - y0).astype(jnp.float32)
+    pad = jnp.pad(img.astype(jnp.float16),
+                  ((p, p + 1), (p, p + 1), (0, 0)), mode="edge")
+
+    def tap(dy, dx):
+        return lax.dynamic_slice(
+            pad, (y0 + p + dy, x0 + p + dx, 0), (h, w, img.shape[2])
+        ).astype(jnp.float32)
+
+    p00, p01 = tap(0, 0), tap(0, 1)
+    p10, p11 = tap(1, 0), tap(1, 1)
+    top = p00 + (p01 - p00) * fx
+    bot = p10 + (p11 - p10) * fx
+    return top + (bot - top) * fy
 
 
 class TAAState(NamedTuple):
@@ -63,7 +97,26 @@ def resolve(
     prev_xy = jnp.stack(
         [gx + motion_up[..., 0], gy + motion_up[..., 1]], axis=-1
     )
-    hist = _bilinear_sample(state.history, prev_xy)
+    # uniform-motion fast path: on static-camera frames every pixel's
+    # reprojection offset is the same scalar pair (camera jitter), so
+    # the history sample is a padded dynamic-slice SHIFT instead of the
+    # (H*W)-lane patch-row gather (~15 ms/frame at 1080p, the top TAA op
+    # in bench.py breakdown manylight). One scalar cond picks the path;
+    # per-object motion falls back to the exact gather.
+    m0x = motion_up[0, 0, 0]
+    m0y = motion_up[0, 0, 1]
+    # tolerance: the jitter-delta motion of a static frame carries ~1e-3
+    # px of fp reprojection noise; 5e-3 px bounds the bilinear-weight
+    # error at 0.005 (invisible) while keeping real object motion on the
+    # exact gather path
+    resid = jnp.max(jnp.abs(motion_up - motion_up[0:1, 0:1, :]))
+    uniform = (resid < 5e-3) & (jnp.abs(m0x) < _UNIFORM_PAD - 1) \
+        & (jnp.abs(m0y) < _UNIFORM_PAD - 1)
+    hist = lax.cond(
+        uniform,
+        lambda _: _bilinear_shift(state.history, m0x, m0y),
+        lambda _: _bilinear_sample(state.history, prev_xy),
+        0)
 
     # neighborhood color clamp (3x3 min/max AABB of the upscaled frame)
     cmin = up
