@@ -289,3 +289,41 @@ def test_uniform_local_light_mode_unbiased():
         means[mode] = acc / 24
     assert means["uniform"] == pytest.approx(means["power_ris"], rel=0.1), \
         means
+
+
+def test_tap_rows_uniform_shift_matches_gather():
+    """The uniform-offset fast path (reflect-padded dynamic-slice shift)
+    must reproduce the per-lane gather EXACTLY — including screen-edge
+    reflection and out-of-range offsets (fallback)."""
+    import numpy as np
+    from tpu_pbrt.passes import restir as rst
+
+    r = np.random.RandomState(9)
+    h, w, c = 13, 17, 8
+    packed = jnp.asarray(r.uniform(0, 1, (h * w, c)).astype(np.float32))
+    px = jnp.asarray(np.tile(np.arange(w), h).astype(np.float32))
+    py = jnp.asarray(np.repeat(np.arange(h), w).astype(np.float32))
+    for (dx, dy) in [(0.0, 0.0), (3.2, -2.7), (-16.0, 12.0),
+                     (0.49, 0.51), (200.0, 0.0)]:  # last: pad overflow
+        x = px + dx
+        y = py + dy
+        for refl in (False, True):
+            ref_t, ref_b = rst._tap_rows(packed, x, y, w, h,
+                                         reflect_edges=refl)
+            got_t, got_b = rst._tap_rows(packed, x, y, w, h,
+                                         reflect_edges=refl,
+                                         base_xy=(px, py))
+            np.testing.assert_array_equal(np.asarray(got_b),
+                                          np.asarray(ref_b))
+            valid = np.asarray(ref_b)
+            np.testing.assert_allclose(
+                np.asarray(got_t["rows"])[valid],
+                np.asarray(ref_t["rows"])[valid], rtol=0, atol=0)
+    # non-uniform offsets take the gather branch (trivially exact)
+    xj = px + jnp.asarray(r.uniform(-3, 3, h * w).astype(np.float32))
+    yj = py + jnp.asarray(r.uniform(-3, 3, h * w).astype(np.float32))
+    ref_t, _ = rst._tap_rows(packed, xj, yj, w, h, reflect_edges=True)
+    got_t, _ = rst._tap_rows(packed, xj, yj, w, h, reflect_edges=True,
+                             base_xy=(px, py))
+    np.testing.assert_array_equal(np.asarray(got_t["rows"]),
+                                  np.asarray(ref_t["rows"]))

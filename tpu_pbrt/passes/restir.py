@@ -28,10 +28,22 @@ darkening at disocclusions is bounded by the M-clamp exactly as in RTXDI.
 from __future__ import annotations
 
 import dataclasses
+import os as _os
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 from jax import lax
+
+# spatial-reuse tap offsets shared by all pixels within a frame (per-frame
+# rotated): turns each neighbor tap's per-lane row gather into a vector
+# shift via the _tap_rows uniform fast path. Same expectation (offsets
+# remain random per frame/tap, the merge randomness stays per-lane);
+# correlated neighbor noise is the A/B tradeoff — staged off until the
+# fps + golden-SSIM A/B (reference uses per-pixel offsets,
+# DISpatialResampling.hlsl).
+RESTIR_SHARED_TAPS = _os.environ.get(
+    "TPU_PBRT_RESTIR_SHARED_TAPS", "0") == "1"
 
 from ..models.scene import Scene
 from ..ops import bxdf, rng, sampling, vec
@@ -386,8 +398,45 @@ def _pack_taps(res: Reservoir, depth, normal: Vec3):
          depth, ex, ey], axis=-1)
 
 
+# uniform-offset fast-path headroom (pixels); offsets beyond this fall
+# back to the per-lane gather
+_TAP_SHIFT_PAD = 64
+
+
+def _tap_rows_shifted(packed, sdx, sdy, width, height):
+    """`_tap_rows`'s row read for a UNIFORM integer offset (sdx, sdy):
+    reflect-padded dynamic slice — pure vector ops, no per-lane gather.
+    The pads reproduce the gather path's index arithmetic exactly:
+    negative xr -> |xr| ('reflect'), xr >= w -> 2w-xr-1 ('symmetric'),
+    then clip."""
+    import numpy as np
+
+    p = _TAP_SHIFT_PAD
+    c = packed.shape[-1]
+    img = packed.reshape(height, width, c)
+
+    def reflect_np(v, n):
+        v = np.abs(v)
+        v = np.where(v >= n, 2 * n - v - 1, v)
+        return np.clip(v, 0, n - 1)
+
+    def pads(arr, n, axis):
+        # STATIC index vectors via the exact gather formula — the side
+        # takes are constant-index and tiny (p columns/rows)
+        left = jnp.take(arr, jnp.asarray(reflect_np(np.arange(-p, 0), n)),
+                        axis=axis)
+        right = jnp.take(arr, jnp.asarray(reflect_np(np.arange(n, n + p),
+                                                     n)), axis=axis)
+        return jnp.concatenate([left, arr, right], axis=axis)
+
+    padded = pads(pads(img, width, 1), height, 0)
+    rows = jax.lax.dynamic_slice(
+        padded, (sdy + p, sdx + p, 0), (height, width, c))
+    return rows.reshape(height * width, c)
+
+
 def _tap_rows(packed, x, y, width, height, halo=None,
-              reflect_edges=False):
+              reflect_edges=False, base_xy=None):
     """Gather packed rows at nearest pixels; returns (fields dict, mask).
 
     `halo`: sharded-mesh descriptor {"pad": int, "row0": traced global
@@ -433,7 +482,31 @@ def _tap_rows(packed, x, y, width, height, halo=None,
             y_ok = ((y >= -pad) & (y <= height - 1 + pad)
                     & (gy >= 0) & (gy <= total_h - 1))
         yi = jnp.clip(yr + pad, 0, height + 2 * pad - 1)
-    rows = packed[yi * width + xi]              # (R, 8|16) one row gather
+    def gather_rows(_):
+        return packed[yi * width + xi]          # (R, 8|16) one row gather
+
+    if base_xy is not None and halo is None:
+        # uniform-offset fast path: when every lane's ROUNDED tap offset
+        # from its own pixel is the same integer pair (temporal reuse on
+        # a static frame; spatial reuse with shared per-frame offsets),
+        # the row read is a reflect-padded dynamic-slice SHIFT — no
+        # per-lane gather (~3-4 ms each at 2M lanes). Integer equality
+        # check, so fp tie-rounding differences fall back to the gather.
+        bx, by = base_xy
+        sx = jnp.round(x).astype(jnp.int32) - bx.astype(jnp.int32)
+        sy = jnp.round(y).astype(jnp.int32) - by.astype(jnp.int32)
+        sdx = jnp.clip(sx.reshape(-1)[0], -_TAP_SHIFT_PAD, _TAP_SHIFT_PAD)
+        sdy = jnp.clip(sy.reshape(-1)[0], -_TAP_SHIFT_PAD, _TAP_SHIFT_PAD)
+        uniform = ((jnp.max(sx) == jnp.min(sx))
+                   & (jnp.max(sy) == jnp.min(sy))
+                   & (jnp.abs(sx.reshape(-1)[0]) <= _TAP_SHIFT_PAD)
+                   & (jnp.abs(sy.reshape(-1)[0]) <= _TAP_SHIFT_PAD))
+        rows = jax.lax.cond(
+            uniform,
+            lambda _: _tap_rows_shifted(packed, sdx, sdy, width, height),
+            gather_rows, 0)
+    else:
+        rows = gather_rows(0)
     in_b = x_ok & y_ok
     return {
         "light": rows[:, 0].astype(jnp.int32),
@@ -552,7 +625,8 @@ def temporal_resampling(scene: Scene, gb: GBuffer, view: Vec3,
         packed = jnp.concatenate([packed, state.surface], axis=-1)
     if halo is not None:
         packed = halo["extend"](packed)
-    tap, in_b = _tap_rows(packed, prev_x, prev_y, width, height, halo=halo)
+    tap, in_b = _tap_rows(packed, prev_x, prev_y, width, height, halo=halo,
+                          base_xy=(px, py_grid))
     p_light, p_u, p_v = tap["light"], tap["u"], tap["v"]
     p_w, p_m, pd, pn = tap["w"], tap["m"], tap["depth"], tap["normal"]
     valid_hist = in_b & _geometry_similar(gb, pd, pn) & (p_light >= 0) & gb.valid
@@ -674,12 +748,22 @@ def spatial_resampling(scene: Scene, gb: GBuffer, view: Vec3,
     taps = []
     for k in range(settings.spatial_samples):
         u4 = rng.uniform4(px, py, frame, 300 + k)
-        ang = 2.0 * jnp.pi * u4[0]
-        rad = settings.spatial_radius * jnp.sqrt(u4[1])
+        if RESTIR_SHARED_TAPS:
+            # scalar offset stream: same disc distribution, one offset
+            # pair per (frame, tap) shared by every pixel
+            us = rng.uniform4(jnp.uint32(0x5EED + k), jnp.uint32(0x7A95),
+                              frame, 300 + k)
+            ang = 2.0 * jnp.pi * us[0]
+            rad = settings.spatial_radius * jnp.sqrt(us[1])
+        else:
+            ang = 2.0 * jnp.pi * u4[0]
+            rad = settings.spatial_radius * jnp.sqrt(u4[1])
         nx = px.astype(jnp.float32) + jnp.cos(ang) * rad
         ny = py_grid.astype(jnp.float32) + jnp.sin(ang) * rad
         tap, in_b = _tap_rows(packed, nx, ny, width, height, halo=halo,
-                              reflect_edges=True)
+                              reflect_edges=True,
+                              base_xy=((px, py_grid)
+                                       if RESTIR_SHARED_TAPS else None))
         ok = (in_b & _geometry_similar(gb, tap["depth"], tap["normal"])
               & (tap["light"] >= 0) & gb.valid)
         taps.append((tap, ok, u4))
