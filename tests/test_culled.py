@@ -129,3 +129,54 @@ class TestCulledVsDense:
         assert np.isfinite(imgs["culled"]).all()
         np.testing.assert_allclose(imgs["culled"].mean(),
                                    imgs["dense"].mean(), rtol=0.02)
+
+
+class TestMxuSweep:
+    """The MXU plane-form sweep (`_mt_mxu_T`) vs Möller–Trumbore."""
+
+    def _comps(self, v0, v1, v2):
+        f = lambda a: jnp.asarray(a, jnp.float32)
+        e1, e2 = v1 - v0, v2 - v0
+        return tuple(f(x) for x in (
+            v0[:, 0], v0[:, 1], v0[:, 2], e1[:, 0], e1[:, 1], e1[:, 2],
+            e2[:, 0], e2[:, 1], e2[:, 2]))
+
+    def test_kernel_agreement(self):
+        v0, v1, v2, _ = soup(t=640, seed=21)
+        ov, dv, tmin, tmax = rays(r=512, seed=22)
+        comps = self._comps(v0, v1, v2)
+        t_mt = np.asarray(tc._mt_comp_T(ov, dv, *comps, tmin, tmax))
+        t_mx = np.asarray(tc._mt_mxu_T(ov, dv, *comps, tmin, tmax))
+        hit_mt, hit_mx = np.isfinite(t_mt), np.isfinite(t_mx)
+        # fp-boundary flips near triangle edges are allowed, but rare
+        assert (hit_mt != hit_mx).mean() < 1e-3
+        m = hit_mt & hit_mx
+        np.testing.assert_allclose(t_mx[m], t_mt[m], rtol=1e-4, atol=1e-5)
+
+    def test_degenerate_rows_never_hit(self):
+        """Zero-area (padding) triangles must miss under the plane form."""
+        v0 = np.zeros((8, 3), np.float32)
+        comps = self._comps(v0, v0, v0)
+        ov, dv, tmin, tmax = rays(r=128, seed=23)
+        t = np.asarray(tc._mt_mxu_T(ov, dv, *comps, tmin, tmax))
+        assert not np.isfinite(t).any()
+
+    def test_end_to_end_vs_dense(self, monkeypatch):
+        monkeypatch.setattr(tc, "MT_MXU", True)
+        v0, v1, v2, op = soup(t=704, seed=24)
+        ct = tc.prepare(v0, v1, v2, op)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays(r=2560, seed=25)
+        hc = tc.closest_hit(ct, ov, dv, tmin, tmax)   # unjitted: the jit
+        ad = tc.any_hit(ct, ov, dv, tmin, tmax)       # cache ignores MT_MXU
+        hd = td.closest_hit(dt, ov, dv, tmin, tmax)
+        add = td.any_hit(dt, ov, dv, tmin, tmax)
+        fc, fd = np.isfinite(np.asarray(hc.t)), np.isfinite(np.asarray(hd.t))
+        assert (fc != fd).mean() < 1e-3
+        m = fc & fd
+        same = np.asarray(hc.tri)[m] == np.asarray(hd.tri)[m]
+        assert same.mean() > 0.999   # near-tie id flips only
+        np.testing.assert_allclose(np.asarray(hc.t)[m][same],
+                                   np.asarray(hd.t)[m][same], rtol=5e-4)
+        assert (np.asarray(ad) != np.asarray(add)).mean() < 1e-3
