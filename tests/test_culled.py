@@ -180,3 +180,63 @@ class TestMxuSweep:
         np.testing.assert_allclose(np.asarray(hc.t)[m][same],
                                    np.asarray(hd.t)[m][same], rtol=5e-4)
         assert (np.asarray(ad) != np.asarray(add)).mean() < 1e-3
+
+
+class TestDenseMxuSweep:
+    """The dense tracer's MXU plane-form sweeps vs Möller–Trumbore."""
+
+    def _chunk(self, t=192, seed=31):
+        v0, v1, v2, _ = soup(t=t, seed=seed)
+        f = jnp.asarray
+        return f(v0), f(v1 - v0), f(v2 - v0)
+
+    def test_closest_kernel_agreement(self):
+        cv0, ce1, ce2 = self._chunk()
+        ov, dv, tmin, tmax = rays(r=512, seed=32)
+        t_mt, _, _ = td._mt_chunk_T(ov, dv, cv0, ce1, ce2, tmin, tmax)
+        t_mx, _, _ = td._mt_mxu_chunk_T(ov, dv, cv0, ce1, ce2, tmin, tmax)
+        t_mt, t_mx = np.asarray(t_mt), np.asarray(t_mx)
+        hit_mt, hit_mx = np.isfinite(t_mt), np.isfinite(t_mx)
+        # fp-boundary flips near triangle edges are allowed, but rare
+        assert (hit_mt != hit_mx).mean() < 1e-3
+        m = hit_mt & hit_mx
+        np.testing.assert_allclose(t_mx[m], t_mt[m], rtol=1e-4, atol=1e-5)
+
+    def test_any_kernel_agreement(self):
+        cv0, ce1, ce2 = self._chunk(seed=33)
+        ov, dv, tmin, tmax = rays(r=512, seed=34)
+        a_mt = np.asarray(
+            td._mt_any_chunk_T(ov, dv, cv0, ce1, ce2, tmin, tmax))
+        a_mx = np.asarray(
+            td._mt_mxu_any_chunk_T(ov, dv, cv0, ce1, ce2, tmin, tmax))
+        assert (a_mt != a_mx).mean() < 1e-3
+
+    def test_degenerate_rows_never_hit(self):
+        z = jnp.zeros((8, 3), jnp.float32)
+        v0 = jnp.asarray(np.random.default_rng(35).normal(size=(8, 3)),
+                         jnp.float32)
+        ov, dv, tmin, tmax = rays(r=128, seed=36)
+        t, _, _ = td._mt_mxu_chunk_T(ov, dv, v0, z, z, tmin, tmax)
+        assert not np.isfinite(np.asarray(t)).any()
+        a = td._mt_mxu_any_chunk_T(ov, dv, v0, z, z, tmin, tmax)
+        assert not np.asarray(a).any()
+
+    def test_end_to_end_vs_control(self, monkeypatch):
+        v0, v1, v2, op = soup(t=704, seed=37)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays(r=2560, seed=38)
+        monkeypatch.setattr(td, "MT_MXU", True)
+        hx = td.closest_hit(dt, ov, dv, tmin, tmax)   # unjitted: the jit
+        ax = td.any_hit(dt, ov, dv, tmin, tmax)       # cache ignores MT_MXU
+        monkeypatch.setattr(td, "MT_MXU", False)
+        hc = td.closest_hit(dt, ov, dv, tmin, tmax)
+        ac = td.any_hit(dt, ov, dv, tmin, tmax)
+        fx, fc = np.isfinite(np.asarray(hx.t)), np.isfinite(np.asarray(hc.t))
+        assert (fx != fc).mean() < 1e-3
+        m = fx & fc
+        same = np.asarray(hx.tri)[m] == np.asarray(hc.tri)[m]
+        assert same.mean() > 0.999   # near-tie id flips only
+        np.testing.assert_allclose(np.asarray(hx.t)[m][same],
+                                   np.asarray(hc.t)[m][same], rtol=5e-4)
+        assert (np.asarray(ax) != np.asarray(ac)).mean() < 1e-3

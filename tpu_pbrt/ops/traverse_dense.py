@@ -20,6 +20,7 @@ kernel is the next step up (see ops/traverse_pallas.py).
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -31,6 +32,98 @@ from .traverse import Hit
 from .vec import Vec3
 
 INF = jnp.float32(jnp.inf)
+
+# MXU plane-form sweep (Havel–Herout), the dense twin of
+# traverse_culled._mt_mxu_T: the six per-(tri, ray) dot products of the
+# triangle test come out of ONE (3C, 4) @ (4, 2R) f32 HIGHEST matmul and
+# only ~13 VPU ops/pair remain. Staged off until the TPU A/B.
+MT_MXU = os.environ.get("TPU_PBRT_MT_MXU", "0") == "1"
+
+
+def _plane_rows(cv0, ce1, ce2):
+    """(3C, 4) plane-form rows [n | n.v0], [p1 | v0.p1], [p2 | v0.p2]
+    with n = e1 x e2, p1 = (e2 x n)/|n|^2, p2 = (n x e1)/|n|^2. Built
+    in-register from the chunk components (~25 VPU ops per TRIANGLE,
+    amortized over all R rays). Degenerate/padded rows (e1 = e2 = 0)
+    yield n = 0 -> den = 0 -> guaranteed miss."""
+    v0x, v0y, v0z = cv0[:, 0], cv0[:, 1], cv0[:, 2]
+    e1x, e1y, e1z = ce1[:, 0], ce1[:, 1], ce1[:, 2]
+    e2x, e2y, e2z = ce2[:, 0], ce2[:, 1], ce2[:, 2]
+    nx = e1y * e2z - e1z * e2y
+    ny = e1z * e2x - e1x * e2z
+    nz = e1x * e2y - e1y * e2x
+    n2 = nx * nx + ny * ny + nz * nz
+    inv_n2 = 1.0 / jnp.where(n2 > 0.0, n2, 1.0)
+    p1x = (e2y * nz - e2z * ny) * inv_n2
+    p1y = (e2z * nx - e2x * nz) * inv_n2
+    p1z = (e2x * ny - e2y * nx) * inv_n2
+    p2x = (ny * e1z - nz * e1y) * inv_n2
+    p2y = (nz * e1x - nx * e1z) * inv_n2
+    p2z = (nx * e1y - ny * e1x) * inv_n2
+    d0 = nx * v0x + ny * v0y + nz * v0z
+    c1 = p1x * v0x + p1y * v0y + p1z * v0z
+    c2 = p2x * v0x + p2y * v0y + p2z * v0z
+    return jnp.concatenate([
+        jnp.stack([nx, ny, nz, d0], axis=1),
+        jnp.stack([p1x, p1y, p1z, c1], axis=1),
+        jnp.stack([p2x, p2y, p2z, c2], axis=1)], axis=0)
+
+
+def _mxu_dots(T, o: Vec3, d: Vec3):
+    """(3C, 2R) = T @ [[o; -1] | [d; 0]] on the MXU at f32 HIGHEST."""
+    r = o.x.shape[0]
+    ones = jnp.ones((r,), jnp.float32)
+    X = jnp.stack([
+        jnp.concatenate([o.x, d.x]),
+        jnp.concatenate([o.y, d.y]),
+        jnp.concatenate([o.z, d.z]),
+        jnp.concatenate([-ones, jnp.zeros((r,), jnp.float32)])],
+        axis=0)
+    return lax.dot_general(T, X, (((1,), (0,)), ((), ())),
+                           precision=lax.Precision.HIGHEST)
+
+
+def _mt_mxu_chunk_T(o, d, cv0, ce1, ce2, t_min, t_max):
+    """Plane-form closest-hit sweep on the MXU; same contract as
+    `_mt_chunk_T` ((t, u, v), t (C, R) inf where missed). den = n.d
+    equals Möller–Trumbore's det up to sign, so the same 1e-12
+    degeneracy cutoff applies."""
+    c = cv0.shape[0]
+    r = o.x.shape[0]
+    Y = _mxu_dots(_plane_rows(cv0, ce1, ce2), o, d)
+    den = Y[:c, r:]
+    t_num = -Y[:c, :r]
+    valid = jnp.abs(den) > 1e-12
+    inv = 1.0 / jnp.where(valid, den, 1.0)
+    t = t_num * inv
+    u = Y[c:2 * c, :r] + t * Y[c:2 * c, r:]
+    v = Y[2 * c:, :r] + t * Y[2 * c:, r:]
+    hit = (
+        valid & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > t_min[None, :]) & (t < t_max[None, :])
+    )
+    return jnp.where(hit, t, INF), u, v
+
+
+def _mt_mxu_any_chunk_T(o, d, cv0, ce1, ce2, t_min, t_max):
+    """Division-free plane-form occlusion sweep -> (C, R) bool: the MXU
+    supplies the six dot products and every inequality is compared in
+    the |den|-scaled domain (u*|den| = (p1.(o-v0))*|den| + (t_num*s)*(p1.d),
+    s = sign(den)) — no reciprocal, ~10 VPU ops/pair."""
+    c = cv0.shape[0]
+    r = o.x.shape[0]
+    Y = _mxu_dots(_plane_rows(cv0, ce1, ce2), o, d)
+    den = Y[:c, r:]
+    tn = -Y[:c, :r]
+    s = jnp.where(den >= 0.0, 1.0, -1.0)
+    aden = den * s
+    tns = tn * s
+    us = Y[c:2 * c, :r] * aden + tns * Y[c:2 * c, r:]
+    vs = Y[2 * c:, :r] * aden + tns * Y[2 * c:, r:]
+    return (
+        (aden > 1e-12) & (us >= 0.0) & (vs >= 0.0) & (us + vs <= aden)
+        & (tns > t_min[None, :] * aden) & (tns < t_max[None, :] * aden)
+    )
 
 
 def _mt_chunk(o, d, cv0, ce1, ce2, t_min, t_max):
@@ -141,6 +234,16 @@ def _mt_any_chunk_T(o, d, cv0, ce1, ce2, t_min, t_max):
     )
 
 
+def _mt_T(*args):
+    """Closest-hit sweep dispatcher: module flag read at trace time."""
+    return (_mt_mxu_chunk_T if MT_MXU else _mt_chunk_T)(*args)
+
+
+def _mt_any_T(*args):
+    """Occlusion sweep dispatcher: module flag read at trace time."""
+    return (_mt_mxu_any_chunk_T if MT_MXU else _mt_any_chunk_T)(*args)
+
+
 class DenseTris(NamedTuple):
     """Triangle soup padded to a multiple of the chunk size. Padded rows are
     degenerate (zero edges) and never hit."""
@@ -211,8 +314,8 @@ def closest_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
         ce1 = lax.dynamic_slice(tris.e1, (base, 0), (chunk, 3))
         ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
         best_t = lax.bitcast_convert_type(best_key & ~idx_mask, jnp.float32)
-        t, u, v = _mt_chunk_T(origin, direction, cv0, ce1, ce2, t_min,
-                              jnp.minimum(t_max, best_t))
+        t, u, v = _mt_T(origin, direction, cv0, ce1, ce2, t_min,
+                        jnp.minimum(t_max, best_t))
         key = jnp.min(pack(t, base), axis=0)
         return jnp.minimum(best_key, key)
 
@@ -249,7 +352,7 @@ def any_hit(tris: DenseTris, origin: Vec3, direction: Vec3, t_min, t_max,
         ce2 = lax.dynamic_slice(tris.e2, (base, 0), (chunk, 3))
         cop = lax.dynamic_slice(tris.opacity, (base,), (chunk,))
         tmax = jnp.where(occluded, -INF, t_max)
-        hit = _mt_any_chunk_T(origin, direction, cv0, ce1, ce2, t_min, tmax)
+        hit = _mt_any_T(origin, direction, cv0, ce1, ce2, t_min, tmax)
         blocks = hit & (cop[:, None] >= 0.5)
         return occluded | jnp.any(blocks, axis=0)
 
