@@ -152,6 +152,7 @@ def test_regir_through_app_frame():
     s.width, s.height = 32, 32
     s.raytracing.bounces = 2
     s.raytracing.regir = True
+    s.raytracing.regir_min_lights = 0  # force the grid on the 2-light box
     s.raytracing.regir_cells_per_axis = 4
     s.raytracing.regir_lights_per_cell = 4
     s.raytracing.regir_cell_size = 2.0
@@ -161,10 +162,36 @@ def test_regir_through_app_frame():
     scene = make_cornell_box()
     cam = make_cornell_camera(32, 32)
     app = App(scene, cam, s)
+    assert app.regir_settings is not None  # min_lights=0 forces the grid
     img, _rays = app.tick()
     img = np.asarray(img)
     assert np.isfinite(img).all()
     assert img.mean() > 0.01
+
+
+def test_regir_light_count_gate():
+    """Grid presampling is skipped below regir_min_lights (the power-CDF
+    draw is already exact there) and active at/above it — ReGIR cost must
+    scale with light count, not burden 2-light scenes."""
+    from tpu_pbrt.models.cornell import make_cornell_box, make_cornell_camera
+    from tpu_pbrt.render.app import App
+    from tpu_pbrt.utils.config import GraphicsSettings
+
+    s = GraphicsSettings()
+    s.width, s.height = 16, 16
+    s.raytracing.sharc = False
+    s.post_processing.bloom = False
+    s.check()
+    assert s.raytracing.regir  # shipping default stays ON
+    scene = make_cornell_box()  # 2 local lights < regir_min_lights
+    app = App(scene, make_cornell_camera(16, 16), s)
+    assert app.regir_settings is None
+    s2 = GraphicsSettings()
+    s2.width, s2.height = 16, 16
+    s2.raytracing.regir_min_lights = 2
+    s2.check()
+    app2 = App(scene, make_cornell_camera(16, 16), s2)
+    assert app2.regir_settings is not None
 
 
 def test_sample_from_rows_matches_sample():

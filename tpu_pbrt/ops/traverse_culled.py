@@ -173,7 +173,18 @@ def _mt_comp_T(o: Vec3, d: Vec3, v0x, v0y, v0z, e1x, e1y, e1z,
 # MXU plane-form sweep (Havel–Herout style): per (tri, ray) pair the
 # ~48 MAC flops of Möller–Trumbore move onto the systolic array as one
 # (3C, 4) @ (4, 2R) matmul and only ~13 VPU ops/pair remain (reciprocal,
-# two FMAs, the hit compares). Staged off until the TPU A/B.
+# two FMAs, the hit compares).
+#
+# MEASURED NEGATIVE RESULT (round 5, v5e): full-bench A/B MT_MXU=0 vs 1 —
+# cornell PT 193.74 vs 91.08 Mrays/s (2.1x LOSS, dense sweep), sphere
+# 8.68 vs 8.12 Mrays/s (-6%, culled sweep). The K=4 contraction leaves
+# the 128x128 systolic array >96% idle while the epilogue (reciprocal +
+# 2 FMAs + 4 compares per pair) still runs on the VPU — the matmul adds
+# latency without removing the VPU bottleneck. Kept functional + tested
+# (exact-equivalence in tests/test_culled.py) as engineering record;
+# default OFF. NOTE: the env var is read at import time and baked into
+# jitted callers at first trace — toggling at runtime is a no-op; the
+# blocked tracer never routes through this dispatcher.
 MT_MXU = os.environ.get("TPU_PBRT_MT_MXU", "0") == "1"
 
 

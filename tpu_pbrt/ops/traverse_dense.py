@@ -36,7 +36,12 @@ INF = jnp.float32(jnp.inf)
 # MXU plane-form sweep (Havel–Herout), the dense twin of
 # traverse_culled._mt_mxu_T: the six per-(tri, ray) dot products of the
 # triangle test come out of ONE (3C, 4) @ (4, 2R) f32 HIGHEST matmul and
-# only ~13 VPU ops/pair remain. Staged off until the TPU A/B.
+# only ~13 VPU ops/pair remain.
+#
+# MEASURED NEGATIVE RESULT (round 5, v5e): cornell PT-only bench 193.74
+# (off) vs 91.08 Mrays/s (on) — a 2.1x LOSS. See the longer note in
+# traverse_culled.py; default OFF, kept as tested engineering record.
+# Import-time-only flag: jitted callers bake the value at first trace.
 MT_MXU = os.environ.get("TPU_PBRT_MT_MXU", "0") == "1"
 
 

@@ -112,14 +112,20 @@ class App:
         # ReGIR_RIS is the reference's default local-light mode
         # (MyAppData.h:212); the grid build is skipped when the scene has
         # no local lights — there is nothing to presample and the initial
-        # sampler's power-CDF fallback is exact in that case.
-        has_local_lights = int(np.asarray(self.scene.lights.count)) > 0
+        # sampler's power-CDF fallback is exact in that case — and, below
+        # `regir_min_lights`, when the power-CDF draw IS already the
+        # distribution the grid approximates (chained RIS over few lights
+        # directly): presampling cannot reduce variance there and the
+        # per-surface cell fetch cost ~25% of the flagship frame on a
+        # 2-emitter Cornell (PARITY round-4 defaults A/B).
+        n_local = int(np.asarray(self.scene.lights.count))
         self.regir_settings = (regir_mod.ReGIRSettings(
             cells_per_axis=s.raytracing.regir_cells_per_axis,
             lights_per_cell=s.raytracing.regir_lights_per_cell,
             build_candidates=s.raytracing.regir_build_candidates,
             cell_size=s.raytracing.regir_cell_size,
-        ) if (s.raytracing.regir and has_local_lights) else None)
+        ) if (s.raytracing.regir and n_local > 0
+              and n_local >= s.raytracing.regir_min_lights) else None)
         self.pt_settings = pathtrace.PathTraceSettings(
             bounces=s.raytracing.bounces,
             samples_per_pixel=s.raytracing.samples_per_pixel,

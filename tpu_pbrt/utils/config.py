@@ -56,6 +56,14 @@ class RaytracingSettings:
     regir_lights_per_cell: int = 16
     regir_build_candidates: int = 8
     regir_cell_size: float = 1.0
+    # Grid presampling only pays past this many local lights: below it the
+    # initial sampler's power-CDF draw IS the exact distribution the grid
+    # RIS approximates (chained RIS over <=8 lights directly), so the App
+    # skips the build + per-surface cell fetch. The reference pays ~nothing
+    # for ReGIR on a 2-light scene; the TPU grid fetch cost ~25% of the
+    # flagship frame (PARITY round-4 defaults A/B). Set to 0 to force the
+    # grid on any scene with local lights.
+    regir_min_lights: int = 9
     # SHARC (RTXGI block)
     sharc: bool = True
     sharc_downscale: int = 4
@@ -95,6 +103,7 @@ class RaytracingSettings:
         self.regir_build_candidates = _clamp(
             int(self.regir_build_candidates), 1, 32)
         self.regir_cell_size = _clamp(float(self.regir_cell_size), 1e-3, 1e4)
+        self.regir_min_lights = _clamp(int(self.regir_min_lights), 0, 1 << 20)
         self.sharc_downscale = _clamp(int(self.sharc_downscale), 1, 8)
         self.sharc_scene_scale = _clamp(float(self.sharc_scene_scale), 1.0, 1e3)
         self.sharc_roughness_threshold = _clamp(
