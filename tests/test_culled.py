@@ -74,6 +74,49 @@ class TestCulledVsDense:
         assert (np.isfinite(np.asarray(hc.t))
                 == np.isfinite(np.asarray(hd.t))).all()
 
+    def test_preselect_exact(self, monkeypatch):
+        """The entry-ranked SUPERBLOCK pre-level must stay exact: rays
+        touching an unchosen super/candidate are re-swept by the cascade
+        (conservative t_cull test), so results match dense bit-for-bit
+        at the mantissa-truncation tolerance."""
+        monkeypatch.setattr(tc, "PRESELECT", True)
+        v0, v1, v2, op = soup(t=1400, seed=31)
+        ct = tc.prepare(v0, v1, v2, op)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays(r=4000, seed=32)
+        hc = tc.closest_hit(ct, ov, dv, tmin, tmax)   # unjitted: the jit
+        ac = tc.any_hit(ct, ov, dv, tmin, tmax)       # cache ignores the flag
+        hd = jax.jit(td.closest_hit)(dt, ov, dv, tmin, tmax)
+        ad = jax.jit(td.any_hit)(dt, ov, dv, tmin, tmax)
+        fc, fd = np.isfinite(np.asarray(hc.t)), np.isfinite(np.asarray(hd.t))
+        assert (fc == fd).all()
+        m = fc & fd
+        np.testing.assert_allclose(np.asarray(hc.t)[m], np.asarray(hd.t)[m],
+                                   rtol=5e-4)
+        assert (np.asarray(hc.tri)[m] == np.asarray(hd.tri)[m]).all()
+        assert (np.asarray(ac) == np.asarray(ad)).all()
+
+    def test_off_origin_precision(self):
+        """Scene translated ~1e3 units from the origin: the slab/MT
+        cancellation must not flip hits vs dense (ADVICE r4: bounds the
+        off-origin gap before any plane-form constants are trusted)."""
+        v0, v1, v2, op = soup(seed=33)
+        shift = np.float32([1000.0, -750.0, 1250.0])
+        v0, v1, v2 = v0 + shift, v1 + shift, v2 + shift
+        ct = tc.prepare(v0, v1, v2, op)
+        dt = td.prepare(jnp.asarray(v0), jnp.asarray(v1), jnp.asarray(v2),
+                        opacity=jnp.asarray(op))
+        ov, dv, tmin, tmax = rays(seed=34)
+        ov = Vec3(ov.x + shift[0], ov.y + shift[1], ov.z + shift[2])
+        hc = jax.jit(tc.closest_hit)(ct, ov, dv, tmin, tmax)
+        hd = jax.jit(td.closest_hit)(dt, ov, dv, tmin, tmax)
+        fc, fd = np.isfinite(np.asarray(hc.t)), np.isfinite(np.asarray(hd.t))
+        assert (fc == fd).mean() > 0.999   # fp-boundary flips only
+        m = fc & fd
+        np.testing.assert_allclose(np.asarray(hc.t)[m], np.asarray(hd.t)[m],
+                                   rtol=5e-3)
+
     def test_refit_tracks_deformation(self):
         v0, v1, v2, op = soup(seed=2)
         ct = tc.prepare(v0, v1, v2, op)

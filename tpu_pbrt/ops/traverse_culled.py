@@ -78,10 +78,13 @@ KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
 # pass-1 is ~8% faster but it flags 37% of rays uncovered (vs 0.5%),
 # and the cascade re-sweep eats the win 10x over. Keep A/B-able by env.
 PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "0") == "1"
-# pass-1 block ranking: "count" (most-touched) | "entry" (nearest slab
-# entry first — pairs with the t_cull uncovered test; A/B in
-# tools/r4h_culled_rank.py)
-RANK = os.environ.get("TPU_PBRT_CULLED_RANK", "count")
+# pass-1 block ranking: "entry" (nearest slab entry first — pairs with
+# the conservative t_cull uncovered test) | "count" (most-touched).
+# Entry is the default from the round-5 matrix (tools/r4h_culled_rank.py,
+# v5e, 25k-tri sphere, 2M rays): identical pass-1 cost, 7-15x fewer
+# uncovered rays (U1=16: 10404 -> 672; U1=12: 96268 -> 14405), because a
+# far block skipped by entry rank almost always fails `mlo <= t_cull`.
+RANK = os.environ.get("TPU_PBRT_CULLED_RANK", "entry")
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -455,8 +458,18 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
         ks = min((u_blocks + SUPER - 1) // SUPER + ks_extra, ns)
         smask, slo = _slab_mask(o, d, t0, t1, tris.super_min,
                                 tris.super_max)              # (S, CHUNK)
-        scounts = smask.sum(axis=1).astype(jnp.int32)
-        _, s_chosen = lax.top_k(scounts, ks)                 # (ks,)
+        if not any_mode:
+            # nearest-ENTRY super ranking (the same fix that repaired
+            # block ranking, r4h): a far super skipped this way almost
+            # always fails the post-sweep `slo <= t_cull` test — the hit
+            # found in the near supers precedes its entry — so it never
+            # becomes uncovered. Popularity ranking (the r4f 37%-uncovered
+            # regression) can skip a NEAR super many rays enter first.
+            sentry = jnp.min(jnp.where(smask, slo, INF), axis=1)  # (S,)
+            _, s_chosen = lax.top_k(-sentry, ks)             # (ks,)
+        else:
+            scounts = smask.sum(axis=1).astype(jnp.int32)
+            _, s_chosen = lax.top_k(scounts, ks)             # (ks,)
         iota_s = lax.broadcasted_iota(jnp.int32, (ks, ns), 1)
         onehot_s = (iota_s == s_chosen[:, None])
         super_in = onehot_s.any(axis=0)                      # (S,)
@@ -472,9 +485,13 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
         mask, mlo = _slab_mask(o, d, t0, t1, cand[:, 0:3],
                                cand[:, 3:6])                 # (ks*8, CHUNK)
         mask = mask & cvalid[:, None]
-        counts = mask.sum(axis=1).astype(jnp.int32)          # (ks*8,)
         k = min(u_blocks, ks * SUPER, nb)
-        _, ci = lax.top_k(counts, k)                         # (k,) cand index
+        if not any_mode:
+            centry = jnp.min(jnp.where(mask, mlo, INF), axis=1)  # (ks*8,)
+            _, ci = lax.top_k(-centry, k)                    # (k,) cand index
+        else:
+            counts = mask.sum(axis=1).astype(jnp.int32)      # (ks*8,)
+            _, ci = lax.top_k(counts, k)                     # (k,) cand index
         iota_c = lax.broadcasted_iota(jnp.int32, (k, ks * SUPER), 1)
         onehot_c = (iota_c == ci[:, None])
         cand_in = onehot_c.any(axis=0)                       # (ks*8,)

@@ -10,6 +10,7 @@ then blend; optional contrast-adaptive sharpen at display resolution.
 
 from __future__ import annotations
 
+import os as _os
 from typing import NamedTuple
 
 import jax.numpy as jnp
@@ -112,6 +113,8 @@ def resolve(
     resid = jnp.max(jnp.abs(motion_up - motion_up[0:1, 0:1, :]))
     uniform = (resid < 5e-3) & (jnp.abs(m0x) < _UNIFORM_PAD - 1) \
         & (jnp.abs(m0y) < _UNIFORM_PAD - 1)
+    if _os.environ.get("TPU_PBRT_TAA_UNIFORM", "1") == "0":  # A/B gate
+        uniform = jnp.zeros((), bool)
     hist = lax.cond(
         uniform,
         lambda _: _bilinear_shift(state.history, m0x, m0y),
