@@ -211,6 +211,31 @@ def main():
                         "block_base": (0.02, 0.02, 0.022),
                         "block_rough": 0.02,
                         "ceil_tint": (0.85, 0.85, 0.88)}),
+        # Round-5: the 480x360 side-by-side crops (PARITY round-5 notes)
+        # show four content deltas the map localizes to the 0.22-0.53
+        # regions: (a) our head floats HIGH with a neck gap — reference
+        # head is tucked low/forward; (b) ears read LONG, nearly
+        # body-length, fanned over the back; (c) the reference ball's
+        # holes GLOW (core lights them) and cast dapples on the red wall
+        # — ours are dark pits; (d) reference facets are large and
+        # IRREGULAR with mirror-contrast — ours read as a regular
+        # geodesic dome.
+        ("pose-tuck", {"bunny_head_up": 0.7}),
+        ("pose-ears", {"bunny_ear_len": 1.3}),
+        ("pose-both", {"bunny_head_up": 0.7, "bunny_ear_len": 1.3}),
+        ("core-glow30", {"core_radiance": (30.0, 29.5, 31.0)}),
+        ("core-glow60", {"core_radiance": (60.0, 59.0, 62.0)}),
+        ("r5-combo", {"bunny_head_up": 0.7, "bunny_ear_len": 1.3,
+                      "bunny_jitter": 0.10, "bunny_roughness": 0.25,
+                      "core_radiance": (30.0, 29.5, 31.0),
+                      "block_base": (0.30, 0.30, 0.32),
+                      "block_rough": 0.03}),
+        ("r5-combo-chrome50", {"bunny_head_up": 0.7, "bunny_ear_len": 1.3,
+                               "bunny_jitter": 0.10,
+                               "bunny_roughness": 0.25,
+                               "core_radiance": (30.0, 29.5, 31.0),
+                               "block_base": (0.50, 0.50, 0.52),
+                               "block_rough": 0.05}),
     ]
     if len(sys.argv) > 3:
         keep = set(sys.argv[3].split(","))

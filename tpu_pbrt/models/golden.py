@@ -177,9 +177,11 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
                        (-0.72, ear_y, 0.20)))
     # tail
     parts.append(place((0.22, 0.22, 0.22), np.eye(3), (1.22, 0.05, 0)))
-    # front paws
-    parts.append(place((0.35, 0.22, 0.22), np.eye(3), (-1.05, -0.78, -0.28)))
-    parts.append(place((0.35, 0.22, 0.22), np.eye(3), (-1.05, -0.78, 0.28)))
+    # front paws, tucked against the chest (at (-1.05, -0.78) they sat
+    # fully DETACHED in front of the body — the round-5 SSIM-map crop
+    # showed them as a floating ball, the single darkest map region)
+    parts.append(place((0.32, 0.22, 0.20), np.eye(3), (-0.80, -0.68, -0.26)))
+    parts.append(place((0.32, 0.22, 0.20), np.eye(3), (-0.80, -0.68, 0.26)))
     return parts
 
 

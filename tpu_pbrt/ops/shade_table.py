@@ -330,6 +330,13 @@ def _fetch_bounce_fused_pallas(sub: jnp.ndarray, slot: jnp.ndarray,
     tab_t = jnp.zeros((c_pad, t_pad), jnp.float32).at[:c, :tp].set(
         sub.astype(jnp.float32).T)
     tile = min(8192, max(128, ((1 << 20) // t_pad) // 128 * 128))
+    if r % 128 == 0:
+        # prefer a tile that DIVIDES r: r_pad == r makes the per-output
+        # unpad slice a pure reshape instead of 23 copy fusions
+        for k in range(tile // 128, 0, -1):
+            if (r // 128) % k == 0:
+                tile = 128 * k
+                break
     r_pad = -(-r // tile) * tile
 
     def padlane(a):
@@ -374,10 +381,9 @@ def _fetch_bounce_fused_pallas(sub: jnp.ndarray, slot: jnp.ndarray,
         v = jnp.clip(v, 0.0, 1.0)
         w = 1.0 - u - v
 
-        out_ref[_FB_POS:_FB_POS + 3, :] = jnp.concatenate(
-            [p0x + e1x * u + e2x * v,
-             p0y + e1y * u + e2y * v,
-             p0z + e1z * u + e2z * v], axis=0)
+        out_ref(_FB_POS, p0x + e1x * u + e2x * v)
+        out_ref(_FB_POS + 1, p0y + e1y * u + e2y * v)
+        out_ref(_FB_POS + 2, p0z + e1z * u + e2z * v)
 
         fx = e1y * e2z - e1z * e2y
         fy = e1z * e2x - e1x * e2z
@@ -403,28 +409,46 @@ def _fetch_bounce_fused_pallas(sub: jnp.ndarray, slot: jnp.ndarray,
         sy = jnp.where(front, sy, -sy)
         sz = jnp.where(front, sz, -sz)
 
-        out_ref[_FB_FLAT:_FB_FLAT + 3, :] = jnp.concatenate(
-            [fx, fy, fz], axis=0)
-        out_ref[_FB_SHAD:_FB_SHAD + 3, :] = jnp.concatenate(
-            [sx, sy, sz], axis=0)
-        out_ref[_FB_LCOS:_FB_LCOS + 1, :] = lcos
-        out_ref[_FB_FRONT:_FB_FRONT + 1, :] = front.astype(jnp.float32)
-        out_ref[_FB_BASE:_FB_BASE + 3, :] = rows[_SB_BASE:_SB_BASE + 3, :]
-        out_ref[_FB_EMIT:_FB_EMIT + 3, :] = rows[_SB_EMIT:_SB_EMIT + 3, :]
-        out_ref[_FB_METAL:_FB_TRI + 1, :] = rows[_SB_METAL:_SB_TRI + 1, :]
-        out_ref[_FB_TRI + 1:FB_ROWS, :] = jnp.zeros(
-            (FB_ROWS - _FB_TRI - 1, tile), jnp.float32)
+        out_ref(_FB_FLAT, fx)
+        out_ref(_FB_FLAT + 1, fy)
+        out_ref(_FB_FLAT + 2, fz)
+        out_ref(_FB_SHAD, sx)
+        out_ref(_FB_SHAD + 1, sy)
+        out_ref(_FB_SHAD + 2, sz)
+        out_ref(_FB_LCOS, lcos)
+        out_ref(_FB_FRONT, front.astype(jnp.float32))
+        for j in range(3):
+            out_ref(_FB_BASE + j, rows[_SB_BASE + j:_SB_BASE + j + 1, :])
+            out_ref(_FB_EMIT + j, rows[_SB_EMIT + j:_SB_EMIT + j + 1, :])
+        for dst, src in ((_FB_METAL, _SB_METAL), (_FB_ROUGH, _SB_ROUGH),
+                         (_FB_IOR, _SB_IOR), (_FB_TRANS, _SB_TRANS),
+                         (_FB_LPDF, _SB_LPDF), (_FB_TRI, _SB_TRI)):
+            out_ref(dst, rows[src:src + 1, :])
 
-    out = pl.pallas_call(
-        kern,
+    # SEPARATE (1, R) outputs, one per post-unpack row: a single
+    # (FB_ROWS, R) block forced a 19-way slice kLoop fusion in every
+    # consumer (the round-5 breakdown's single biggest PT op, 5.6
+    # ms/frame of pure data movement re-reading the 192 MB block) —
+    # multi-output writes each row to its own buffer once.
+    def kern_mo(*refs):
+        ins, outs = refs[:8], refs[8:]
+
+        def write(idx, val):
+            outs[idx][:, :] = val
+
+        kern(*ins, write)
+
+    n_out = _FB_TRI + 1
+    outs = pl.pallas_call(
+        kern_mo,
         grid=(r_pad // tile,),
         in_specs=[pl.BlockSpec((1, tile), lambda i: (0, i))] * 7
         + [pl.BlockSpec((c_pad, t_pad), lambda i: (0, 0))],
-        out_specs=pl.BlockSpec((FB_ROWS, tile), lambda i: (0, i)),
-        out_shape=jax.ShapeDtypeStruct((FB_ROWS, r_pad), jnp.float32),
+        out_specs=[pl.BlockSpec((1, tile), lambda i: (0, i))] * n_out,
+        out_shape=[jax.ShapeDtypeStruct((1, r_pad), jnp.float32)] * n_out,
         interpret=interpret,
     )(slot_p[None, :], *(x[None, :] for x in lanes), tab_t)
-    return out[:, :r]
+    return [o[0, :r] for o in outs]
 
 
 def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray

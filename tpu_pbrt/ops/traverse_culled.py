@@ -72,11 +72,18 @@ U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
 KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
-# superblock pre-level default OFF: the r4f A/B (tools/r4f_culled_ab.py,
-# v5e, 25k-tri sphere, 2M rays) measured full closest_hit 95.3 ms (22.0
-# Mrays/s) with preselect off vs 998.8 ms (2.1) on — the pre-level's
-# pass-1 is ~8% faster but it flags 37% of rays uncovered (vs 0.5%),
-# and the cascade re-sweep eats the win 10x over. Keep A/B-able by env.
+# superblock pre-level default OFF — rejected twice with numbers:
+#  * r4f (popularity-ranked supers, 25k sphere): 95.3 ms off vs 998.8 on
+#    (37% uncovered);
+#  * r5 (nearest-ENTRY-ranked supers + t_cull, tools/r5_preselect_ab.py):
+#    25k primary 98.7 off vs 128.3 on (11.8% unc), 25k bounce 125.9 vs
+#    1136.1 (22.3% unc), 101k-tri primary 185.1 off vs 4139.4 on (19.0%
+#    unc). Entry ranking cut the uncovered set 3x vs r4f but a FIXED
+#    ks = ceil(U1/8)+2 supers cannot cover divergent chunks — silhouette
+#    and bounce chunks touch many supers — and the cascade re-sweep eats
+#    the slab saving 5-20x over. The flat exact slab + entry-ranked
+#    top-U1 needs no hierarchy through at least 101k tris (11.3 Mrays/s
+#    primary, 1.7% uncovered at U1=16). Keep A/B-able by env.
 PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "0") == "1"
 # pass-1 block ranking: "entry" (nearest slab entry first — pairs with
 # the conservative t_cull uncovered test) | "count" (most-touched).
