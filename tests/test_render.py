@@ -173,6 +173,51 @@ def test_fetch_bounce_fused_matches_unfused():
                                   np.asarray(want.is_front_face))
 
 
+def test_fetch_rows_pallas_big_table():
+    """The VMEM row-fetch kernel past the XLA one-hot cap (>512 rows, the
+    round-5 FUSED_MAX_ROWS raise that rescued the animated config from
+    the blocked sort/gather fetch) must stay an exact row select."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pbrt.ops import shade_table as st
+
+    rng = np.random.default_rng(9)
+    t, c = 5133, 30                                # animated-table scale
+    table = jnp.asarray(rng.normal(size=(t, c)).astype(np.float32))
+    slots = np.asarray(rng.integers(0, t, 2000), np.int32)
+    got = np.asarray(st._fetch_rows_pallas(table, jnp.asarray(slots),
+                                           interpret=True))
+    np.testing.assert_array_equal(got, np.asarray(table)[slots].T)
+
+
+def test_fetch_bounce_fused_big_table():
+    """Fused bounce fetch on a >512-row table (FUSED_MAX_ROWS path):
+    exact row select + unpack vs the XLA path."""
+    import numpy as np
+    import jax.numpy as jnp
+    from tpu_pbrt.ops import shade_table as st
+    from tpu_pbrt.ops.vec import Vec3
+
+    rng = np.random.default_rng(11)
+    tp, r = 1200, 600
+    table = jnp.asarray(rng.normal(size=(tp, st.COLS)).astype(np.float32))
+    slot = jnp.asarray(rng.integers(0, tp, r, dtype=np.int32))
+    o = Vec3(*(jnp.asarray(rng.normal(size=r), jnp.float32)
+               for _ in range(3)))
+    dn = rng.normal(size=(3, r))
+    dn /= np.linalg.norm(dn, axis=0, keepdims=True)
+    d = Vec3(*(jnp.asarray(x, jnp.float32) for x in dn))
+    sub = table[:, jnp.asarray(st._BOUNCE_COLS, jnp.int32)]
+    got = st._fetch_bounce_fused(sub, slot, o, d, interpret=True)
+    rows = np.asarray(table)[np.asarray(slot)]
+    np.testing.assert_array_equal(np.asarray(got.metallic),
+                                  rows[:, st._METAL])
+    np.testing.assert_array_equal(np.asarray(got.base_color.x),
+                                  rows[:, st._BASE])
+    np.testing.assert_array_equal(np.asarray(got.tri),
+                                  rows[:, st._TRI].astype(np.int32))
+
+
 def test_fetch_rows_blocked_nonmultiple_sizes():
     import numpy as np
     import jax.numpy as jnp

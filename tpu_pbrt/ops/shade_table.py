@@ -180,6 +180,14 @@ class ShadeAttrs(NamedTuple):
 
 
 ONEHOT_MAX_ROWS = 512
+# the FUSED bounce fetch kernel holds the (C', t_pad) table transpose and
+# its (t_pad, tile) one-hot in VMEM, and its MXU dot contracts over the
+# FULL t_pad — efficient systolic use far past the XLA one-hot cap.
+# 8192 rows: table 1 MB + one-hot 4 MB VMEM, ~1.3 GMAC/128-lane tile.
+# Round-5 motivation: the animated config's 5k-tri table fell to the
+# blocked sort/gather fetch, which the breakdown measured at 72% of the
+# frame (1086 of 1510 ms per 3 frames, 59 GB/frame of traffic).
+FUSED_MAX_ROWS = 8192
 # route small-table fetches through the Pallas kernel below (TPU only;
 # default ON by measurement — tools/diag_fetch.py, v5e, 2M lanes, 30 cols:
 # XLA one-hot dot 2.24 ms vs Pallas VMEM-resident 0.62 ms (3.6×), both
@@ -210,9 +218,14 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray,
     from jax import lax
 
     tp = table.shape[0]
+    if (FETCH_PALLAS and tp <= FUSED_MAX_ROWS
+            and jax.default_backend() == "tpu"):
+        # the VMEM-resident kernel scales past the XLA one-hot cap: its
+        # MXU dot contracts the full t_pad and traffic stays slot+output
+        # (see FUSED_MAX_ROWS note; the blocked sort/gather fetch at 5k
+        # rows measured 72% of the animated frame)
+        return _fetch_rows_pallas(table, slot)
     if tp <= ONEHOT_MAX_ROWS:
-        if FETCH_PALLAS and jax.default_backend() == "tpu":
-            return _fetch_rows_pallas(table, slot)
         onehot = (
             slot[None, :] == jnp.arange(tp, dtype=jnp.int32)[:, None]
         ).astype(jnp.float32)                                     # (T, R)
@@ -660,7 +673,7 @@ def fetch_bounce(table: jnp.ndarray, slot: jnp.ndarray, ray_origin: Vec3,
     textured = atlas is not None
     cols = _BOUNCE_COLS_TEX if textured else _BOUNCE_COLS
     sub = table[:, jnp.asarray(cols, jnp.int32)]   # (T, C') — tiny gather
-    if (not textured and FETCH_FUSED and table.shape[0] <= ONEHOT_MAX_ROWS
+    if (not textured and FETCH_FUSED and table.shape[0] <= FUSED_MAX_ROWS
             and jax.default_backend() == "tpu"):
         return _fetch_bounce_fused(sub, slot, ray_origin, ray_dir)
     row = _fetch_rows(sub, slot)                   # (C', R)

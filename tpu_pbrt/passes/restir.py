@@ -39,11 +39,13 @@ from jax import lax
 # rotated): turns each neighbor tap's per-lane row gather into a vector
 # shift via the _tap_rows uniform fast path. Same expectation (offsets
 # remain random per frame/tap, the merge randomness stays per-lane);
-# correlated neighbor noise is the A/B tradeoff — staged off until the
-# fps + golden-SSIM A/B (reference uses per-pixel offsets,
-# DISpatialResampling.hlsl).
+# correlated neighbor noise is the tradeoff (reference uses per-pixel
+# offsets, DISpatialResampling.hlsl). DEFAULT ON since the round-5 A/B:
+# app 10.58 -> 11.07 fps (+4.6%) with golden app-graph SSIM 0.7337 ->
+# 0.7356 (no quality cost at 256 frames; the per-frame rotation
+# decorrelates the shared offsets across history).
 RESTIR_SHARED_TAPS = _os.environ.get(
-    "TPU_PBRT_RESTIR_SHARED_TAPS", "0") == "1"
+    "TPU_PBRT_RESTIR_SHARED_TAPS", "1") == "1"
 
 from ..models.scene import Scene
 from ..ops import bxdf, rng, sampling, vec

@@ -265,16 +265,30 @@ def resolve(state: SHARCState, new_keys: VoxelKey, new_radiance: Vec3,
     aged_sum = state.radiance * aged_cnt[:, None]
     aged_stl = jnp.where(keep, stale, 0.0)
 
-    # --- 4. combine winners with their table rows in P-space: gather the
-    # aged row at each winner's slot, merge branchlessly, scatter back
+    # --- 4. combine winners with their table rows in P-space through a
+    # PACKED (C, 8) u32 row table: TPU gathers/scatters pay per ROW, so
+    # the previous SoA round-trip (7 gathers + 5 scatters at P rows each)
+    # cost 24.9% of the flagship frame (round-5 breakdown: the
+    # sharc_resolve scatter fusions alone were 11 ms/frame). One row
+    # gather + one row scatter move the same bytes in contiguous 32-byte
+    # rows. f32 values ride as BITCAST u32 so no NaN canonicalization can
+    # touch key bit patterns.
+    def f32b(x):
+        return lax.bitcast_convert_type(x.astype(jnp.float32), _U32)
+
+    def bf(x):
+        return lax.bitcast_convert_type(x, jnp.float32)
+
+    aged8 = jnp.stack([
+        aged_lo, aged_hi,
+        f32b(aged_sum[:, 0]), f32b(aged_sum[:, 1]), f32b(aged_sum[:, 2]),
+        f32b(aged_cnt), f32b(aged_stl), jnp.zeros((c,), _U32)], axis=-1)
+
     gi = jnp.minimum(w_slot, c - 1)
-    g_lo = aged_lo[gi]
-    g_hi = aged_hi[gi]
-    g_sx = aged_sum[gi, 0]
-    g_sy = aged_sum[gi, 1]
-    g_sz = aged_sum[gi, 2]
-    g_cnt = aged_cnt[gi]
-    g_stl = aged_stl[gi]
+    grow = aged8[gi]                                 # (P, 8) one row gather
+    g_lo, g_hi = grow[:, 0], grow[:, 1]
+    g_sx, g_sy, g_sz = bf(grow[:, 2]), bf(grow[:, 3]), bf(grow[:, 4])
+    g_cnt, g_stl = bf(grow[:, 5]), bf(grow[:, 6])
     g_live = (g_lo != EMPTY_KEY) & (g_cnt > 0)
     match = g_live & (g_lo == w_lo) & (g_hi == w_hi)
     # eviction on a slot collision: the busier voxel wins (count-capped
@@ -290,15 +304,14 @@ def resolve(state: SHARCState, new_keys: VoxelKey, new_radiance: Vec3,
     n_cnt = jnp.where(adopt, w_cnt, g_cnt + jnp.where(match, w_cnt, 0.0))
     n_stl = jnp.where(adopt | match, 0.0, g_stl)
 
-    def put(dst, val):
-        return dst.at[idx].set(val, mode="drop", unique_indices=True,
-                               indices_are_sorted=True)
-
-    f_lo = put(aged_lo, n_lo)
-    f_hi = put(aged_hi, n_hi)
-    f_sum = put(aged_sum, jnp.stack([n_sx, n_sy, n_sz], axis=-1))
-    f_cnt = put(aged_cnt, n_cnt)
-    f_stl = put(aged_stl, n_stl)
+    nrow = jnp.stack([n_lo, n_hi, f32b(n_sx), f32b(n_sy), f32b(n_sz),
+                      f32b(n_cnt), f32b(n_stl),
+                      jnp.zeros_like(n_lo)], axis=-1)     # (P, 8)
+    out8 = aged8.at[idx].set(nrow, mode="drop", unique_indices=True,
+                             indices_are_sorted=True)     # ONE row scatter
+    f_lo, f_hi = out8[:, 0], out8[:, 1]
+    f_sum = bf(out8[:, 2:5])
+    f_cnt, f_stl = bf(out8[:, 5]), bf(out8[:, 6])
 
     mean = f_sum / jnp.maximum(f_cnt, 1e-8)[:, None]
     live = (f_lo != EMPTY_KEY) & (f_cnt > 0)
