@@ -236,6 +236,25 @@ def main():
                                "core_radiance": (30.0, 29.5, 31.0),
                                "block_base": (0.50, 0.50, 0.52),
                                "block_rough": 0.05}),
+        # Round-5b: ceil-dim + pose-tuck baked; the residual bunny-region
+        # loss tracks BRIGHTNESS (a pure metal mirrors the dark room; the
+        # screenshot bunny reads as bright semi-diffuse silver, and its
+        # mirror-block reflection is bright BECAUSE the bunny is) — sweep
+        # the metallic/roughness plane around brighter semi-diffuse
+        # points
+        ("bunny-semi50", {"bunny_metallic": 0.5, "bunny_roughness": 0.5,
+                          "bunny_base": (0.85, 0.85, 0.84)}),
+        ("bunny-semi70", {"bunny_metallic": 0.7, "bunny_roughness": 0.4,
+                          "bunny_base": (0.88, 0.88, 0.87)}),
+        ("bunny-diffuse", {"bunny_metallic": 0.25,
+                           "bunny_roughness": 0.6,
+                           "bunny_base": (0.82, 0.82, 0.81)}),
+        ("bunny-semi50-jit", {"bunny_metallic": 0.5,
+                              "bunny_roughness": 0.5,
+                              "bunny_base": (0.85, 0.85, 0.84),
+                              "bunny_jitter": 0.10}),
+        ("bunny-big", {"bunny_scale": 105.0}),
+        ("bunny-small", {"bunny_scale": 86.0}),
     ]
     if len(sys.argv) > 3:
         keep = set(sys.argv[3].split(","))

@@ -260,8 +260,9 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       core_radiance=(7.7, 7.6, 7.9),
                       bunny_center=(382.0, 205.0), bunny_scale=95.0,
                       bunny_yaw=-8.0, bunny_roughness=0.45,
+                      bunny_metallic=1.0, bunny_base=(0.93, 0.93, 0.92),
                       bunny_jitter=0.0, bunny_ear_len=0.6,
-                      bunny_head_up=1.15, bunny_ear_tilt=36.0,
+                      bunny_head_up=0.7, bunny_ear_tilt=36.0,
                       ball_center=(98.0, 158.0), ball_radius=56.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
                       hole2_deg=0.0, face_hole_deg=0.0,
@@ -273,7 +274,7 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       green_color=(0.14, 0.45, 0.18),
                       floor_tint=(0.90, 0.90, 1.0),
                       back_tint=(1.08, 1.10, 1.12),
-                      ceil_tint=(1.0, 1.0, 1.0),
+                      ceil_tint=(0.85, 0.85, 0.88),
                       block_metallic=1.0,
                       block_base=(0.05, 0.05, 0.055),
                       block_rough=0.02) -> Scene:
@@ -330,8 +331,10 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                         green_color[2], 1.0), "roughness": 1.0},
         {"base_color": (0.78, 0.78, 0.78, 1.0), "roughness": 1.0,
          "emissive_color": light_radiance, "emissive_strength": 1.0},
-        # faceted silver bunny
-        {"base_color": (0.93, 0.93, 0.92, 1.0), "metallic": 1.0,
+        # faceted silver bunny (metallic/base swept: a pure metal only
+        # mirrors the dark room; the screenshot's bunny reads brighter,
+        # semi-diffuse silver)
+        {"base_color": (*bunny_base, 1.0), "metallic": bunny_metallic,
          "roughness": bunny_roughness},
         # polished black slab. NOTE: as a black METAL the reflection is
         # tinted by base_color (5% -> faint smudge); the screenshot shows
