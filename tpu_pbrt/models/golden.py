@@ -126,14 +126,21 @@ def flat_mesh(verts, faces, scale, rot, translate, material, object_id,
 
 def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
                       yaw_deg=0.0, object_id=4, jitter=0.0,
-                      ear_len=1.0, head_up=1.0, ear_tilt=-26.0):
+                      ear_len=1.0, head_up=1.0, ear_tilt=-26.0,
+                      back_up=1.0, haunch=1.0):
     """Low-poly metallic bunny facing -x (image left), sitting on the
     floor. `scale` = body radius in classic units (~total height 2.4x).
 
     `jitter` > 0 perturbs each part's sphere vertices radially +
     tangentially by that fraction of the radius (seeded, deterministic):
     the reference bunny is a decimated mesh whose facets are IRREGULAR,
-    while regular icosphere subdivision reads as a geodesic dome."""
+    while regular icosphere subdivision reads as a geodesic dome.
+
+    `ear_tilt` is a scalar (both ears) or an (outer, inner) pair of
+    z-rotations: the screenshot's ears form a wide V in screen space —
+    the outer (nose-side) ear leans toward the facing, the inner sweeps
+    back. `back_up` scales the body arch height; `haunch` the rear
+    haunch bulge (the screenshot's dominant body masses)."""
     v1, f1 = icosphere(1)     # 80-face parts: the faceted look
     parts = []
     cx, cz = center_xz
@@ -152,10 +159,12 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
                          [cx + off[0], body_y + off[1], cz + off[2]],
                          MAT_BUNNY, object_id)
 
-    # body: plump ellipsoid, slightly upright (facing -x)
-    parts.append(place((1.05, 1.0, 0.85), _rot_z(-12.0), (0, 0, 0)))
+    # body: plump ellipsoid, slightly upright (facing -x); `back_up`
+    # raises the arch of the back (the screenshot's high rounded spine)
+    parts.append(place((1.05, 1.0 * back_up, 0.85), _rot_z(-12.0), (0, 0, 0)))
     # haunch bulge at the rear
-    parts.append(place((0.72, 0.72, 0.62), np.eye(3), (0.62, -0.12, 0)))
+    parts.append(place((0.72 * haunch, 0.72 * haunch, 0.62 * haunch),
+                       np.eye(3), (0.62, -0.12, 0)))
     # chest/front, raised
     parts.append(place((0.60, 0.66, 0.55), np.eye(3), (-0.68, 0.15, 0)))
     # head: raised, reads in profile against the back wall (`head_up`
@@ -166,10 +175,13 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
     parts.append(place((0.30, 0.25, 0.25), np.eye(3),
                        (-1.32, 0.95 * head_up, 0)))
     # ears: long flattened ellipsoids, slightly splayed. `ear_tilt` is
-    # the z-rotation: negative leans toward the facing (-x) direction,
-    # positive sweeps them BACK over the body (the reference pose)
-    ear_rot_l = _rot_z(ear_tilt) @ _rot_x(-12.0)
-    ear_rot_r = _rot_z(ear_tilt) @ _rot_x(12.0)
+    # the z-rotation per ear (scalar = both): negative leans toward the
+    # facing (-x) direction, positive sweeps back over the body — the
+    # screenshot shows a wide V (outer ear forward, inner ear back)
+    tilt_l, tilt_r = (ear_tilt if isinstance(ear_tilt, (tuple, list))
+                      else (ear_tilt, ear_tilt))
+    ear_rot_l = _rot_z(tilt_l) @ _rot_x(-12.0)
+    ear_rot_r = _rot_z(tilt_r) @ _rot_x(12.0)
     ear_y = (1.12 * head_up) + (2.12 - 1.12) * ear_len
     parts.append(place((0.18, 0.75 * ear_len, 0.11), ear_rot_l,
                        (-0.72, ear_y, -0.20)))
@@ -263,6 +275,7 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       bunny_metallic=1.0, bunny_base=(0.93, 0.93, 0.92),
                       bunny_jitter=0.0, bunny_ear_len=0.6,
                       bunny_head_up=0.7, bunny_ear_tilt=36.0,
+                      bunny_back_up=1.0, bunny_haunch=1.0,
                       ball_center=(98.0, 158.0), ball_radius=56.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
                       hole2_deg=0.0, face_hole_deg=0.0,
@@ -314,7 +327,9 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                                 yaw_deg=bunny_yaw, jitter=bunny_jitter,
                                 ear_len=bunny_ear_len,
                                 head_up=bunny_head_up,
-                                ear_tilt=bunny_ear_tilt)
+                                ear_tilt=bunny_ear_tilt,
+                                back_up=bunny_back_up,
+                                haunch=bunny_haunch)
     meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
                                core_frac=core_frac, hole_deg=hole_deg,
                                hole2_deg=hole2_deg,

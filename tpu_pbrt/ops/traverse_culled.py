@@ -92,6 +92,20 @@ PRESELECT = os.environ.get("TPU_PBRT_CULLED_PRESELECT", "0") == "1"
 # uncovered rays (U1=16: 10404 -> 672; U1=12: 96268 -> 14405), because a
 # far block skipped by entry rank almost always fails `mlo <= t_cull`.
 RANK = os.environ.get("TPU_PBRT_CULLED_RANK", "entry")
+# any-hit (occlusion) pass-1 ranking: entry ranking puts the blocks a
+# shadow ray ENTERS first at the top — the occluder is usually near the
+# origin, and an occluded ray drops out of the uncovered set entirely
+# (`unc & ~occ`), so near-first ordering shrinks the cascade exactly
+# like t_cull does for closest-hit. Counts ranking (the pre-r5c default)
+# maximizes per-chunk coverage instead. A/B: TPU_PBRT_ANY_RANK.
+ANY_RANK = os.environ.get("TPU_PBRT_ANY_RANK", "entry")
+# cascade compaction: "gather" compacts the (tiny, entry-ranked) pass-2
+# pool by a 2-operand permutation sort + head gathers instead of the
+# 12-operand full-pool sort — the full sort re-streams every ray operand
+# (~6 ms per 2M-lane query) to move what is usually <1k uncovered rays
+# (672 at U1=16 on the 25k bench sphere). Falls back to the full-sort
+# cascade when n_unc overflows the small head pool. A/B: r5c.
+CASCADE_GATHER = os.environ.get("TPU_PBRT_CASCADE_GATHER", "1") == "1"
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -510,7 +524,7 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
         mask, mlo = _slab_mask(o, d, t0, t1, tris.block_min,
                                tris.block_max)               # (B, CHUNK)
         k = min(u_blocks, nb)
-        if RANK == "entry" and not any_mode:
+        if (RANK if not any_mode else ANY_RANK) == "entry":
             # nearest-entry ranking: sweep the k blocks the chunk's rays
             # ENTER first. A far block skipped this way usually fails the
             # post-sweep `mlo <= t_cull` test (the found hit already
@@ -810,6 +824,18 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     iota = jnp.arange(rp, dtype=jnp.int32)
     n_in = jnp.minimum(n_unc, pool2)
     unc_key = (~unc).astype(jnp.int32)
+    # small-cascade head (CASCADE_GATHER): compact by a 2-operand
+    # permutation sort + head gathers instead of re-streaming every ray
+    # operand through the 12-operand sort. Entry ranking keeps n_unc tiny
+    # (672 of 2M at U1=16 on the bench sphere), so this is the only
+    # cascade that fires in practice; the legacy full-sort path remains
+    # for n_unc > pool3.
+    pool3 = max((rp // 32) // CHUNK * CHUNK, CHUNK)
+    n_in3 = jnp.minimum(n_unc, pool3)
+
+    def _head_idx():
+        _, perm = lax.sort((unc_key, iota), dimension=0, num_keys=1)
+        return perm[:pool3]
 
     def common_head(ops):
         """Sort-compact, U2-re-sweep the head slice; returns the sorted
@@ -853,7 +879,31 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
             occ2 = lax.cond(n_unc > pool2, catch_tail, lambda o: o, occ2)
             return occ2, rid2
 
-        occ, rid = lax.cond(n_unc > 0, cascade,
+        def cascade_small(_):
+            idx = _head_idx()
+            rays_h = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz,
+                                            t0, t1))
+            in_play = iota[:pool3] < n_unc
+            occ_h = occ[idx]
+            _, _, oc3, un3 = _sweep(tris, *rays_h, U2, True,
+                                    n_live=n_in3)
+            occ_h = occ_h | (in_play & oc3)
+            still = in_play & un3 & ~occ_h
+
+            def stage3(oh):
+                _, _, oc4 = _dense_pool(tris, *rays_h, True,
+                                        in_play=still.astype(jnp.int32))
+                return oh | (still & oc4)
+
+            occ_h = lax.cond(jnp.any(still), stage3, lambda o: o, occ_h)
+            return occ.at[idx].set(occ_h), rid
+
+        if CASCADE_GATHER:
+            def dispatch(_):
+                return lax.cond(n_unc <= pool3, cascade_small, cascade, 0)
+        else:
+            dispatch = cascade
+        occ, rid = lax.cond(n_unc > 0, dispatch,
                             lambda _: (occ, rid), 0)
         _, occf = lax.sort((rid, occ.astype(jnp.float32)),
                            dimension=0, num_keys=1)
@@ -897,7 +947,35 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
                               (key2, hid2))
         return key2, hid2, rid2
 
-    key, hid, rid = lax.cond(n_unc > 0, cascade,
+    def cascade_small(_):
+        idx = _head_idx()
+        rays_h = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
+        in_play = iota[:pool3] < n_unc
+        key_h = key[idx]
+        hid_h = hid[idx]
+        k3, id3, _, un3 = _sweep(tris, *rays_h, U2, False, n_live=n_in3)
+        better = in_play & (k3 < key_h)
+        key_h = jnp.where(better, k3, key_h)
+        hid_h = jnp.where(better, id3, hid_h)
+        still = in_play & un3
+
+        def stage3(args):
+            kh, hh = args
+            k4, id4, _ = _dense_pool(tris, *rays_h, False,
+                                     in_play=still.astype(jnp.int32))
+            b = still & (k4 < kh)
+            return jnp.where(b, k4, kh), jnp.where(b, id4, hh)
+
+        key_h, hid_h = lax.cond(jnp.any(still), stage3, lambda a: a,
+                                (key_h, hid_h))
+        return key.at[idx].set(key_h), hid.at[idx].set(hid_h), rid
+
+    if CASCADE_GATHER:
+        def dispatch(_):
+            return lax.cond(n_unc <= pool3, cascade_small, cascade, 0)
+    else:
+        dispatch = cascade
+    key, hid, rid = lax.cond(n_unc > 0, dispatch,
                              lambda _: (key, hid, rid), 0)
 
     # --- unsort back to caller order
