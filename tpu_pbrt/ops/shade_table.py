@@ -233,6 +233,10 @@ def _fetch_rows(table: jnp.ndarray, slot: jnp.ndarray,
             table, onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=lax.Precision.HIGHEST)                     # (C, R)
+    if FETCH_SORTED:
+        # handles coherent AND incoherent slots: the permutation sort
+        # makes every chunk coherent by construction
+        return _fetch_rows_sorted(table, slot)
     if coherent:
         return _fetch_rows_blocked(table, slot)
     # incoherent slots (e.g. CDF light draws): the chunked block fetch
@@ -464,8 +468,43 @@ def _fetch_bounce_fused_pallas(sub: jnp.ndarray, slot: jnp.ndarray,
     return [o[0, :r] for o in outs]
 
 
-def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray
-                        ) -> jnp.ndarray:
+# slot-sorted big-table fetch (round 5c): the sphere-bench profile put
+# the blocked fetch at 64% of the frame — its uncovered-lane fallback
+# (full-pool 3-op sort + row gather + (pool, c) SCATTER, ~35 ms/query)
+# fires whenever ANY lane misses the chunk's top-KB blocks, i.e. every
+# bounce pool in practice. Sorting lanes by slot first makes each
+# 128-lane chunk span ~2 distinct rows (2M lanes over ≤64k rows), so
+# kb=4 covers essentially always and the fallback cond stays on its
+# cheap branch; the results ride back to lane order through ONE
+# (1+c)-operand sort instead of a scatter. A/B: TPU_PBRT_FETCH_SORTED.
+FETCH_SORTED = _os.environ.get("TPU_PBRT_FETCH_SORTED", "1") == "1"
+FETCH_KB_SORTED = 4
+
+
+def _fetch_rows_sorted(table: jnp.ndarray, slot: jnp.ndarray
+                       ) -> jnp.ndarray:
+    """Big-table row fetch, slot-sorted: 2-operand permutation sort →
+    blocked one-hot fetch on the sorted (near-perfectly coherent) slots
+    → one multi-operand unsort carrying the c output columns. Same
+    (C, R) contract as `_fetch_rows_blocked`."""
+    from jax import lax
+
+    tp, c = table.shape
+    r = slot.shape[0]
+    rpad = (-r) % FETCH_CHUNK
+    slot_p = jnp.concatenate(
+        [slot, jnp.zeros((rpad,), slot.dtype)]) if rpad else slot
+    rp = slot_p.shape[0]
+    iota = jnp.arange(rp, dtype=jnp.int32)
+    slot_s, perm = lax.sort((slot_p, iota), dimension=0, num_keys=1)
+    rows_t = _fetch_rows_blocked(table, slot_s, kb=FETCH_KB_SORTED)
+    outs = lax.sort((perm,) + tuple(rows_t[j] for j in range(c)),
+                    dimension=0, num_keys=1)
+    return jnp.stack(outs[1:], axis=0)[:, :r]
+
+
+def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray,
+                        kb: int | None = None) -> jnp.ndarray:
     """Big-table row fetch as MXU matmuls: lanes are processed in chunks
     of FETCH_CHUNK; each chunk one-hot-fetches the FETCH_KB blocks (of
     FETCH_BLOCK rows) most of its lanes address, then selects per-lane
@@ -497,7 +536,7 @@ def _fetch_rows_blocked(table: jnp.ndarray, slot: jnp.ndarray
         g -= 1
 
     iota_b = jnp.arange(nb, dtype=jnp.int32)
-    kb = min(FETCH_KB, nb)
+    kb = min(FETCH_KB if kb is None else kb, nb)
 
     def chunk(sl):
         blk = sl // FETCH_BLOCK                              # (128,)

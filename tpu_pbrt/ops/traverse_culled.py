@@ -67,7 +67,10 @@ INF = jnp.float32(jnp.inf)
 BLOCK = 64          # triangles per Morton block (tight AABBs)
 CHUNK = 128         # rays per chunk = one vector-lane width
 COLS = 12           # v0(3) e1(3) e2(3) id(1) opacity(1) pad(1)
-U1 = 16             # pass-1 blocks per chunk (A/B: 12 -> 16 halves unc)
+U1 = int(os.environ.get("TPU_PBRT_CULLED_U1", "16"))
+#                   # pass-1 blocks per chunk (A/B: 12 -> 16 halves unc;
+#                   # r5 TPU sweep: U1=8 entry-rank primary closest 90.6
+#                   # vs 101 ms — the cascade eats most of the saving)
 U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
