@@ -127,7 +127,7 @@ def flat_mesh(verts, faces, scale, rot, translate, material, object_id,
 def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
                       yaw_deg=0.0, object_id=4, jitter=0.0,
                       ear_len=1.0, head_up=1.0, ear_tilt=-26.0,
-                      back_up=1.0, haunch=1.0):
+                      back_up=1.0, haunch=1.0, ear_x=-0.72):
     """Low-poly metallic bunny facing -x (image left), sitting on the
     floor. `scale` = body radius in classic units (~total height 2.4x).
 
@@ -184,9 +184,9 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
     ear_rot_r = _rot_z(tilt_r) @ _rot_x(12.0)
     ear_y = (1.12 * head_up) + (2.12 - 1.12) * ear_len
     parts.append(place((0.18, 0.75 * ear_len, 0.11), ear_rot_l,
-                       (-0.72, ear_y, -0.20)))
+                       (ear_x, ear_y, -0.20)))
     parts.append(place((0.18, 0.75 * ear_len, 0.11), ear_rot_r,
-                       (-0.72, ear_y, 0.20)))
+                       (ear_x, ear_y, 0.20)))
     # tail
     parts.append(place((0.22, 0.22, 0.22), np.eye(3), (1.22, 0.05, 0)))
     # front paws, tucked against the chest (at (-1.05, -0.78) they sat
@@ -199,7 +199,7 @@ def make_bunny_meshes(center_xz=(380.0, 150.0), scale=112.0,
 
 def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
                      core_frac=0.45, hole_deg=16.0, hole2_deg=0.0,
-                     face_hole_deg=0.0):
+                     face_hole_deg=0.0, base_h=28.0):
     """Perforated metal ball luminaire on a wooden base: sphere shell with
     geometric circular holes, emissive core inside.
 
@@ -233,7 +233,6 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
         cos2 = centroid @ mids.T
         keep &= (cos2.max(axis=1) < np.cos(np.radians(hole2_deg)))
 
-    base_h = 28.0
     cy = base_h + radius * 0.92
     cx, cz = center_xz
     shell = flat_mesh(v3, f3, radius, np.eye(3), [cx, cy, cz],
@@ -276,9 +275,10 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       bunny_jitter=0.0, bunny_ear_len=0.6,
                       bunny_head_up=0.7, bunny_ear_tilt=36.0,
                       bunny_back_up=1.0, bunny_haunch=1.0,
+                      bunny_ear_x=-0.72,
                       ball_center=(98.0, 158.0), ball_radius=56.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
-                      hole2_deg=0.0, face_hole_deg=0.0,
+                      hole2_deg=0.0, face_hole_deg=0.0, ball_base_h=28.0,
                       block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(200.0, 435.0),
@@ -329,11 +329,12 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                                 head_up=bunny_head_up,
                                 ear_tilt=bunny_ear_tilt,
                                 back_up=bunny_back_up,
-                                haunch=bunny_haunch)
+                                haunch=bunny_haunch, ear_x=bunny_ear_x)
     meshes += make_ball_meshes(center_xz=ball_center, radius=ball_radius,
                                core_frac=core_frac, hole_deg=hole_deg,
                                hole2_deg=hole2_deg,
-                               face_hole_deg=face_hole_deg)
+                               face_hole_deg=face_hole_deg,
+                               base_h=ball_base_h)
 
     geometry = build_geometry(meshes)
     wb = wall_boost

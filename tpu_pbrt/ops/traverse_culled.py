@@ -67,10 +67,12 @@ INF = jnp.float32(jnp.inf)
 BLOCK = 64          # triangles per Morton block (tight AABBs)
 CHUNK = 128         # rays per chunk = one vector-lane width
 COLS = 12           # v0(3) e1(3) e2(3) id(1) opacity(1) pad(1)
-U1 = int(os.environ.get("TPU_PBRT_CULLED_U1", "16"))
-#                   # pass-1 blocks per chunk (A/B: 12 -> 16 halves unc;
-#                   # r5 TPU sweep: U1=8 entry-rank primary closest 90.6
-#                   # vs 101 ms — the cascade eats most of the saving)
+U1 = int(os.environ.get("TPU_PBRT_CULLED_U1", "12"))
+#                   # pass-1 blocks per chunk. r5 TPU sweep (entry rank,
+#                   # 25k sphere, 2M primary rays): closest 90.6/86.9/99.7
+#                   # ms at U1=8/12/16, any 82.8/84.0/95.4 — 12 is the
+#                   # shipping default; the cascade absorbs the smaller
+#                   # pass-1 at 8 and the extra sweep work dominates at 16
 U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
@@ -109,6 +111,10 @@ ANY_RANK = os.environ.get("TPU_PBRT_ANY_RANK", "entry")
 # (672 at U1=16 on the 25k bench sphere). Falls back to the full-sort
 # cascade when n_unc overflows the small head pool. A/B: r5c.
 CASCADE_GATHER = os.environ.get("TPU_PBRT_CASCADE_GATHER", "1") == "1"
+# query-level head gather: when the touched count fits an rp/8 pool,
+# sort 3 key operands + gather instead of the 11-operand full-pool sort
+# (see the dispatch comment in `_query`). A/B: r5c.
+QUERY_GATHER = os.environ.get("TPU_PBRT_QUERY_GATHER", "1") == "1"
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -801,12 +807,73 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     skey = skey | jnp.where(touched, 0, 1 << 30)
     dkey = morton3d(jnp.stack([dx, dy, dz], -1),
                     jnp.float32(-1.0), jnp.float32(1.0)).astype(jnp.int32)
-    (_, _, rid, ox, oy, oz, dx, dy, dz, t0, t1) = lax.sort(
-        (skey, dkey, rid0, ox, oy, oz, dx, dy, dz, t0, t1),
-        dimension=0, num_keys=3)
+    # head-gather dispatch (QUERY_GATHER): when the touched count fits an
+    # rp/8 head pool — every secondary/shadow query of the bench configs,
+    # where >90% of lanes are dead or miss-certain — sort only the THREE
+    # key operands, gather the 8 ray arrays at the head permutation, run
+    # sweep+cascade on the small pool, and scatter the compact results
+    # back. The full 11-operand sort re-streams every ray operand across
+    # the whole pool (~6 ms per 2M lanes) to move rays that mostly never
+    # get swept at all; per-scope profiling measured these sorts as the
+    # dominant traversal cost of the sphere bench (sort 56 ms of the
+    # 59 ms/frame traverse scope at 5% live).
+    hp = max((rp // 8) // CHUNK * CHUNK, CHUNK)
+
+    def small_path(_):
+        _, _, perm = lax.sort((skey, dkey, rid0), dimension=0, num_keys=3)
+        idx = perm[:hp]
+        arrs = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
+        k, h, oc, pay = _query_pool(tris, *arrs, idx,
+                                    jnp.minimum(n_touched, hp), any_mode)
+        if any_mode:
+            occf = jnp.zeros((rp,), jnp.float32).at[pay].set(
+                oc.astype(jnp.float32))
+            return (jnp.full((rp,), _UMAX), jnp.full((rp,), -1.0), occf)
+        kf = jnp.full((rp,), _UMAX).at[pay].set(k)
+        hf = jnp.full((rp,), -1.0).at[pay].set(h)
+        return kf, hf, jnp.zeros((rp,), jnp.float32)
+
+    def big_path(_):
+        (_, _, rid, sox, soy, soz, sdx, sdy, sdz, st0, st1) = lax.sort(
+            (skey, dkey, rid0, ox, oy, oz, dx, dy, dz, t0, t1),
+            dimension=0, num_keys=3)
+        k, h, oc, pay = _query_pool(tris, sox, soy, soz, sdx, sdy, sdz,
+                                    st0, st1, rid, n_touched, any_mode)
+        if any_mode:
+            _, occf = lax.sort((pay, oc.astype(jnp.float32)),
+                               dimension=0, num_keys=1)
+            return (jnp.full((rp,), _UMAX), jnp.full((rp,), -1.0), occf)
+        _, k2, h2 = lax.sort((pay, k, h), dimension=0, num_keys=1)
+        return k2, h2, jnp.zeros((rp,), jnp.float32)
+
+    if QUERY_GATHER and hp < rp:
+        key, hid, occf = lax.cond(n_touched <= hp, small_path, big_path, 0)
+    else:
+        key, hid, occf = big_path(0)
+    if any_mode:
+        return occf[:r] > 0
+    key = key[:r]
+    hid = hid[:r]
+    found = key != _UMAX
+    t = lax.bitcast_convert_type(
+        key & jnp.uint32(~((1 << IDX_BITS) - 1) & 0xFFFFFFFF), jnp.float32)
+    zeros = jnp.zeros((r,))
+    return Hit(jnp.where(found, t, INF), zeros, zeros,
+               jnp.where(found, hid, -1.0).astype(jnp.int32))
+
+
+def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
+                payload, n_live, any_mode: bool):
+    """Pass-1 sweep + exact cascade on a PRE-SORTED pool (rays needing
+    work at the head, `n_live` of them). `payload` (i32, pool-shaped)
+    rides every internal permutation; results are returned as
+    (key, hid, occ, payload) in whatever order the cascade left them —
+    callers restore order via the payload (sort or scatter)."""
+    rp = ox.shape[0]
+    rid = payload
 
     key, hid, occ, unc = _sweep(tris, ox, oy, oz, dx, dy, dz, t0, t1,
-                                U1, any_mode, n_live=n_touched)
+                                U1, any_mode, n_live=n_live)
     if any_mode:
         unc = unc & ~occ
     n_unc = jnp.sum(unc.astype(jnp.int32))
@@ -908,9 +975,7 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
             dispatch = cascade
         occ, rid = lax.cond(n_unc > 0, dispatch,
                             lambda _: (occ, rid), 0)
-        _, occf = lax.sort((rid, occ.astype(jnp.float32)),
-                           dimension=0, num_keys=1)
-        return occf[:r] > 0
+        return key, hid, occ, rid
 
     def cascade(_):
         (_, key2, hid2, ox2, oy2, oz2, dx2, dy2, dz2, t02, t12,
@@ -980,17 +1045,7 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
         dispatch = cascade
     key, hid, rid = lax.cond(n_unc > 0, dispatch,
                              lambda _: (key, hid, rid), 0)
-
-    # --- unsort back to caller order
-    _, key, hid = lax.sort((rid, key, hid), dimension=0, num_keys=1)
-    key = key[:r]
-    hid = hid[:r]
-    found = key != _UMAX
-    t = lax.bitcast_convert_type(
-        key & jnp.uint32(~((1 << IDX_BITS) - 1) & 0xFFFFFFFF), jnp.float32)
-    zeros = jnp.zeros((r,))
-    return Hit(jnp.where(found, t, INF), zeros, zeros,
-               jnp.where(found, hid, -1.0).astype(jnp.int32))
+    return key, hid, jnp.zeros((rp,), bool), rid
 
 
 def closest_hit(tris: CulledTris, origin: Vec3, direction: Vec3,
