@@ -824,7 +824,8 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
         idx = perm[:hp]
         arrs = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
         k, h, oc, pay = _query_pool(tris, *arrs, idx,
-                                    jnp.minimum(n_touched, hp), any_mode)
+                                    jnp.minimum(n_touched, hp), any_mode,
+                                    deep_pool=True)
         if any_mode:
             occf = jnp.zeros((rp,), jnp.float32).at[pay].set(
                 oc.astype(jnp.float32))
@@ -863,12 +864,18 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
 
 
 def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
-                payload, n_live, any_mode: bool):
+                payload, n_live, any_mode: bool, deep_pool: bool = False):
     """Pass-1 sweep + exact cascade on a PRE-SORTED pool (rays needing
     work at the head, `n_live` of them). `payload` (i32, pool-shaped)
     rides every internal permutation; results are returned as
     (key, hid, occ, payload) in whatever order the cascade left them —
-    callers restore order via the payload (sort or scatter)."""
+    callers restore order via the payload (sort or scatter).
+
+    `deep_pool=True` (the head-gather path): the pool is already rp/8 of
+    the query, so the cascade head spans the WHOLE pool — sizing it p/8
+    again made incoherent bounce pools overflow into the `_dense_all`
+    catch-tail (full table x full pool, measured 556 ms of conditionals
+    per 5%-live bounce query)."""
     rp = ox.shape[0]
     rid = payload
 
@@ -889,7 +896,7 @@ def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
     # in-place, sort-free cascade driven purely by group-skip flags was
     # measured and rejected: uncovered rays scatter across most touched
     # groups — 269 vs 140 ms per 2M-ray primary pool.)
-    pool2 = max((rp // 8) // CHUNK * CHUNK, CHUNK)
+    pool2 = rp if deep_pool else max((rp // 8) // CHUNK * CHUNK, CHUNK)
     sl = slice(0, pool2)
     iota = jnp.arange(rp, dtype=jnp.int32)
     n_in = jnp.minimum(n_unc, pool2)
@@ -900,7 +907,7 @@ def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
     # (672 of 2M at U1=16 on the bench sphere), so this is the only
     # cascade that fires in practice; the legacy full-sort path remains
     # for n_unc > pool3.
-    pool3 = max((rp // 32) // CHUNK * CHUNK, CHUNK)
+    pool3 = max((rp // (8 if deep_pool else 32)) // CHUNK * CHUNK, CHUNK)
     n_in3 = jnp.minimum(n_unc, pool3)
 
     def _head_idx():
