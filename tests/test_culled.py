@@ -196,6 +196,28 @@ class TestMxuSweep:
         m = hit_mt & hit_mx
         np.testing.assert_allclose(t_mx[m], t_mt[m], rtol=1e-4, atol=1e-5)
 
+    def test_kernel_agreement_off_origin(self):
+        """Advisor r4: the plane form stores pre-rounded n.v0 / p.v0
+        constants and subtracts against n.o inside the matmul, whose
+        cancellation behaves worse than MT's (o - v0)-first formulation
+        far from the origin. Bound the flip rate with the soup (and the
+        rays aimed at it) translated by 1e3 units."""
+        off = np.float32([1e3, -1e3, 1e3])
+        v0, v1, v2, _ = soup(t=640, seed=21)
+        v0, v1, v2 = v0 + off, v1 + off, v2 + off
+        ov, dv, tmin, tmax = rays(r=512, seed=22)
+        from tpu_pbrt.ops.vec import Vec3
+        ov = Vec3(ov.x + off[0], ov.y + off[1], ov.z + off[2])
+        comps = self._comps(v0, v1, v2)
+        t_mt = np.asarray(tc._mt_comp_T(ov, dv, *comps, tmin, tmax))
+        t_mx = np.asarray(tc._mt_mxu_T(ov, dv, *comps, tmin, tmax))
+        hit_mt, hit_mx = np.isfinite(t_mt), np.isfinite(t_mx)
+        # off-origin cancellation costs precision: allow 10x the
+        # at-origin flip budget, still rare
+        assert (hit_mt != hit_mx).mean() < 1e-2
+        m = hit_mt & hit_mx
+        np.testing.assert_allclose(t_mx[m], t_mt[m], rtol=1e-3, atol=1e-3)
+
     def test_degenerate_rows_never_hit(self):
         """Zero-area (padding) triangles must miss under the plane form."""
         v0 = np.zeros((8, 3), np.float32)

@@ -229,42 +229,17 @@ def _mt_mxu_T(o: Vec3, d: Vec3, v0x, v0y, v0z, e1x, e1y, e1z,
     Math: with n = e1 x e2, p1 = (e2 x n)/|n|^2, p2 = (n x e1)/|n|^2,
     a hit point P = o + t d has t = (n.v0 - n.o)/(n.d),
     u = (P - v0).p1, v = (P - v0).p2. All six per-pair dot products
-    come out of ONE f32 HIGHEST matmul: T (3C, 4) rows
-    [n | n.v0], [p1 | v0.p1], [p2 | v0.p2] against X (4, 2R) columns
-    [o; -1] and [d; 0]. The plane rows are built in-register from the
-    fetched components (~25 VPU ops per TRIANGLE, amortized over R).
+    come out of ONE f32 HIGHEST matmul (rows/columns built by the
+    shared `traverse_dense._plane_rows_soa`/`_mxu_dots` helpers).
     den = n.d equals Moller-Trumbore's det up to sign, so the same
     1e-12 degeneracy cutoff applies; padded rows (e1 = e2 = 0) give
     n = 0 -> den = 0 -> miss, exactly like `_mt_comp_T`."""
+    from .traverse_dense import _mxu_dots, _plane_rows_soa
+
     C = v0x.shape[0]
     R = o.x.shape[0]
-    nx = e1y * e2z - e1z * e2y
-    ny = e1z * e2x - e1x * e2z
-    nz = e1x * e2y - e1y * e2x
-    n2 = nx * nx + ny * ny + nz * nz
-    inv_n2 = 1.0 / jnp.where(n2 > 0.0, n2, 1.0)
-    p1x = (e2y * nz - e2z * ny) * inv_n2
-    p1y = (e2z * nx - e2x * nz) * inv_n2
-    p1z = (e2x * ny - e2y * nx) * inv_n2
-    p2x = (ny * e1z - nz * e1y) * inv_n2
-    p2y = (nz * e1x - nx * e1z) * inv_n2
-    p2z = (nx * e1y - ny * e1x) * inv_n2
-    d0 = nx * v0x + ny * v0y + nz * v0z
-    c1 = p1x * v0x + p1y * v0y + p1z * v0z
-    c2 = p2x * v0x + p2y * v0y + p2z * v0z
-    T = jnp.concatenate([
-        jnp.stack([nx, ny, nz, d0], axis=1),
-        jnp.stack([p1x, p1y, p1z, c1], axis=1),
-        jnp.stack([p2x, p2y, p2z, c2], axis=1)], axis=0)   # (3C, 4)
-    ones = jnp.ones((R,), jnp.float32)
-    X = jnp.stack([
-        jnp.concatenate([o.x, d.x]),
-        jnp.concatenate([o.y, d.y]),
-        jnp.concatenate([o.z, d.z]),
-        jnp.concatenate([-ones, jnp.zeros((R,), jnp.float32)])],
-        axis=0)                                            # (4, 2R)
-    Y = lax.dot_general(T, X, (((1,), (0,)), ((), ())),
-                        precision=lax.Precision.HIGHEST)   # (3C, 2R)
+    Y = _mxu_dots(_plane_rows_soa(v0x, v0y, v0z, e1x, e1y, e1z,
+                                  e2x, e2y, e2z), o, d)    # (3C, 2R)
     den = Y[:C, R:]                      # n.d  (= -MT det)
     t_num = -Y[:C, :R]                   # n.v0 - n.o
     valid = jnp.abs(den) > 1e-12

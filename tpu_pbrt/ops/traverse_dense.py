@@ -46,14 +46,21 @@ MT_MXU = os.environ.get("TPU_PBRT_MT_MXU", "0") == "1"
 
 
 def _plane_rows(cv0, ce1, ce2):
+    """(3C, 4) plane-form rows from (C, 3) chunk components (see
+    `_plane_rows_soa` for the math and contract)."""
+    return _plane_rows_soa(cv0[:, 0], cv0[:, 1], cv0[:, 2],
+                           ce1[:, 0], ce1[:, 1], ce1[:, 2],
+                           ce2[:, 0], ce2[:, 1], ce2[:, 2])
+
+
+def _plane_rows_soa(v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z):
     """(3C, 4) plane-form rows [n | n.v0], [p1 | v0.p1], [p2 | v0.p2]
-    with n = e1 x e2, p1 = (e2 x n)/|n|^2, p2 = (n x e1)/|n|^2. Built
-    in-register from the chunk components (~25 VPU ops per TRIANGLE,
-    amortized over all R rays). Degenerate/padded rows (e1 = e2 = 0)
-    yield n = 0 -> den = 0 -> guaranteed miss."""
-    v0x, v0y, v0z = cv0[:, 0], cv0[:, 1], cv0[:, 2]
-    e1x, e1y, e1z = ce1[:, 0], ce1[:, 1], ce1[:, 2]
-    e2x, e2y, e2z = ce2[:, 0], ce2[:, 1], ce2[:, 2]
+    with n = e1 x e2, p1 = (e2 x n)/|n|^2, p2 = (n x e1)/|n|^2, from
+    (C,) SoA component vectors. Built in-register (~25 VPU ops per
+    TRIANGLE, amortized over all R rays). Degenerate/padded rows
+    (e1 = e2 = 0) yield n = 0 -> den = 0 -> guaranteed miss. Shared
+    with the culled tracer's `_mt_mxu_T` (advisor r4: the twin copies
+    could drift)."""
     nx = e1y * e2z - e1z * e2y
     ny = e1z * e2x - e1x * e2z
     nz = e1x * e2y - e1y * e2x
