@@ -1,7 +1,9 @@
 """Round-5 U1 sweep under entry ranking: full closest_hit + any_hit on
-the 25k-tri bench sphere at U1 in {8, 12, 16}, preselect off (flat slab)
-— picks the shipping U1 now that entry ranking collapses the uncovered
-set. One TPU process, self-exiting."""
+the 25k-tri bench sphere, preselect off (flat slab) — picks the shipping
+U1. r5c re-run rationale: the head-gather cascade made small uncovered
+sets nearly free, so the optimum may sit far BELOW the pre-gather pick
+(pass-1 MT work is linear in U1: 64*U1 tris swept per ray). One TPU
+process, self-exiting."""
 import os
 import sys
 
@@ -23,8 +25,10 @@ def main():
     for kind in ("primary", "bounce"):
         o, d, t0, t1 = bench_rays(R, kind=kind)
         args = (o.x, o.y, o.z, d.x, d.y, d.z, t0, t1)
-        for u1 in (8, 12, 16):
+        for u1, u2 in ((4, 64), (6, 64), (8, 64), (12, 64),
+                       (4, 16), (6, 16), (8, 32)):
             tc.U1 = u1
+            tc.U2 = u2
 
             def ch(ox, oy, oz, dx, dy, dz, a, b):
                 h = tc.closest_hit(tris, Vec3(ox, oy, oz),
@@ -37,10 +41,11 @@ def main():
 
             tch = slope_time(jax.jit(ch), *args, iters=3)
             tah = slope_time(jax.jit(ah), *args, iters=3)
-            print(f"  {kind} U1={u1}: closest {tch:6.1f} ms "
+            print(f"  {kind} U1={u1} U2={u2}: closest {tch:6.1f} ms "
                   f"({R / tch / 1000:.1f} Mrays/s)  any {tah:6.1f} ms "
                   f"({R / tah / 1000:.1f} Mrays/s)", flush=True)
-    tc.U1 = 16
+    tc.U1 = int(os.environ.get("TPU_PBRT_CULLED_U1", "12"))
+    tc.U2 = int(os.environ.get("TPU_PBRT_CULLED_U2", "64"))
 
 
 if __name__ == "__main__":

@@ -73,7 +73,10 @@ U1 = int(os.environ.get("TPU_PBRT_CULLED_U1", "12"))
 #                   # ms at U1=8/12/16, any 82.8/84.0/95.4 — 12 is the
 #                   # shipping default; the cascade absorbs the smaller
 #                   # pass-1 at 8 and the extra sweep work dominates at 16
-U2 = 64             # pass-2 blocks per chunk (uncovered rays, R/8 pool)
+U2 = int(os.environ.get("TPU_PBRT_CULLED_U2", "64"))
+#                   # pass-2 blocks per chunk (uncovered rays, R/8 pool);
+#                   # env-tunable so the U1/U2 ladder can be swept jointly
+#                   # (a small U1 wants a smaller pass-2 jump than 64)
 GROUP = 64          # chunks per sweep step (memory control)
 SUPER = 8           # blocks per superblock for the fused touched prepass
 KS_EXTRA = 2        # extra supers expanded past ceil(U/SUPER) per chunk
@@ -750,7 +753,12 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     r = origin.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (r,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    pad = (-r) % CHUNK
+    # pad so the 8 gather windows of hp = rp/8 rays tile the pool exactly
+    # (windows never overlap, so no ray is ever swept twice); dead pad
+    # lanes (t1 = -inf) are untouched and sort to the tail
+    rp0 = -(-r // CHUNK) * CHUNK                     # CHUNK-padded count
+    hp = max(-(-rp0 // (8 * CHUNK)) * CHUNK, CHUNK)  # window: ceil(rp0/8)
+    pad = (8 * hp if QUERY_GATHER else rp0) - r
 
     def padded(a, fill=0.0):
         if pad == 0:
@@ -793,34 +801,44 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
     skey = skey | jnp.where(touched, 0, 1 << 30)
     dkey = morton3d(jnp.stack([dx, dy, dz], -1),
                     jnp.float32(-1.0), jnp.float32(1.0)).astype(jnp.int32)
-    # head-gather dispatch (QUERY_GATHER): when the touched count fits an
-    # rp/8 head pool — every secondary/shadow query of the bench configs,
-    # where >90% of lanes are dead or miss-certain — sort only the THREE
-    # key operands, gather the 8 ray arrays at the head permutation, run
-    # sweep+cascade on the small pool, and scatter the compact results
-    # back. The full 11-operand sort re-streams every ray operand across
-    # the whole pool (~6 ms per 2M lanes) to move rays that mostly never
-    # get swept at all; per-scope profiling measured these sorts as the
-    # dominant traversal cost of the sphere bench (sort 56 ms of the
-    # 59 ms/frame traverse scope at 5% live).
-    hp = max((rp // 8) // CHUNK * CHUNK, CHUNK)
+    # windowed head-gather (QUERY_GATHER): sort only the THREE key
+    # operands, then gather + sweep hp-ray WINDOWS of the touched head
+    # until n_touched is covered, scattering each window's compact
+    # results back. One window almost always suffices (>90% of
+    # secondary/shadow lanes are dead or miss-certain; per-scope
+    # profiling measured the old full 11-operand sort as the dominant
+    # traversal cost of the sphere bench — 56 of the 59 ms/frame
+    # traverse scope at 5% live). Windowing replaced the round-5c
+    # lax.cond(small, big) dispatch: a runtime branch must COMPILE the
+    # whole sweep+cascade machinery twice per query instantiation, which
+    # blew the sphere frame's (remote, cold) compile past 20 min; the
+    # loop handles every touched count with one instantiation and no
+    # full-pool operand sort at all. Windows tile the padded pool
+    # exactly (rp = 8*hp), so no ray is ever swept twice.
 
-    def small_path(_):
+    def windowed_path():
         _, _, perm = lax.sort((skey, dkey, rid0), dimension=0, num_keys=3)
-        idx = perm[:hp]
-        arrs = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
-        k, h, oc, pay = _query_pool(tris, *arrs, idx,
-                                    jnp.minimum(n_touched, hp), any_mode,
-                                    deep_pool=True)
-        if any_mode:
-            occf = jnp.zeros((rp,), jnp.float32).at[pay].set(
-                oc.astype(jnp.float32))
-            return (jnp.full((rp,), _UMAX), jnp.full((rp,), -1.0), occf)
-        kf = jnp.full((rp,), _UMAX).at[pay].set(k)
-        hf = jnp.full((rp,), -1.0).at[pay].set(h)
-        return kf, hf, jnp.zeros((rp,), jnp.float32)
+        n_w = (n_touched + hp - 1) // hp
 
-    def big_path(_):
+        def cond(st):
+            return st[0] < n_w
+
+        def body(st):
+            w, kf, hf, occf = st
+            idx = lax.dynamic_slice(perm, (w * hp,), (hp,))
+            arrs = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
+            live = jnp.clip(n_touched - w * hp, 0, hp)
+            k, h, oc, _ = _query_pool(tris, *arrs, idx, live, any_mode,
+                                      deep_pool=True)
+            return (w + 1, kf.at[idx].set(k), hf.at[idx].set(h),
+                    occf.at[idx].set(oc))
+
+        init = (jnp.int32(0), jnp.full((rp,), _UMAX),
+                jnp.full((rp,), -1.0), jnp.zeros((rp,), bool))
+        _, kf, hf, occf = lax.while_loop(cond, body, init)
+        return kf, hf, occf.astype(jnp.float32)
+
+    def big_path():
         (_, _, rid, sox, soy, soz, sdx, sdy, sdz, st0, st1) = lax.sort(
             (skey, dkey, rid0, ox, oy, oz, dx, dy, dz, t0, t1),
             dimension=0, num_keys=3)
@@ -833,10 +851,7 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
         _, k2, h2 = lax.sort((pay, k, h), dimension=0, num_keys=1)
         return k2, h2, jnp.zeros((rp,), jnp.float32)
 
-    if QUERY_GATHER and hp < rp:
-        key, hid, occf = lax.cond(n_touched <= hp, small_path, big_path, 0)
-    else:
-        key, hid, occf = big_path(0)
+    key, hid, occf = windowed_path() if QUERY_GATHER else big_path()
     if any_mode:
         return occf[:r] > 0
     key = key[:r]
@@ -855,7 +870,9 @@ def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
     work at the head, `n_live` of them). `payload` (i32, pool-shaped)
     rides every internal permutation; results are returned as
     (key, hid, occ, payload) in whatever order the cascade left them —
-    callers restore order via the payload (sort or scatter).
+    callers restore order via the payload (sort or scatter). With
+    CASCADE_GATHER the windowed cascade never permutes the pool, so
+    results come back in INPUT order and payload is returned verbatim.
 
     `deep_pool=True` (the head-gather path): the pool is already rp/8 of
     the query, so the cascade head spans the WHOLE pool — sizing it p/8
@@ -887,18 +904,15 @@ def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
     iota = jnp.arange(rp, dtype=jnp.int32)
     n_in = jnp.minimum(n_unc, pool2)
     unc_key = (~unc).astype(jnp.int32)
-    # small-cascade head (CASCADE_GATHER): compact by a 2-operand
-    # permutation sort + head gathers instead of re-streaming every ray
-    # operand through the 12-operand sort. Entry ranking keeps n_unc tiny
-    # (672 of 2M at U1=16 on the bench sphere), so this is the only
-    # cascade that fires in practice; the legacy full-sort path remains
-    # for n_unc > pool3.
+    # gather-cascade window size (CASCADE_GATHER): compact by a
+    # 2-operand permutation sort + head gathers instead of re-streaming
+    # every ray operand through the 12-operand sort; the windowed loop
+    # below covers ANY n_unc (entry ranking keeps it tiny — 672 of 2M at
+    # U1=16 on the bench sphere — so it usually runs 0 or 1 windows).
+    # The legacy full-sort cascade above survives only under
+    # TPU_PBRT_CASCADE_GATHER=0 (python-level gate: exactly one cascade
+    # is ever compiled into a query).
     pool3 = max((rp // (8 if deep_pool else 32)) // CHUNK * CHUNK, CHUNK)
-    n_in3 = jnp.minimum(n_unc, pool3)
-
-    def _head_idx():
-        _, perm = lax.sort((unc_key, iota), dimension=0, num_keys=1)
-        return perm[:pool3]
 
     def common_head(ops):
         """Sort-compact, U2-re-sweep the head slice; returns the sorted
@@ -942,32 +956,47 @@ def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
             occ2 = lax.cond(n_unc > pool2, catch_tail, lambda o: o, occ2)
             return occ2, rid2
 
-        def cascade_small(_):
-            idx = _head_idx()
-            rays_h = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz,
-                                            t0, t1))
-            in_play = iota[:pool3] < n_unc
-            occ_h = occ[idx]
-            _, _, oc3, un3 = _sweep(tris, *rays_h, U2, True,
-                                    n_live=n_in3)
-            occ_h = occ_h | (in_play & oc3)
-            still = in_play & un3 & ~occ_h
-
-            def stage3(oh):
-                _, _, oc4 = _dense_pool(tris, *rays_h, True,
-                                        in_play=still.astype(jnp.int32))
-                return oh | (still & oc4)
-
-            occ_h = lax.cond(jnp.any(still), stage3, lambda o: o, occ_h)
-            return occ.at[idx].set(occ_h), rid
-
         if CASCADE_GATHER:
-            def dispatch(_):
-                return lax.cond(n_unc <= pool3, cascade_small, cascade, 0)
+            # windowed gather cascade: compact via a 2-operand
+            # permutation sort, then re-sweep pool3-ray windows of the
+            # uncovered head until n_unc is covered (entry ranking keeps
+            # n_unc tiny, so one window is the norm and zero windows the
+            # common shadow case). A window that overlaps the previous
+            # one (final clamp) only re-ORs identical exact results.
+            _, perm3 = lax.sort((unc_key, iota), dimension=0, num_keys=1)
+            n_w = (n_unc + pool3 - 1) // pool3
+
+            def wcond(st):
+                return st[0] < n_w
+
+            def wbody(st):
+                v, occ_f = st
+                start = jnp.minimum(v * pool3, rp - pool3)
+                idx = lax.dynamic_slice(perm3, (start,), (pool3,))
+                rays_h = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz,
+                                                t0, t1))
+                live = jnp.clip(n_unc - start, 0, pool3)
+                in_play = jnp.arange(pool3, dtype=jnp.int32) < live
+                occ_h = occ_f[idx]
+                _, _, oc3, un3 = _sweep(tris, *rays_h, U2, True,
+                                        n_live=live)
+                occ_h = occ_h | (in_play & oc3)
+                still = in_play & un3 & ~occ_h
+
+                def stage3(oh):
+                    _, _, oc4 = _dense_pool(
+                        tris, *rays_h, True,
+                        in_play=still.astype(jnp.int32))
+                    return oh | (still & oc4)
+
+                occ_h = lax.cond(jnp.any(still), stage3, lambda o: o,
+                                 occ_h)
+                return v + 1, occ_f.at[idx].set(occ_h)
+
+            _, occ = lax.while_loop(wcond, wbody, (jnp.int32(0), occ))
         else:
-            dispatch = cascade
-        occ, rid = lax.cond(n_unc > 0, dispatch,
-                            lambda _: (occ, rid), 0)
+            occ, rid = lax.cond(n_unc > 0, cascade,
+                                lambda _: (occ, rid), 0)
         return key, hid, occ, rid
 
     def cascade(_):
@@ -1008,35 +1037,49 @@ def _query_pool(tris: CulledTris, ox, oy, oz, dx, dy, dz, t0, t1,
                               (key2, hid2))
         return key2, hid2, rid2
 
-    def cascade_small(_):
-        idx = _head_idx()
-        rays_h = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
-        in_play = iota[:pool3] < n_unc
-        key_h = key[idx]
-        hid_h = hid[idx]
-        k3, id3, _, un3 = _sweep(tris, *rays_h, U2, False, n_live=n_in3)
-        better = in_play & (k3 < key_h)
-        key_h = jnp.where(better, k3, key_h)
-        hid_h = jnp.where(better, id3, hid_h)
-        still = in_play & un3
-
-        def stage3(args):
-            kh, hh = args
-            k4, id4, _ = _dense_pool(tris, *rays_h, False,
-                                     in_play=still.astype(jnp.int32))
-            b = still & (k4 < kh)
-            return jnp.where(b, k4, kh), jnp.where(b, id4, hh)
-
-        key_h, hid_h = lax.cond(jnp.any(still), stage3, lambda a: a,
-                                (key_h, hid_h))
-        return key.at[idx].set(key_h), hid.at[idx].set(hid_h), rid
-
     if CASCADE_GATHER:
-        def dispatch(_):
-            return lax.cond(n_unc <= pool3, cascade_small, cascade, 0)
-    else:
-        dispatch = cascade
-    key, hid, rid = lax.cond(n_unc > 0, dispatch,
+        # windowed gather cascade (see the any_mode twin above): exact
+        # merge by strict key comparison, so overlap re-sweeps are no-ops
+        _, perm3 = lax.sort((unc_key, iota), dimension=0, num_keys=1)
+        n_w = (n_unc + pool3 - 1) // pool3
+
+        def wcond(st):
+            return st[0] < n_w
+
+        def wbody(st):
+            v, key_f, hid_f = st
+            start = jnp.minimum(v * pool3, rp - pool3)
+            idx = lax.dynamic_slice(perm3, (start,), (pool3,))
+            rays_h = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz,
+                                            t0, t1))
+            live = jnp.clip(n_unc - start, 0, pool3)
+            in_play = jnp.arange(pool3, dtype=jnp.int32) < live
+            key_h = key_f[idx]
+            hid_h = hid_f[idx]
+            k3, id3, _, un3 = _sweep(tris, *rays_h, U2, False,
+                                     n_live=live)
+            better = in_play & (k3 < key_h)
+            key_h = jnp.where(better, k3, key_h)
+            hid_h = jnp.where(better, id3, hid_h)
+            still = in_play & un3
+
+            def stage3(args):
+                kh, hh = args
+                k4, id4, _ = _dense_pool(tris, *rays_h, False,
+                                         in_play=still.astype(jnp.int32))
+                b = still & (k4 < kh)
+                return jnp.where(b, k4, kh), jnp.where(b, id4, hh)
+
+            key_h, hid_h = lax.cond(jnp.any(still), stage3, lambda a: a,
+                                    (key_h, hid_h))
+            return (v + 1, key_f.at[idx].set(key_h),
+                    hid_f.at[idx].set(hid_h))
+
+        _, key, hid = lax.while_loop(wcond, wbody,
+                                     (jnp.int32(0), key, hid))
+        return key, hid, jnp.zeros((rp,), bool), rid
+
+    key, hid, rid = lax.cond(n_unc > 0, cascade,
                              lambda _: (key, hid, rid), 0)
     return key, hid, jnp.zeros((rp,), bool), rid
 
