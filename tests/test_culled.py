@@ -97,6 +97,29 @@ class TestCulledVsDense:
         assert (np.asarray(hc.tri)[m] == np.asarray(hd.tri)[m]).all()
         assert (np.asarray(ac) == np.asarray(ad)).all()
 
+    def test_windowed_vs_legacy_dispatch(self, monkeypatch):
+        """The windowed gather path (QUERY_GATHER + CASCADE_GATHER, the
+        default) and the legacy full-sort path must agree exactly — the
+        soup/ray setup makes nearly every ray touched, so the windowed
+        loop runs MULTIPLE hp-windows (rp = 8*hp), covering the
+        window-boundary chunk regrouping."""
+        v0, v1, v2, op = soup(seed=41)
+        ct = tc.prepare(v0, v1, v2, op)
+        ov, dv, tmin, tmax = rays(seed=42)
+        hw = tc.closest_hit(ct, ov, dv, tmin, tmax)   # unjitted: the jit
+        aw = tc.any_hit(ct, ov, dv, tmin, tmax)       # cache ignores flags
+        monkeypatch.setattr(tc, "QUERY_GATHER", False)
+        monkeypatch.setattr(tc, "CASCADE_GATHER", False)
+        hl = tc.closest_hit(ct, ov, dv, tmin, tmax)
+        al = tc.any_hit(ct, ov, dv, tmin, tmax)
+        fw, fl = np.isfinite(np.asarray(hw.t)), np.isfinite(np.asarray(hl.t))
+        assert (fw == fl).all()
+        m = fw & fl
+        np.testing.assert_allclose(np.asarray(hw.t)[m], np.asarray(hl.t)[m],
+                                   rtol=5e-4)
+        assert (np.asarray(hw.tri)[m] == np.asarray(hl.tri)[m]).all()
+        assert (np.asarray(aw) == np.asarray(al)).all()
+
     def test_off_origin_precision(self):
         """Scene translated ~1e3 units from the origin: the slab/MT
         cancellation must not flip hits vs dense (ADVICE r4: bounds the
