@@ -118,11 +118,6 @@ CASCADE_GATHER = os.environ.get("TPU_PBRT_CASCADE_GATHER", "1") == "1"
 # sort 3 key operands + gather instead of the 11-operand full-pool sort
 # (see the dispatch comment in `_query`). A/B: r5c.
 QUERY_GATHER = os.environ.get("TPU_PBRT_QUERY_GATHER", "1") == "1"
-# stage barriers inside the per-chunk query: the pass-1 profile is one
-# 60 ms loop fusion (slab + rank + fetch-consume + MT + key-min); the
-# r4 PT-frame barriers bought +15.6% by stopping exactly this kind of
-# mega-fusion spill. A/B knob, adopt-or-delete by measurement.
-CHUNK_BARRIERS = os.environ.get("TPU_PBRT_CULLED_BARRIERS", "0") == "1"
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
@@ -536,16 +531,10 @@ def _chunk_query(tris: CulledTris, o: Vec3, d: Vec3, t0, t1, u_blocks,
         slo = jnp.full((1, mask.shape[1]), INF)
         super_in = jnp.ones((1,), bool)
 
-    if CHUNK_BARRIERS:
-        # seam 1: selection (slab + rank + top_k) | fetch
-        onehot, mask, mlo = lax.optimization_barrier((onehot, mask, mlo))
     fetched = lax.dot_general(
         onehot.astype(jnp.float32), table,
         (((1,), (0,)), ((), ())),
         precision=lax.Precision.HIGHEST)                 # (k, COLS*BLOCK)
-    if CHUNK_BARRIERS:
-        # seam 2: fetch | MT sweep
-        fetched = lax.optimization_barrier(fetched)
     (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z,
      ids, op, _) = _table_comps(fetched)                 # (k*BLOCK,) SoA
     # padded/degenerate rows (id < 0 or all-zero fetch) never hit: e1=e2=0
