@@ -269,16 +269,16 @@ def make_ball_meshes(center_xz=(86.0, 200.0), radius=62.0, object_id=5,
 
 def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       core_radiance=(7.7, 7.6, 7.9),
-                      bunny_center=(395.0, 85.0), bunny_scale=100.0,
-                      bunny_yaw=-22.0, bunny_roughness=0.45,
+                      bunny_center=(382.0, 205.0), bunny_scale=95.0,
+                      bunny_yaw=-8.0, bunny_roughness=0.45,
                       bunny_metallic=1.0, bunny_base=(0.93, 0.93, 0.92),
-                      bunny_jitter=0.0, bunny_ear_len=0.7,
-                      bunny_head_up=0.65, bunny_ear_tilt=(8.0, 30.0),
-                      bunny_back_up=1.12, bunny_haunch=0.95,
-                      bunny_ear_x=-0.25,
-                      ball_center=(102.0, 168.0), ball_radius=56.0,
+                      bunny_jitter=0.0, bunny_ear_len=0.6,
+                      bunny_head_up=0.7, bunny_ear_tilt=36.0,
+                      bunny_back_up=1.0, bunny_haunch=1.0,
+                      bunny_ear_x=-0.72,
+                      ball_center=(98.0, 158.0), ball_radius=56.0,
                       ball_roughness=0.5, core_frac=0.72, hole_deg=13.0,
-                      hole2_deg=0.0, face_hole_deg=0.0, ball_base_h=48.0,
+                      hole2_deg=0.0, face_hole_deg=0.0, ball_base_h=28.0,
                       block_size=(195.0, 345.0, 140.0),
                       wall_boost=1.18,
                       block_center=(200.0, 435.0),
@@ -291,14 +291,10 @@ def make_golden_scene(light_radiance=(43.0, 42.5, 44.0),
                       block_metallic=1.0,
                       block_base=(0.05, 0.05, 0.055),
                       block_rough=0.02) -> Scene:
-    # Placement defaults = the round-5 mask-IoU descent winners
-    # (tools/r5_bunny_iou.py): the round-3/4 chamfer score was MYOPIC on
-    # the bunny — the reference bunny's interior is dense with facet
-    # edges, so the chamfer rewarded shrinking our outline into the
-    # facet soup. Direct IoU against a hand-traced silhouette polygon of
-    # the screenshot re-projects to floor contact z ~ 50-90 classic
-    # units and ~290 units total height: bunny IoU 0.46 -> 0.73, ball
-    # 0.69 -> 0.88 (taller wooden cup, base_h 48).
+    # Placement defaults = the round-3 silhouette-descent winner
+    # (tools/g3_silhouette.py: noise-free G-buffer edge chamfer vs the
+    # screenshot, 0.54 -> 1.18), confirmed on the denoised app graph
+    # (240x180x96f CPU: 0.596 vs 0.593 at matched effective exposure).
     meshes = []
     # Cornell shell (identical to models/cornell.py walls; floor and back
     # wall carry their OWN material slots so the screenshot's relative
