@@ -813,18 +813,32 @@ def _query(tris: CulledTris, origin: Vec3, direction: Vec3, t_min, t_max,
             return st[0] < n_w
 
         def body(st):
-            w, kf, hf, occf = st
+            # results land in PERM order via contiguous slice updates
+            # (an .at[idx].set scatter per window measured 3.3x slower
+            # at 4 windows on the 42%-touched diag workload); the single
+            # permutation scatter below unsorts everything once
+            w, kflat, hflat, oflat = st
             idx = lax.dynamic_slice(perm, (w * hp,), (hp,))
             arrs = tuple(a[idx] for a in (ox, oy, oz, dx, dy, dz, t0, t1))
             live = jnp.clip(n_touched - w * hp, 0, hp)
             k, h, oc, _ = _query_pool(tris, *arrs, idx, live, any_mode,
                                       deep_pool=True)
-            return (w + 1, kf.at[idx].set(k), hf.at[idx].set(h),
-                    occf.at[idx].set(oc))
+            return (w + 1,
+                    lax.dynamic_update_slice(kflat, k, (w * hp,)),
+                    lax.dynamic_update_slice(hflat, h, (w * hp,)),
+                    lax.dynamic_update_slice(oflat, oc, (w * hp,)))
 
         init = (jnp.int32(0), jnp.full((rp,), _UMAX),
                 jnp.full((rp,), -1.0), jnp.zeros((rp,), bool))
-        _, kf, hf, occf = lax.while_loop(cond, body, init)
+        _, kflat, hflat, oflat = lax.while_loop(cond, body, init)
+        # one unsort: perm is a permutation, position i holds ray
+        # perm[i]'s result (untouched rays keep their miss defaults)
+        kf = jnp.zeros((rp,), kflat.dtype).at[perm].set(
+            kflat, unique_indices=True)
+        hf = jnp.zeros((rp,), hflat.dtype).at[perm].set(
+            hflat, unique_indices=True)
+        occf = jnp.zeros((rp,), oflat.dtype).at[perm].set(
+            oflat, unique_indices=True)
         return kf, hf, occf.astype(jnp.float32)
 
     def big_path():
