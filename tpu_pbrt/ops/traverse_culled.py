@@ -114,10 +114,15 @@ ANY_RANK = os.environ.get("TPU_PBRT_ANY_RANK", "entry")
 # (672 at U1=16 on the 25k bench sphere). Falls back to the full-sort
 # cascade when n_unc overflows the small head pool. A/B: r5c.
 CASCADE_GATHER = os.environ.get("TPU_PBRT_CASCADE_GATHER", "1") == "1"
-# query-level head gather: when the touched count fits an rp/8 pool,
-# sort 3 key operands + gather instead of the 11-operand full-pool sort
-# (see the dispatch comment in `_query`). A/B: r5c.
-QUERY_GATHER = os.environ.get("TPU_PBRT_QUERY_GATHER", "1") == "1"
+# query-level head gather: sort 3 key operands + gather hp-ray windows
+# instead of the 11-operand full-pool sort (see `_query`). Default OFF
+# by measurement (r5e, tools/r5_query_diag.py, 25k sphere, 42%-touched
+# 2M-ray queries): gather path primary closest 331 ms vs full-sort
+# 89.7 ms — the 8 ray-operand gathers per window (~25 ms per 2M gathered
+# lanes) dwarf the one full-pool sort they replace. Kept A/B-able; the
+# windowed CASCADE gather below is the part that measured faster and
+# stays default-on.
+QUERY_GATHER = os.environ.get("TPU_PBRT_QUERY_GATHER", "0") == "1"
 IDX_BITS = 12       # mantissa bits packing the row index (U2*BLOCK <= 4096)
 _UMAX = jnp.uint32(0xFFFFFFFF)
 
